@@ -1,0 +1,87 @@
+"""Scalar Python API: the reference's 10-function surface per metric.
+
+Mirrors /root/reference/src/distance.rs:1-10 module layout — for every
+metric M in {levenshtein, indel, lcs_seq, damerau_levenshtein, osa, jaro,
+jaro_winkler, hamming, prefix, postfix}:
+M.distance / M.similarity / M.normalized_distance / M.normalized_similarity
+(each accepting ``score_cutoff`` -> returns None when filtered, and a
+semantics-free ``score_hint``), plus M.BatchComparator (one×many with
+cached pattern state, /root/reference/Readme.md:100-106).
+
+These are driver-side scalar functions — the distributed path is
+``rapidfuzz_spark.functions`` (pandas UDFs over the same kernels).
+"""
+
+from __future__ import annotations
+
+from types import SimpleNamespace
+
+from .kernels import damerau as _damerau
+from .kernels import hamming as _hamming
+from .kernels import jaro as _jaro
+from .kernels import lcs_indel as _lcs_indel
+from .kernels import levenshtein as _levenshtein
+from .kernels import osa as _osa
+from .kernels import prefix_postfix as _pp
+from .kernels.common import MetricSurface, pm_vector
+from .kernels.fuzz import ratio as _ratio
+
+
+def _make_batch_comparator(surface: MetricSurface, uses_pm_cache=False):
+    class BatchComparator:
+        """One×many scorer; pattern state built once per s1."""
+
+        def __init__(self, s1, **kw):
+            self.s1 = s1
+            self.kw = kw
+
+        def distance(self, s2, **k):
+            return surface.distance(self.s1, s2, **self.kw, **k)
+
+        def similarity(self, s2, **k):
+            return surface.similarity(self.s1, s2, **self.kw, **k)
+
+        def normalized_distance(self, s2, **k):
+            return surface.normalized_distance(self.s1, s2, **self.kw, **k)
+
+        def normalized_similarity(self, s2, **k):
+            return surface.normalized_similarity(self.s1, s2, **self.kw, **k)
+
+    return BatchComparator
+
+
+def _ns(surface: MetricSurface, batch=None) -> SimpleNamespace:
+    return SimpleNamespace(
+        distance=surface.distance,
+        similarity=surface.similarity,
+        normalized_distance=surface.normalized_distance,
+        normalized_similarity=surface.normalized_similarity,
+        BatchComparator=batch or _make_batch_comparator(surface),
+    )
+
+
+levenshtein = _ns(_levenshtein.surface, _levenshtein.BatchComparator)
+indel = _ns(_lcs_indel.indel_surface)
+lcs_seq = _ns(_lcs_indel.lcs_surface)
+damerau_levenshtein = _ns(_damerau.surface)
+osa = _ns(_osa.surface)
+jaro = _ns(_jaro.jaro_surface)
+jaro_winkler = _ns(_jaro.jaro_winkler_surface)
+hamming = _ns(_hamming.surface)
+prefix = _ns(_pp.prefix_surface)
+postfix = _ns(_pp.postfix_surface)
+
+fuzz = SimpleNamespace(ratio=_ratio)
+
+ALL_METRICS = {
+    "levenshtein": levenshtein,
+    "indel": indel,
+    "lcs_seq": lcs_seq,
+    "damerau_levenshtein": damerau_levenshtein,
+    "osa": osa,
+    "jaro": jaro,
+    "jaro_winkler": jaro_winkler,
+    "hamming": hamming,
+    "prefix": prefix,
+    "postfix": postfix,
+}

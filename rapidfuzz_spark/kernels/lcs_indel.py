@@ -1,0 +1,80 @@
+"""LCS-seq similarity (Hyyrö bit-parallel) + Indel distance.
+
+Semantics match /root/reference/src/distance/lcs_seq.rs and indel.rs:
+- LCS similarity = length of the longest common subsequence;
+  distance = max(len1, len2) - LCS (lcs_seq.rs:549-551).
+- Indel distance = len1 + len2 - 2*LCS, maximum = len1 + len2
+  (indel.rs:62-105).
+
+Algorithm: Hyyrö's published bit-parallel LCS-length recurrence
+(S' = ((S + (S & M)) | (S & ~M)) equivalent form), arbitrary-precision
+Python ints instead of u64 blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from .common import MetricSurface, pm_vector, remove_common_affix
+
+Seq = Union[str, Sequence[int]]
+
+
+def lcs_length(s1: Seq, s2: Seq, pm: Optional[dict] = None) -> int:
+    """Bit-parallel LCS length; ``s1`` is the pattern."""
+    m = len(s1)
+    if m == 0 or len(s2) == 0:
+        return 0
+    if pm is None:
+        pm = pm_vector(s1)
+    mask = (1 << m) - 1
+    s = mask
+    get = pm.get
+    for ch in s2:
+        matches = get(ch, 0)
+        u = s & matches
+        s = ((s + u) & mask) | (s - u)
+    # zero bits of S mark matched pattern positions
+    return m - bin(s).count("1")
+
+
+def lcs_similarity_raw(s1: Seq, s2: Seq) -> int:
+    pfx = 0
+    n = min(len(s1), len(s2))
+    while pfx < n and s1[pfx] == s2[pfx]:
+        pfx += 1
+    affix = pfx
+    t1, t2 = s1[pfx:], s2[pfx:]
+    n = min(len(t1), len(t2))
+    sfx = 0
+    while sfx < n and t1[len(t1) - 1 - sfx] == t2[len(t2) - 1 - sfx]:
+        sfx += 1
+    affix += sfx
+    if sfx:
+        t1, t2 = t1[:-sfx], t2[:-sfx]
+    if len(t1) > len(t2):
+        t1, t2 = t2, t1
+    return affix + lcs_length(t1, t2)
+
+
+def _lcs_dist(s1: Seq, s2: Seq) -> int:
+    return max(len(s1), len(s2)) - lcs_similarity_raw(s1, s2)
+
+
+def _lcs_maximum(s1: Seq, s2: Seq) -> int:
+    return max(len(s1), len(s2))
+
+
+lcs_surface = MetricSurface(_lcs_dist, _lcs_maximum)
+
+
+def indel_raw_distance(s1: Seq, s2: Seq) -> int:
+    """indel.rs:66-105: distance = len1 + len2 - 2*LCS."""
+    return len(s1) + len(s2) - 2 * lcs_similarity_raw(s1, s2)
+
+
+def _indel_maximum(s1: Seq, s2: Seq) -> int:
+    return len(s1) + len(s2)
+
+
+indel_surface = MetricSurface(indel_raw_distance, _indel_maximum)

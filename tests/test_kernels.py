@@ -1,0 +1,401 @@
+"""Metric-kernel oracle tests.
+
+Every expected value is a numeric oracle from the reference test suite
+(/root/reference/src/distance/*.rs, src/fuzz.rs — see FIXTURES.md F1 and
+SURVEY.md §5). No Spark required: these exercise the pure kernels.
+"""
+
+from __future__ import annotations
+
+import gzip
+import math
+import os
+
+import pytest
+
+from rapidfuzz_spark import (
+    damerau_levenshtein,
+    fuzz,
+    hamming,
+    indel,
+    jaro,
+    jaro_winkler,
+    lcs_seq,
+    levenshtein,
+    osa,
+    postfix,
+    prefix,
+)
+from rapidfuzz_spark.kernels.hamming import DifferentLengthArgs
+
+HERE = os.path.dirname(__file__)
+
+
+def sym(fn, s1, s2, **kw):
+    """Reference metamorphic helper (levenshtein.rs:1847-1890): symmetry +
+    batch == individual."""
+    r1 = fn(s1, s2, **kw)
+    r2 = fn(s2, s1, **kw)
+    assert r1 == r2 or (r1 is not None and r2 is not None and math.isclose(r1, r2))
+    return r1
+
+
+# ---------------------------------------------------------------- levenshtein
+
+BANDED_CASES = [
+    # (s1, s2, expected) — levenshtein.rs test_banded
+    (
+        "kkkkbbbbfkkkkkkibfkkkafakkfekgkkkkkkkkkkbdbbddddddddddafkkkekkkhkk",
+        "khddddddddkkkkdgkdikkccccckcckkkekkkkdddddddddddafkkhckkkkkdckkkcc",
+        36,
+    ),
+    (
+        "ccddcddddddddddddddddddddddddddddddddddddddddddddddddddddaaaaaaaaaaa",
+        "aaaaaaaaaaaaaadddddddddbddddddddddddddddddddddddddddddddddbddddddddd",
+        26,
+    ),
+    (
+        "accccccccccaaaaaaaccccccccccccccccccccccccccccccacccccccccccccccccccccccccccccc"
+        "ccccccccccccccccccccaaaaaaaaaaaaacccccccccccccccccccccc",
+        "ccccccccccccccccccccccccccccccccccccccccccccccccccccccccccccccccccccccccccccccc"
+        "ccccccccccccccccccccccccccccccccccccbcccb",
+        24,
+    ),
+    (
+        "llccacaaaaaaaaaccccccccccccccccddffaccccaccecccggggclallhcccccljif",
+        "bddcbllllllbcccccccccccccccccddffccccccccebcccggggclbllhcccccljifbddcccccc",
+        27,
+    ),
+]
+
+
+class TestLevenshtein:
+    def test_empty(self):
+        assert sym(levenshtein.distance, "", "") == 0
+        assert sym(levenshtein.distance, "aaaa", "") == 4
+
+    def test_simple(self):
+        assert sym(levenshtein.distance, "aaaa", "aaaa") == 0
+        assert sym(levenshtein.distance, "aaaa", "aaa") == 1
+        assert sym(levenshtein.distance, "aaaa", "aaab") == 1
+        assert sym(levenshtein.distance, "abaa", "baaa") == 2
+        assert sym(levenshtein.distance, "aaaa", "bbbb") == 4
+        assert sym(levenshtein.distance, "kitten", "sitting") == 3
+
+    @pytest.mark.parametrize(
+        "s1,s2,exp",
+        [
+            ("aaaa", "aaaa", 1.0),
+            ("aaaa", "aaa", 0.75),
+            ("aaaa", "aaab", 0.75),
+            ("abaa", "baaa", 0.5),
+            ("aaaa", "bbbb", 0.0),
+        ],
+    )
+    def test_norm_sim(self, s1, s2, exp):
+        assert sym(levenshtein.normalized_similarity, s1, s2) == pytest.approx(exp, abs=1e-4)
+
+    def test_weighted(self):
+        w = (1, 1, 2)
+        assert sym(levenshtein.distance, "aaaa", "aaaa", weights=w) == 0
+        assert sym(levenshtein.distance, "aaaa", "aaa", weights=w) == 1
+        assert sym(levenshtein.distance, "abaa", "baaa", weights=w) == 2
+        assert sym(levenshtein.distance, "aaaa", "aaab", weights=w) == 2
+        assert sym(levenshtein.distance, "aaaa", "bbbb", weights=w) == 8
+        assert sym(levenshtein.distance, "kitten", "sitting", weights=w) == 5
+        for (s1, s2, exp) in [
+            (("aaaa", "aaaa"), None, 1.0),
+            (("aaaa", "aaa"), None, 0.8571),
+            (("abaa", "baaa"), None, 0.75),
+            (("aaaa", "aaab"), None, 0.75),
+            (("aaaa", "bbbb"), None, 0.0),
+        ]:
+            got = sym(levenshtein.normalized_similarity, s1[0], s1[1], weights=w)
+            assert got == pytest.approx(exp, abs=1e-4)
+
+    def test_cutoffs_south_north(self):
+        a, b = "South Korea", "North Korea"
+        assert sym(levenshtein.distance, a, b) == 2
+        for c in (4, 3, 2):
+            assert sym(levenshtein.distance, a, b, score_cutoff=c) == 2
+        for c in (1, 0):
+            assert sym(levenshtein.distance, a, b, score_cutoff=c) is None
+        w = (1, 1, 2)
+        assert sym(levenshtein.distance, a, b, weights=w) == 4
+        assert sym(levenshtein.distance, a, b, weights=w, score_cutoff=4) == 4
+        for c in (3, 2, 1):
+            assert sym(levenshtein.distance, a, b, weights=w, score_cutoff=c) is None
+
+    def test_cutoffs_aabc(self):
+        a, b = "aabc", "cccd"
+        assert sym(levenshtein.distance, a, b) == 4
+        assert sym(levenshtein.distance, a, b, score_cutoff=4) == 4
+        for c in (3, 2, 1, 0):
+            assert sym(levenshtein.distance, a, b, score_cutoff=c) is None
+        w = (1, 1, 2)
+        assert sym(levenshtein.distance, a, b, weights=w) == 6
+        assert sym(levenshtein.distance, a, b, weights=w, score_cutoff=6) == 6
+        for c in (5, 4, 3, 2, 1, 0):
+            assert sym(levenshtein.distance, a, b, weights=w, score_cutoff=c) is None
+
+    @pytest.mark.parametrize("s1,s2,exp", BANDED_CASES)
+    def test_banded(self, s1, s2, exp):
+        assert sym(levenshtein.distance, s1, s2) == exp
+
+    def test_blockwise(self):
+        assert sym(levenshtein.distance, "a" * 128, "b" * 128) == 128
+
+    def test_unicode(self):
+        assert sym(levenshtein.distance, "Иванко", "Петрунко") == 5
+
+    def test_batch_comparator(self):
+        bc = levenshtein.BatchComparator("South Korea")
+        assert bc.distance("North Korea") == 2
+        assert bc.distance("North Korea", score_cutoff=1) is None
+        assert bc.similarity("North Korea") == 9
+
+    def test_ocr_large_band(self):
+        with gzip.open(os.path.join(HERE, "data", "ocr_example1.bin.gz")) as f:
+            s1 = list(f.read())
+        with gzip.open(os.path.join(HERE, "data", "ocr_example2.bin.gz")) as f:
+            s2 = list(f.read())
+        assert (len(s1), len(s2)) == (106514, 107244)
+        assert levenshtein.distance(s1, s2) == 5278
+        assert levenshtein.distance(s1, s2, score_cutoff=2500) is None
+        assert levenshtein.distance(s1, s2, score_hint=0) == 5278
+
+
+# ---------------------------------------------------------------- indel / lcs
+
+
+class TestIndel:
+    def test_basic(self):
+        assert sym(indel.distance, "aaaa", "aaaa") == 0
+        assert sym(indel.similarity, "aaaa", "aaaa") == 8
+        assert sym(indel.normalized_distance, "aaaa", "aaaa") == 0.0
+        assert sym(indel.distance, "aaaa", "bbbb") == 8
+        assert sym(indel.similarity, "aaaa", "bbbb") == 0
+        assert sym(indel.normalized_similarity, "aaaa", "bbbb") == 0.0
+
+    def test_south_north(self):
+        a, b = "South Korea", "North Korea"
+        assert sym(indel.distance, a, b) == 4
+        assert sym(indel.distance, a, b, score_cutoff=4) == 4
+        assert sym(indel.distance, a, b, score_cutoff=3) is None
+
+    def test_lewenstein(self):
+        assert sym(indel.distance, "lewenstein", "levenshtein") == 3
+        assert sym(indel.distance, "lewenstein", "levenshtein", score_cutoff=2) is None
+
+    def test_norm_001_220(self):
+        assert sym(indel.normalized_similarity, "001", "220") == pytest.approx(1 / 3, abs=1e-4)
+
+    def test_banded(self):
+        # exact strings extracted from indel.rs test_banded_implementation
+        import json
+
+        fx = json.load(open(os.path.join(HERE, "data", "indel_banded.json")))
+        s1, s2 = fx["banded_508"]
+        assert sym(indel.distance, s1, s2) == 508
+        assert sym(indel.distance, s1, s2, score_cutoff=508) == 508
+        assert sym(indel.distance, s1, s2, score_cutoff=507) is None
+        t1, t2 = fx["banded_231"]
+        assert sym(indel.distance, t1, t2) == 231
+
+    def test_unicode(self):
+        assert sym(indel.distance, "Иванко", "Петрунко") == 8
+
+
+class TestLcsSeq:
+    def test_basic(self):
+        assert sym(lcs_seq.distance, "a", "a") == 0
+        assert sym(lcs_seq.distance, "aaaa", "aaaa") == 0
+        assert sym(lcs_seq.similarity, "aaaa", "aaaa") == 4
+        assert sym(lcs_seq.distance, "aaaa", "bbbb") == 4
+        assert sym(lcs_seq.similarity, "aaaa", "bbbb") == 0
+
+    def test_south_north(self):
+        a, b = "South Korea", "North Korea"
+        assert sym(lcs_seq.similarity, a, b) == 9
+        assert sym(lcs_seq.similarity, a, b, score_cutoff=10) is None
+        assert sym(lcs_seq.distance, a, b) == 2
+
+    def test_misc(self):
+        assert sym(lcs_seq.similarity, "001", "220") == 1
+        assert sym(lcs_seq.distance, "ab", "ac") == 1
+        assert sym(lcs_seq.distance, "Иванко", "Петрунко") == 5
+
+
+# ------------------------------------------------------------------- damerau
+
+
+class TestDamerau:
+    def test_simple(self):
+        assert sym(damerau_levenshtein.distance, "", "") == 0
+        assert sym(damerau_levenshtein.distance, "aaaa", "") == 4
+        assert sym(damerau_levenshtein.distance, "aaaa", "aaaa") == 0
+        assert sym(damerau_levenshtein.distance, "aaaa", "aaa") == 1
+        assert sym(damerau_levenshtein.distance, "aaaa", "aaab") == 1
+        assert sym(damerau_levenshtein.distance, "abaa", "baaa") == 1
+        assert sym(damerau_levenshtein.distance, "aaaa", "bbbb") == 4
+        assert sym(damerau_levenshtein.distance, "CA", "ABC") == 2
+
+    @pytest.mark.parametrize(
+        "s1,s2,exp",
+        [
+            ("aaaa", "aaaa", 1.0),
+            ("aaaa", "aaa", 0.75),
+            ("aaaa", "aaab", 0.75),
+            ("abaa", "baaa", 0.75),
+            ("aaaa", "bbbb", 0.0),
+        ],
+    )
+    def test_norm_sim(self, s1, s2, exp):
+        got = sym(damerau_levenshtein.normalized_similarity, s1, s2)
+        assert got == pytest.approx(exp, abs=1e-4)
+
+    def test_unicode(self):
+        assert sym(damerau_levenshtein.distance, "Иванко", "Петрунко") == 5
+        assert sym(damerau_levenshtein.distance, "ИвaнкoIvan", "Петрунко") == 10
+
+
+# ----------------------------------------------------------------------- osa
+
+
+class TestOsa:
+    def test_simple(self):
+        assert sym(osa.distance, "", "") == 0
+        assert sym(osa.distance, "aaaa", "") == 4
+        assert sym(osa.distance, "aaaa", "", score_cutoff=1) is None
+        assert sym(osa.distance, "CA", "ABC") == 3
+        assert sym(osa.distance, "CA", "AC") == 1
+
+    def test_embedded_swap_131(self):
+        filler = "a" * 64
+        s1 = "a" + filler + "CA" + filler + "a"
+        s2 = "b" + filler + "AC" + filler + "b"
+        assert sym(osa.distance, s1, s2) == 3
+
+    def test_unicode(self):
+        assert sym(osa.distance, "Иванко", "Петрунко") == 5
+
+
+# ---------------------------------------------------------------------- jaro
+
+
+class TestJaro:
+    def test_hash_collision_carefree(self):
+        assert sym(jaro.similarity, "james", "robert") == pytest.approx(0.455556, abs=1e-4)
+
+    def test_edges(self):
+        assert sym(jaro.similarity, "", "") == 1.0
+        assert sym(jaro.similarity, "a", "") == 0.0
+        assert sym(jaro.similarity, "a", "a") == 1.0
+        assert sym(jaro.similarity, "abc", "abc") == 1.0
+
+    def test_unicode(self):
+        assert sym(jaro.distance, "Иванко", "Петрунко") == pytest.approx(0.375, abs=1e-4)
+
+
+class TestJaroWinkler:
+    def test_prefix_case(self):
+        got = sym(jaro_winkler.similarity, "aaaaaaaa", "aabaaab")
+        assert got == pytest.approx(0.82381, abs=1e-4)
+
+    def test_no_boost_below_07(self):
+        # sim <= 0.7 must not get the prefix boost
+        j = jaro.similarity("james", "robert")
+        assert jaro_winkler.similarity("james", "robert") == pytest.approx(j, abs=1e-9)
+
+
+# ------------------------------------------------------------------- hamming
+
+
+class TestHamming:
+    def test_basic(self):
+        assert sym(hamming.distance, "hamming", "humming") == 1
+        assert sym(hamming.distance, "hamming", "hammers") == 3
+        assert sym(hamming.distance, [1, 2, 4], [1, 2, 3]) == 1
+        assert sym(hamming.distance, "hamming", "h香mmüng") == 2
+        assert sym(hamming.distance, "Friedrich Nietzs", "Jean-Paul Sartre") == 14
+
+    def test_pad(self):
+        with pytest.raises(DifferentLengthArgs):
+            hamming.distance("ham", "hamming")
+        assert hamming.distance("ham", "hamming", pad=True) == 4
+        assert hamming.similarity("ham", "hamming", pad=True) == 3
+
+    def test_cutoff_applied_after(self):
+        assert hamming.distance("hamming", "hammers", score_cutoff=3) == 3
+        assert hamming.distance("hamming", "hammers", score_cutoff=2) is None
+
+
+# ------------------------------------------------------------ prefix/postfix
+
+
+class TestPrefixPostfix:
+    def test_prefix(self):
+        assert sym(prefix.similarity, "prefix", "preference") == 4
+        assert sym(prefix.distance, "prefix", "preference") == 6
+        assert sym(prefix.normalized_similarity, "aaaa", "aabb") == 0.5
+
+    def test_postfix(self):
+        assert sym(postfix.similarity, "testing", "running") == 3
+        assert sym(postfix.distance, "testing", "running") == 4
+        assert sym(postfix.normalized_similarity, "aaaa", "bbaa") == 0.5
+
+
+# ---------------------------------------------------------------- fuzz.ratio
+
+
+class TestFuzzRatio:
+    def test_flagship(self):
+        assert fuzz.ratio("this is a test", "this is a test!") == pytest.approx(
+            0.96551724, abs=1e-4
+        )
+        assert fuzz.ratio("new york mets", "the wonderful new york mets") == pytest.approx(
+            0.65, abs=1e-4
+        )
+
+    def test_empty(self):
+        assert fuzz.ratio("", "") == 1.0
+        assert fuzz.ratio("test", "") == 0.0
+        assert fuzz.ratio("", "test") == 0.0
+
+    @pytest.mark.parametrize("a,b", [("South Korea", "North Korea"), ("bc", "bca")])
+    def test_cutoff_boundary(self, a, b):
+        # fuzz.rs issue206/210: cutoff epsilon above -> None, below -> score
+        score = fuzz.ratio(a, b)
+        assert fuzz.ratio(a, b, score_cutoff=score + 0.0001) is None
+        assert fuzz.ratio(a, b, score_cutoff=score - 0.0001) == pytest.approx(score)
+
+
+# ----------------------------------------------------------- duality layer
+
+
+class TestDuality:
+    """similarity = maximum - distance; norm_sim = 1 - norm_dist
+    (details/distance.rs:154-275)."""
+
+    @pytest.mark.parametrize(
+        "mod,maximum",
+        [
+            (levenshtein, max),
+            (osa, max),
+            (damerau_levenshtein, max),
+            (lcs_seq, max),
+        ],
+    )
+    def test_integral_duality(self, mod, maximum):
+        pairs = [("South Korea", "North Korea"), ("kitten", "sitting"), ("", ""), ("ab", "")]
+        for s1, s2 in pairs:
+            m = maximum(len(s1), len(s2))
+            d = mod.distance(s1, s2)
+            assert mod.similarity(s1, s2) == m - d
+            nd = mod.normalized_distance(s1, s2)
+            assert nd == (d / m if m else 0.0)
+            assert mod.normalized_similarity(s1, s2) == pytest.approx(1.0 - nd)
+
+    def test_maximum_zero_guard(self):
+        assert levenshtein.normalized_distance("", "") == 0.0
+        assert levenshtein.normalized_similarity("", "") == 1.0
