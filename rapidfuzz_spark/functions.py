@@ -1,0 +1,249 @@
+"""Spark Column API: one Arrow-vectorized pandas UDF per metric × variant.
+
+The distributed counterpart of ``rapidfuzz_spark.api`` — every function
+takes two string Columns and returns a Column, scoring whole Arrow batches
+through the NumPy/Python batch engine (kernels/batch.py). No per-row Python
+dispatch (driver ``input_hint``: pandas/Arrow UDFs only).
+
+Cutoff semantics (reference /root/reference/src/common.rs:33-86): with a
+``score_cutoff`` the result column is nullable — null where the score is
+filtered, so a downstream ``WHERE score IS NOT NULL`` is the Catalyst
+analogue of the reference's ``Option``.
+
+Example::
+
+    import rapidfuzz_spark.functions as RF
+    pairs.select(RF.ratio("name_1", "name_2", score_cutoff=0.85).alias("score"))
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .kernels import batch as B
+
+ColumnOrName = Union[Column, str]
+
+_DIST_BATCH = {
+    "levenshtein": B.levenshtein_batch,
+    "indel": B.indel_batch,
+    "osa": B.osa_batch,
+    "damerau_levenshtein": B.damerau_batch,
+}
+_INTEGRAL_METRICS = (
+    "levenshtein",
+    "indel",
+    "lcs_seq",
+    "osa",
+    "damerau_levenshtein",
+    "hamming",
+    "prefix",
+    "postfix",
+)
+
+
+def _raw_distance(metric: str, a: np.ndarray, b: np.ndarray, **params) -> np.ndarray:
+    if metric == "levenshtein":
+        w = tuple(params.get("weights") or (1, 1, 1))
+        if w == (1, 1, 1):
+            return B.levenshtein_batch(a, b)
+        return B.weighted_levenshtein_batch(a, b, w)
+    if metric == "lcs_seq":
+        return B.maximum_batch("lcs_seq", a, b) - B.lcs_similarity_batch(a, b)
+    if metric == "hamming":
+        return B.hamming_batch(a, b, pad=params.get("pad", False))
+    if metric == "prefix":
+        return B.maximum_batch("prefix", a, b) - B.prefix_batch(a, b)
+    if metric == "postfix":
+        return B.maximum_batch("postfix", a, b) - B.postfix_batch(a, b)
+    return _DIST_BATCH[metric](a, b)
+
+
+def _maximum(metric: str, a: np.ndarray, b: np.ndarray, **params) -> np.ndarray:
+    return B.maximum_batch(metric, a, b, tuple(params.get("weights") or (1, 1, 1)))
+
+
+def _score_block(
+    metric: str, variant: str, a: np.ndarray, b: np.ndarray, score_cutoff, **params
+):
+    """Score one Arrow batch -> (values: float64 ndarray, keep_mask)."""
+    raw = _raw_distance(metric, a, b, **params).astype(np.float64)
+    invalid = raw < 0  # hamming pad=False length mismatch sentinel
+    if variant == "distance":
+        vals = raw
+        keep = vals <= score_cutoff if score_cutoff is not None else None
+    elif variant == "similarity":
+        vals = _maximum(metric, a, b, **params) - raw
+        keep = vals >= score_cutoff if score_cutoff is not None else None
+    else:
+        maximum = _maximum(metric, a, b, **params).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            nd = np.where(maximum > 0, raw / np.where(maximum > 0, maximum, 1.0), 0.0)
+        if variant == "normalized_distance":
+            vals = nd
+            keep = vals <= score_cutoff if score_cutoff is not None else None
+        else:
+            vals = 1.0 - nd
+            keep = vals >= score_cutoff if score_cutoff is not None else None
+    if invalid.any():
+        keep = invalid.__invert__() if keep is None else (keep & ~invalid)
+    return vals, keep
+
+
+def _metric_fn(metric: str, variant: str):
+    integral = metric in _INTEGRAL_METRICS and variant in ("distance", "similarity")
+    ret_type = "long" if integral else "double"
+
+    def fn(
+        s1: ColumnOrName,
+        s2: ColumnOrName,
+        score_cutoff: Optional[float] = None,
+        score_hint: Optional[float] = None,
+        **params,
+    ) -> Column:
+        # score_hint is a perf hint in the reference; accepted for API parity
+        @pandas_udf(ret_type)
+        def _udf(c1: pd.Series, c2: pd.Series) -> pd.Series:
+            null = c1.isna() | c2.isna()
+            a = c1.fillna("").to_numpy(dtype=object)
+            b = c2.fillna("").to_numpy(dtype=object)
+            vals, keep = _score_block(metric, variant, a, b, score_cutoff, **params)
+            if integral:
+                out = pd.Series(vals.astype(np.int64), dtype="Int64")
+            else:
+                out = pd.Series(vals, dtype="float64")
+            drop = null.to_numpy()
+            if keep is not None:
+                drop = drop | ~keep
+            out[drop] = None
+            return out
+
+        return _udf(s1, s2)
+
+    fn.__name__ = f"{metric}_{variant}"
+    fn.__doc__ = (
+        f"{metric} {variant.replace('_', ' ')} as an Arrow-vectorized Column; "
+        f"null where score_cutoff filters (reference Option semantics) or "
+        f"either input is null."
+    )
+    return fn
+
+
+# ---- generated surface: 8 metrics x 4 variants ---------------------------
+
+levenshtein_distance = _metric_fn("levenshtein", "distance")
+levenshtein_similarity = _metric_fn("levenshtein", "similarity")
+levenshtein_normalized_distance = _metric_fn("levenshtein", "normalized_distance")
+levenshtein_normalized_similarity = _metric_fn("levenshtein", "normalized_similarity")
+
+indel_distance = _metric_fn("indel", "distance")
+indel_similarity = _metric_fn("indel", "similarity")
+indel_normalized_distance = _metric_fn("indel", "normalized_distance")
+indel_normalized_similarity = _metric_fn("indel", "normalized_similarity")
+
+lcs_seq_distance = _metric_fn("lcs_seq", "distance")
+lcs_seq_similarity = _metric_fn("lcs_seq", "similarity")
+lcs_seq_normalized_distance = _metric_fn("lcs_seq", "normalized_distance")
+lcs_seq_normalized_similarity = _metric_fn("lcs_seq", "normalized_similarity")
+
+osa_distance = _metric_fn("osa", "distance")
+osa_similarity = _metric_fn("osa", "similarity")
+osa_normalized_distance = _metric_fn("osa", "normalized_distance")
+osa_normalized_similarity = _metric_fn("osa", "normalized_similarity")
+
+damerau_levenshtein_distance = _metric_fn("damerau_levenshtein", "distance")
+damerau_levenshtein_similarity = _metric_fn("damerau_levenshtein", "similarity")
+damerau_levenshtein_normalized_distance = _metric_fn(
+    "damerau_levenshtein", "normalized_distance"
+)
+damerau_levenshtein_normalized_similarity = _metric_fn(
+    "damerau_levenshtein", "normalized_similarity"
+)
+
+hamming_distance = _metric_fn("hamming", "distance")
+hamming_similarity = _metric_fn("hamming", "similarity")
+hamming_normalized_distance = _metric_fn("hamming", "normalized_distance")
+hamming_normalized_similarity = _metric_fn("hamming", "normalized_similarity")
+
+prefix_distance = _metric_fn("prefix", "distance")
+prefix_similarity = _metric_fn("prefix", "similarity")
+prefix_normalized_distance = _metric_fn("prefix", "normalized_distance")
+prefix_normalized_similarity = _metric_fn("prefix", "normalized_similarity")
+
+postfix_distance = _metric_fn("postfix", "distance")
+postfix_similarity = _metric_fn("postfix", "similarity")
+postfix_normalized_distance = _metric_fn("postfix", "normalized_distance")
+postfix_normalized_similarity = _metric_fn("postfix", "normalized_similarity")
+
+
+# ---- jaro / jaro-winkler (similarity-primitive, maximum = 1.0) ------------
+
+
+def _jaro_fn(winkler: bool, variant: str):
+    def fn(
+        s1: ColumnOrName,
+        s2: ColumnOrName,
+        score_cutoff: Optional[float] = None,
+        score_hint: Optional[float] = None,
+        prefix_weight: float = 0.1,
+    ) -> Column:
+        @pandas_udf("double")
+        def _udf(c1: pd.Series, c2: pd.Series) -> pd.Series:
+            null = c1.isna() | c2.isna()
+            a = c1.fillna("").to_numpy(dtype=object)
+            b = c2.fillna("").to_numpy(dtype=object)
+            if winkler:
+                sim = B.jaro_winkler_batch(a, b, prefix_weight)
+            else:
+                sim = B.jaro_batch(a, b)
+            vals = sim if variant.endswith("similarity") else 1.0 - sim
+            if score_cutoff is None:
+                keep = None
+            elif variant.endswith("similarity"):
+                keep = vals >= score_cutoff
+            else:
+                keep = vals <= score_cutoff
+            out = pd.Series(vals, dtype="float64")
+            drop = null.to_numpy()
+            if keep is not None:
+                drop = drop | ~keep
+            out[drop] = None
+            return out
+
+        return _udf(s1, s2)
+
+    name = ("jaro_winkler_" if winkler else "jaro_") + variant
+    fn.__name__ = name
+    return fn
+
+
+jaro_similarity = _jaro_fn(False, "similarity")
+jaro_distance = _jaro_fn(False, "distance")
+jaro_normalized_similarity = _jaro_fn(False, "normalized_similarity")
+jaro_normalized_distance = _jaro_fn(False, "normalized_distance")
+jaro_winkler_similarity = _jaro_fn(True, "similarity")
+jaro_winkler_distance = _jaro_fn(True, "distance")
+jaro_winkler_normalized_similarity = _jaro_fn(True, "normalized_similarity")
+jaro_winkler_normalized_distance = _jaro_fn(True, "normalized_distance")
+
+
+def ratio(
+    s1: ColumnOrName, s2: ColumnOrName, score_cutoff: Optional[float] = None
+) -> Column:
+    """fuzz::ratio (reference src/fuzz.rs:48-86) = indel normalized
+    similarity in [0, 1]; null under cutoff."""
+    return indel_normalized_similarity(s1, s2, score_cutoff=score_cutoff)
+
+
+def token_sort_key(col: ColumnOrName) -> Column:
+    """Canonical token-sorted key (lowercase, non-alnum -> space, tokens
+    sorted) — pure Spark built-ins, used for blocking and exact-dup checks."""
+    c = F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}]+", " ")
+    return F.array_join(F.array_sort(F.split(F.trim(c), r"\s+")), " ")

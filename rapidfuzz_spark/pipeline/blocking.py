@@ -1,0 +1,154 @@
+"""Blocking-key generation with explicit hot-key skew handling.
+
+Produces (block_key, doc_id, norm_text) pairs from multiple passes:
+- token keys: explode distinct tokens of the normalized text
+- prefix keys: first N chars of the token-sorted canonical key
+- sorted-neighborhood: rank docs by sort key inside bounded range buckets
+  and pair each doc with its w successors (Window over the bucket — bucket
+  sizes are bounded by the range partitioner, so no single-partition sort).
+
+Skew: a census (groupBy(block_key).count()) finds hot keys; keys above
+``hot_cap`` get a replication factor G = ceil(count / hot_cap). The pair
+self-join then salts the left side with the member's group and replicates
+the right side G ways — every pair is still produced exactly once, but the
+hot key's work is spread over G join partitions (the explicit salting the
+north rule demands; AQE skew-join remains enabled as a backstop).
+Keys above ``drop_cap`` (stopword-like, quadratic blowup) are dropped —
+standard ER practice; recall is preserved by the other blocking passes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def token_keys(docs: DataFrame, min_len: int = 2) -> DataFrame:
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("norm_text", r"\s+"))).alias("tok"),
+    ).where(F.length("tok") >= min_len)
+    return toks.select(F.concat(F.lit("t:"), "tok").alias("block_key"), "doc_id")
+
+
+def prefix_keys(docs: DataFrame, n: int = 4) -> DataFrame:
+    return docs.select(
+        F.concat(
+            F.lit("p:"), F.substring(F.regexp_replace("canon_text", r"\s", ""), 1, n)
+        ).alias("block_key"),
+        "doc_id",
+    ).where(F.length("block_key") > 2)
+
+
+def sorted_neighborhood_keys(
+    docs: DataFrame, window: int = 3, buckets: int = 64
+) -> DataFrame:
+    """Neighbor keys via rank inside hash-bounded range buckets: each doc
+    pairs with its ``window`` successors in sort order. Bucketing bounds the
+    per-partition sort (scales by adding buckets, not executor memory)."""
+    keyed = docs.select(
+        "doc_id", F.regexp_replace("canon_text", r"\s", "").alias("sort_key")
+    ).withColumn("bucket", F.abs(F.hash(F.substring("sort_key", 1, 2))) % buckets)
+    w = Window.partitionBy("bucket").orderBy("sort_key", "doc_id")
+    ranked = keyed.withColumn("rank", F.row_number().over(w))
+    out = None
+    for off in range(1, window + 1):
+        # doc at rank r and its successor at rank r+off share a key
+        pair_key = ranked.select(
+            F.concat_ws(":", F.lit(f"sn{off}"), "bucket", F.col("rank")).alias(
+                "block_key"
+            ),
+            "doc_id",
+        ).union(
+            ranked.select(
+                F.concat_ws(
+                    ":", F.lit(f"sn{off}"), "bucket", F.col("rank") - F.lit(off)
+                ).alias("block_key"),
+                "doc_id",
+            )
+        )
+        out = pair_key if out is None else out.unionByName(pair_key)
+    return out
+
+
+def blocking_keys(
+    docs: DataFrame,
+    use_tokens: bool = True,
+    use_prefix: bool = True,
+    use_sorted_neighborhood: bool = True,
+    sn_window: int = 3,
+) -> DataFrame:
+    parts = []
+    if use_tokens:
+        parts.append(token_keys(docs))
+    if use_prefix:
+        parts.append(prefix_keys(docs))
+    if use_sorted_neighborhood:
+        parts.append(sorted_neighborhood_keys(docs, window=sn_window))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def hot_key_census(keys: DataFrame, hot_cap: int, drop_cap: int) -> DataFrame:
+    """block_key -> replication factor G for keys above hot_cap; keys above
+    drop_cap are excluded entirely. Small output (hot keys only) ->
+    broadcastable."""
+    return (
+        keys.groupBy("block_key")
+        .count()
+        .where(F.col("count") > hot_cap)
+        .select(
+            "block_key",
+            F.col("count").alias("key_count"),
+            F.least(
+                F.lit(64),
+                F.ceil(F.col("count") / F.lit(hot_cap)).cast("int"),
+            ).alias("g"),
+            (F.col("count") > drop_cap).alias("dropped"),
+        )
+    )
+
+
+def candidate_pairs(
+    keys: DataFrame,
+    hot_cap: int = 200,
+    drop_cap: int = 20000,
+    seed: int = 42,
+) -> DataFrame:
+    """Self-join blocking keys into unordered candidate pairs
+    (doc_id_1 < doc_id_2), deduped across blocking passes, with explicit
+    salting of hot keys.
+
+    Left row gets salt = xxhash64(doc_id) % G (deterministic — resume-safe,
+    per SURVEY §7.3); right row is replicated G ways. Join key is
+    (block_key, salt): every (x, y) pair in a hot block is produced exactly
+    once, spread over G partitions instead of one.
+    """
+    census = keys.sparkSession.createDataFrame(
+        hot_key_census(keys, hot_cap, drop_cap).collect() or [],
+        "block_key string, key_count long, g int, dropped boolean",
+    )
+    keyed = keys.join(F.broadcast(census), "block_key", "left").where(
+        ~F.coalesce(F.col("dropped"), F.lit(False))
+    )
+    g = F.coalesce(F.col("g"), F.lit(1))
+    left = keyed.select(
+        "block_key",
+        F.col("doc_id").alias("doc_id_l"),
+        (F.abs(F.xxhash64("doc_id", F.lit(seed))) % g).cast("int").alias("salt"),
+    )
+    right = keyed.select(
+        "block_key",
+        F.col("doc_id").alias("doc_id_r"),
+        F.explode(F.sequence(F.lit(0), g - 1)).alias("salt"),
+    )
+    pairs = left.join(right, ["block_key", "salt"]).where(
+        F.col("doc_id_l") < F.col("doc_id_r")
+    )
+    return pairs.select(
+        F.col("doc_id_l").alias("doc_id_1"), F.col("doc_id_r").alias("doc_id_2")
+    ).dropDuplicates(["doc_id_1", "doc_id_2"])

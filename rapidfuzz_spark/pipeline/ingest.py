@@ -1,0 +1,56 @@
+"""Ingest: document loading + span→match-text projection.
+
+The span sequence is NEVER mutated — the per-row invariant (driver
+``input_hint``) is span-sequence equality (kind, text, media_ref, order).
+Match text is a *derived* column built with higher-order functions
+(filter/array_sort/transform/array_join), all Catalyst built-ins, so the
+projection is JVM-side, codegen-able, and prunable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# text spans in offset order, joined by spaces
+_MATCH_TEXT_EXPR = """
+array_join(
+  transform(
+    array_sort(
+      filter(spans, s -> s.kind = 'text' AND s.text IS NOT NULL),
+      (l, r) -> CASE WHEN l.offset < r.offset THEN -1
+                     WHEN l.offset > r.offset THEN 1 ELSE 0 END
+    ),
+    s -> s.text
+  ),
+  ' '
+)
+"""
+
+
+def load_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet now; on a real deployment the same call reads
+    ``spark.read.format("iceberg").load(table)`` — schema identical."""
+    return spark.read.parquet(path)
+
+
+def with_match_text(docs: DataFrame, normalize: bool = True) -> DataFrame:
+    """Adds derived text columns without touching ``spans``:
+
+    - ``match_text``: text spans joined in offset order (raw)
+    - ``norm_text``:  lowercased, punctuation collapsed
+    - ``canon_text``: norm_text with tokens sorted (canonical key —
+      invariant to token reorder; scoring uses BOTH norm and canon so a
+      typo that re-sorts a token is caught by the norm pass and a reorder
+      by the canon pass)
+    """
+    out = docs.withColumn("match_text", F.expr(_MATCH_TEXT_EXPR))
+    if normalize:
+        norm = F.trim(
+            F.regexp_replace(F.lower(F.col("match_text")), r"[^\p{L}\p{N}]+", " ")
+        )
+        out = out.withColumn("norm_text", norm).withColumn(
+            "canon_text",
+            F.array_join(F.array_sort(F.split("norm_text", r"\s+")), " "),
+        )
+    return out

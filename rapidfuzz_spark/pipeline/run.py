@@ -1,0 +1,102 @@
+"""End-to-end pipeline orchestration + spark-submit entry point.
+
+    spark-submit --py-files rapidfuzz_spark.zip -m rapidfuzz_spark.pipeline.run \
+        --input /path/docs_parquet --out /path/out --metric ratio --threshold 0.85
+
+Stages (SURVEY.md §3.4): read docs -> match-text projection -> blocking
+keys -> salted self-join -> candidate pairs -> Arrow-batched UDF scoring
+(with per-bucket checkpoint ledger) -> threshold edges -> large-star/
+small-star clustering -> entity assignment -> entities + metrics + lineage
+parquet. Span sequences pass through untouched.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import blocking, cluster, ingest, metrics, scoring
+
+
+@dataclass
+class PipelineConfig:
+    metric: str = "ratio"
+    threshold: float = 0.85
+    hot_cap: int = 200
+    drop_cap: int = 20000
+    sn_window: int = 3
+    n_buckets: int = 16
+    run_id: str = "run0"
+    checkpoint: bool = True
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    conf: PipelineConfig = PipelineConfig(),
+    fail_after_buckets: Optional[int] = None,
+) -> DataFrame:
+    """Returns entities DataFrame (doc_id, entity_id, spans intact)."""
+    docs_t = ingest.with_match_text(docs)
+    keys = blocking.blocking_keys(docs_t, sn_window=conf.sn_window)
+    pairs = blocking.candidate_pairs(
+        keys, hot_cap=conf.hot_cap, drop_cap=conf.drop_cap
+    )
+    pairs_t = scoring.attach_texts(pairs, docs_t)
+    if conf.checkpoint:
+        edges = scoring.score_with_checkpoint(
+            spark,
+            pairs_t,
+            out_dir,
+            metric=conf.metric,
+            threshold=conf.threshold,
+            n_buckets=conf.n_buckets,
+            run_id=conf.run_id,
+            fail_after_buckets=fail_after_buckets,
+        )
+    else:
+        edges = scoring.score_pairs(
+            pairs_t, metric=conf.metric, threshold=conf.threshold
+        )
+    comps = cluster.connected_components(edges)
+    entities = cluster.assign_entities(docs, comps)
+    entities.write.mode("overwrite").parquet(os.path.join(out_dir, "entities"))
+    out = spark.read.parquet(os.path.join(out_dir, "entities"))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--metric", default="ratio")
+    ap.add_argument("--threshold", type=float, default=0.85)
+    ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--no-checkpoint", action="store_true")
+    args = ap.parse_args()
+    spark = (
+        SparkSession.builder.appName("rapidfuzz-spark-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+    docs = ingest.load_documents(spark, args.input)
+    conf = PipelineConfig(
+        metric=args.metric,
+        threshold=args.threshold,
+        run_id=args.run_id,
+        checkpoint=not args.no_checkpoint,
+    )
+    entities = run_pipeline(spark, docs, args.out, conf)
+    n = entities.select(F.countDistinct("entity_id")).collect()[0][0]
+    print(f"entities: {n}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Pair scoring with resumable per-bucket checkpointing.
+
+Pairs are assigned to one of ``n_buckets`` deterministic buckets
+(xxhash64 of the pair ids — stable across runs and parallelism levels).
+Scored edges land in a parquet ledger partitioned by bucket
+(``{out_dir}/edges/bucket=N``); a bucket manifest row is appended to
+``{out_dir}/ledger`` only after its edges are committed.
+
+Resume: a rerun reads the ledger, anti-joins completed buckets, and scores
+only the remainder — interrupted runs never rescore completed blocks
+(north_rule requirement). Parquet task commits are atomic per partition, so
+a bucket is either fully present+manifested or re-done.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import rapidfuzz_spark.functions as RF
+
+SCORERS = {
+    "ratio": RF.ratio,
+    "levenshtein": RF.levenshtein_normalized_similarity,
+    "indel": RF.indel_normalized_similarity,
+    "lcs_seq": RF.lcs_seq_normalized_similarity,
+    "osa": RF.osa_normalized_similarity,
+    "damerau_levenshtein": RF.damerau_levenshtein_normalized_similarity,
+    "jaro": RF.jaro_similarity,
+    "jaro_winkler": RF.jaro_winkler_similarity,
+}
+
+
+def attach_texts(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """(doc_id_1, doc_id_2) -> + (text_N = canonical token-sorted,
+    raw_N = normalized unsorted, len_N). Token sorting preserves length,
+    so one length pair serves both scoring passes."""
+    t = docs.select(
+        "doc_id", F.col("canon_text").alias("text"), F.col("norm_text").alias("raw")
+    )
+    return (
+        pairs.join(
+            t.withColumnsRenamed(
+                {"doc_id": "doc_id_1", "text": "text_1", "raw": "raw_1"}
+            ),
+            "doc_id_1",
+        )
+        .join(
+            t.withColumnsRenamed(
+                {"doc_id": "doc_id_2", "text": "text_2", "raw": "raw_2"}
+            ),
+            "doc_id_2",
+        )
+        .withColumn("len_1", F.length("text_1"))
+        .withColumn("len_2", F.length("text_2"))
+    )
+
+
+def score_pairs(
+    pairs_with_text: DataFrame,
+    metric: str = "ratio",
+    threshold: float = 0.85,
+    length_prefilter: bool = True,
+    dual_pass: bool = True,
+) -> DataFrame:
+    """UDF scoring with the reference's length-difference pruning
+    (levenshtein.rs:1045-1047) hoisted into a cheap Catalyst pre-filter
+    *before* the Arrow exchange: |len1-len2| bounds indel-family
+    normalized similarity by 1 - |Δlen|/(len1+len2) >= t.
+
+    ``dual_pass``: score = greatest(metric on canonical token-sorted text,
+    metric on unsorted normalized text) — catches token reorders (canon
+    pass) and token-resorting first-char typos (raw pass)."""
+    df = pairs_with_text
+    if length_prefilter and metric in ("ratio", "indel", "levenshtein", "lcs_seq"):
+        # 1 - |l1-l2|/(l1+l2) >= t  <=>  |l1-l2| <= (1-t)*(l1+l2)
+        df = df.where(
+            F.abs(F.col("len_1") - F.col("len_2"))
+            <= (1.0 - threshold) * (F.col("len_1") + F.col("len_2"))
+        )
+    scorer = SCORERS[metric]
+    score = scorer("text_1", "text_2", score_cutoff=threshold)
+    if dual_pass and "raw_1" in df.columns:
+        score = F.greatest(
+            score, scorer("raw_1", "raw_2", score_cutoff=threshold)
+        )
+    return (
+        df.withColumn("score", score)
+        .where(F.col("score").isNotNull())
+        .select("doc_id_1", "doc_id_2", "score")
+    )
+
+
+def _done_buckets(spark: SparkSession, out_dir: str) -> set:
+    ledger_path = os.path.join(out_dir, "ledger")
+    try:
+        return {
+            r.bucket
+            for r in spark.read.parquet(ledger_path).select("bucket").distinct().collect()
+        }
+    except Exception:
+        return set()
+
+
+def score_with_checkpoint(
+    spark: SparkSession,
+    pairs_with_text: DataFrame,
+    out_dir: str,
+    metric: str = "ratio",
+    threshold: float = 0.85,
+    n_buckets: int = 16,
+    run_id: str = "run0",
+    fail_after_buckets: Optional[int] = None,
+) -> DataFrame:
+    """Score in resumable bucket batches; returns the complete edge set.
+
+    ``fail_after_buckets`` simulates an interrupt after N buckets (tests).
+    """
+    bucketed = pairs_with_text.withColumn(
+        "bucket", (F.abs(F.xxhash64("doc_id_1", "doc_id_2")) % n_buckets).cast("int")
+    )
+    done = _done_buckets(spark, out_dir)
+    pending = [b for b in range(n_buckets) if b not in done]
+    edges_path = os.path.join(out_dir, "edges")
+    ledger_path = os.path.join(out_dir, "ledger")
+    bucketed = bucketed.localCheckpoint(eager=True)  # score input once, not per bucket
+    processed = 0
+    for b in pending:
+        if fail_after_buckets is not None and processed >= fail_after_buckets:
+            break
+        t0 = time.time()
+        chunk = bucketed.where(F.col("bucket") == b)
+        edges = score_pairs(chunk, metric=metric, threshold=threshold)
+        n_in = chunk.count()
+        edges.withColumn("bucket", F.lit(b)).write.mode("append").partitionBy(
+            "bucket"
+        ).parquet(edges_path)
+        n_out = (
+            spark.read.parquet(edges_path).where(F.col("bucket") == b).count()
+        )
+        # manifest row written only after edges are durable -> atomic resume
+        spark.createDataFrame(
+            [(b, run_id, metric, float(threshold), n_in, n_out, time.time() - t0)],
+            "bucket int, run_id string, metric string, threshold double,"
+            " n_pairs long, n_edges long, wall_sec double",
+        ).write.mode("append").parquet(ledger_path)
+        processed += 1
+    return spark.read.parquet(edges_path).select("doc_id_1", "doc_id_2", "score")

@@ -1,0 +1,140 @@
+"""Pipeline end-to-end tests on the synthesized interleaved corpus:
+F1 gates, span-sequence invariant, resume-after-interrupt idempotence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rapidfuzz_spark.pipeline import (
+    PipelineConfig,
+    blocking,
+    cluster,
+    ingest,
+    metrics,
+    run_pipeline,
+    scoring,
+    synth,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = synth.synth_documents(spark, n_entities=300, seed=42).cache()
+    docs.count()
+    return docs
+
+
+def test_synth_deterministic_across_parallelism(spark):
+    a = synth.synth_documents(spark, 50, seed=7).orderBy("doc_id").collect()
+    b = (
+        synth.synth_documents(spark, 50, seed=7)
+        .repartition(13)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert a == b
+    assert len(a) > 50
+
+
+def test_match_text_projection_preserves_spans(spark, corpus):
+    docs_t = ingest.with_match_text(corpus)
+    # spans column must be byte-identical to the input
+    before = corpus.select("doc_id", "spans")
+    after = docs_t.select("doc_id", "spans")
+    assert before.exceptAll(after).isEmpty() and after.exceptAll(before).isEmpty()
+    # match_text = text spans only, in offset order
+    row = docs_t.where(F.size("spans") > 2).select("spans", "match_text").first()
+    texts = [s.text for s in sorted(row.spans, key=lambda s: s.offset) if s.kind == "text"]
+    assert row.match_text == " ".join(texts)
+
+
+def test_blocking_recall(spark, corpus):
+    """Every true duplicate pair must share >= 1 blocking key (recall gate)."""
+    docs_t = ingest.with_match_text(corpus)
+    _, labels = synth.truth_tables(corpus)
+    keys = blocking.blocking_keys(docs_t)
+    pairs = blocking.candidate_pairs(keys)
+    found = labels.join(pairs, ["doc_id_1", "doc_id_2"], "left_semi").count()
+    total = labels.count()
+    assert total > 200
+    assert found / total >= 0.98, f"blocking recall {found}/{total}"
+
+
+def test_end_to_end_f1(spark, corpus, tmp_path):
+    entities = run_pipeline(
+        spark,
+        corpus.select("doc_id", "spans"),
+        str(tmp_path / "out"),
+        PipelineConfig(threshold=0.85, checkpoint=False),
+    )
+    truth = corpus.select("doc_id", "entity_id")
+    res = metrics.cluster_pairwise_f1(
+        entities.select("doc_id", "entity_id"), truth
+    )
+    assert res["f1"] >= 0.95, res
+    # span invariant end-to-end
+    joined = (
+        entities.select("doc_id", "spans")
+        .exceptAll(corpus.select("doc_id", "spans"))
+        .isEmpty()
+    )
+    assert joined
+
+
+def test_pairwise_f1_vs_oracle(spark, corpus):
+    """BASELINE gate: decisions on candidate pairs vs the scalar
+    reference-parity oracle, F1 >= 0.99 (it is 1.0 by construction)."""
+    docs_t = ingest.with_match_text(corpus)
+    keys = blocking.blocking_keys(docs_t)
+    pairs = blocking.candidate_pairs(keys)
+    pairs_t = scoring.attach_texts(pairs, docs_t)
+    scored = pairs_t.withColumn(
+        "score",
+        scoring.SCORERS["ratio"]("text_1", "text_2", score_cutoff=0.85),
+    )
+    res = metrics.pairwise_f1_vs_oracle(scored, "ratio", 0.85)
+    assert res["f1"] >= 0.99, res
+    assert res["fp"] == 0 and res["fn"] == 0  # exact parity expected
+
+
+def test_resume_after_interrupt(spark, corpus, tmp_path):
+    """Interrupted run resumes without rescoring completed buckets and
+    produces identical entities."""
+    out1 = str(tmp_path / "interrupted")
+    conf = PipelineConfig(threshold=0.85, n_buckets=8, checkpoint=True, run_id="r1")
+    docs = corpus.select("doc_id", "spans")
+    # run 1: die after 3 buckets
+    run_pipeline(spark, docs, out1, conf, fail_after_buckets=3)
+    ledger1 = spark.read.parquet(out1 + "/ledger")
+    assert ledger1.select("bucket").distinct().count() == 3
+    # run 2: resume to completion
+    conf2 = PipelineConfig(threshold=0.85, n_buckets=8, checkpoint=True, run_id="r2")
+    ent2 = run_pipeline(spark, docs, out1, conf2)
+    ledger2 = spark.read.parquet(out1 + "/ledger")
+    # no bucket scored twice
+    per_bucket = ledger2.groupBy("bucket").count().collect()
+    assert len(per_bucket) == 8 and all(r["count"] == 1 for r in per_bucket)
+    # first 3 buckets still credited to run r1 (not rescored)
+    runs = {r.bucket: r.run_id for r in ledger2.select("bucket", "run_id").collect()}
+    assert sum(1 for v in runs.values() if v == "r1") == 3
+    # entities identical to an uninterrupted run
+    out2 = str(tmp_path / "clean")
+    ent_clean = run_pipeline(
+        spark, docs, out2, PipelineConfig(threshold=0.85, n_buckets=8, run_id="c")
+    )
+    d = ent2.select("doc_id", "entity_id").exceptAll(
+        ent_clean.select("doc_id", "entity_id")
+    )
+    assert d.isEmpty()
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y"), ("q", "q2"), ("q2", "q3"), ("q3", "q")],
+        ["doc_id_1", "doc_id_2"],
+    )
+    comp = {r.doc_id: r.entity_id for r in cluster.connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+    assert comp["q"] == comp["q2"] == comp["q3"] == "q"
