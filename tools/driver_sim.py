@@ -1,0 +1,85 @@
+"""Simulate the driver's correctness gate: run each __spark_entry__
+query on Spark and its oracle_sql on DuckDB at sf0.01; compare row count,
+schema width, and order-insensitive values."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as E  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif "float" in str(df[c].dtype):
+            df[c] = df[c].round(6)
+        elif "Int" in str(df[c].dtype):
+            df[c] = df[c].astype("float64")  # nullable ints -> float for compare
+        elif "int" in str(df[c].dtype):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        sdf = fn(spark, SF_DIR).toPandas()
+        if name not in oracles:
+            print(f"{name:28s} rows={len(sdf)} (no oracle — rows-only)")
+            continue
+        odf = con.sql(oracles[name]).df()
+        a, b = canon(sdf), canon(odf)
+        ok_rows = len(a) == len(b)
+        ok_cols = list(a.columns) == list(b.columns)
+        ok_vals = ok_rows and ok_cols and a.equals(b)
+        status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        print(
+            f"{name:28s} {status}  rows {len(a)}/{len(b)} cols {ok_cols} vals {ok_vals}"
+        )
+        if status == "FAIL":
+            failures.append(name)
+            if ok_rows and ok_cols:
+                neq = ~(a == b).all(axis=1)
+                print(a[neq].head(4))
+                print(b[neq].head(4))
+    ent = E.entry(spark)
+    n = ent.count()
+    print(f"entry(): {n} rows, schema: {ent.schema.simpleString()[:120]}")
+    spark.stop()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("all queries match oracles")
+
+
+if __name__ == "__main__":
+    main()
