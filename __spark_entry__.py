@@ -37,7 +37,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked candidate pairs: same (lang, length-bucket), id_1 < id_2 —
     identical in SQL below."""
-    d = _docs(spark, sf_dir).select("doc_id", "text", "lang", "n_chars")
+    # explicit repartition so the self-join (and the Arrow-UDF scoring
+    # stage above it) fans out over every core — a single local parquet
+    # file scans as 1 partition otherwise
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", "lang", "n_chars")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     a, b = d.alias("a"), d.alias("b")
     return (
         a.join(
@@ -347,6 +354,183 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["salted_block_pairs"] = salted_block_pairs
+
+    # -- training-data pipeline operators (textops) --------------------
+
+    def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import dedup
+
+        return dedup.exact_duplicates(_docs(spark, sf_dir))
+
+    q["exact_dedup"] = exact_dedup
+
+    def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import dedup
+
+        return dedup.minhash_lsh_candidates(
+            _docs(spark, sf_dir), "text", n_hashes=16, rows_per_band=4, k=5
+        )
+
+    q["minhash_lsh_pairs"] = minhash_lsh_pairs
+
+    def simhash_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import dedup
+
+        return dedup.simhash(_docs(spark, sf_dir), "text", bits=32)
+
+    q["simhash_sketch"] = simhash_sketch
+
+    def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import dedup
+
+        p = _pairs(spark, sf_dir)
+        return p.select(
+            "id_1", "id_2", dedup.ngram_jaccard(p, "t1", "t2", n=3).alias("jacc3")
+        )
+
+    q["ngram_jaccard"] = ngram_jaccard
+
+    def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import dedup
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return dedup.embedding_near_duplicates(emb, threshold=0.3, block_col="label")
+
+    q["embedding_neardup"] = embedding_neardup
+
+    def ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import ann
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ann.brute_force_topk(emb.where(F.col("vec_id") % 50 == 0), emb, k=5)
+
+    q["ann_bruteforce"] = ann_bruteforce
+
+    def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import ann
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ann.lsh_topk(
+            emb.where(F.col("vec_id") % 50 == 0), emb, k=5, n_planes=8
+        )
+
+    q["ann_lsh"] = ann_lsh
+
+    def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import quality
+
+        return quality.language_id(_docs(spark, sf_dir), top_n=20)
+
+    q["lang_id_ngram"] = lang_id_ngram
+
+    def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import quality
+
+        return quality.quality_features(_docs(spark, sf_dir))
+
+    q["quality_scores"] = quality_scores
+
+    def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import quality
+
+        return quality.token_counts(_docs(spark, sf_dir))
+
+    q["token_count"] = token_count
+
+    def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import quality
+
+        return quality.winnow_fingerprints(_docs(spark, sf_dir), k=8, window=4)
+
+    q["winnow_fingerprint"] = winnow_fingerprint
+
+    def _doc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic media table derived from documents: ref from
+        md5(text), kind round-robins image/audio/video."""
+        return _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.concat(F.lit("m://"), F.md5("text")).alias("media_ref"),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("kind"),
+        )
+
+    def media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import multimodal
+
+        media = multimodal.with_payload(_doc_media(spark, sf_dir))
+        return multimodal.decode_media(media)
+
+    q["media_decode"] = media_decode
+
+    def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import multimodal
+
+        media = multimodal.with_payload(_doc_media(spark, sf_dir))
+        return multimodal.sample_frames(multimodal.decode_media(media), every_n=30)
+
+    q["media_frame_samples"] = media_frame_samples
+
+    def media_byte_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import multimodal
+
+        media = multimodal.with_payload(_doc_media(spark, sf_dir))
+        feats = multimodal.byte_histogram_features(media, n_bins=16)
+        return feats.select(
+            "doc_id",
+            "media_ref",
+            F.array_join(
+                F.transform(
+                    "feature", lambda x: F.round(x * 16).cast("int").cast("string")
+                ),
+                ",",
+            ).alias("hist"),
+        )
+
+    q["media_byte_hist"] = media_byte_hist
+
+    def er_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.pipeline import cluster
+
+        p = _pairs(spark, sf_dir)
+        edges = p.select(
+            F.col("id_1").alias("doc_id_1"),
+            F.col("id_2").alias("doc_id_2"),
+            F.round(RF.jaro_winkler_similarity("t1", "t2"), 6).alias("jw"),
+        ).where(F.col("jw") >= 0.85)
+        comps = cluster.connected_components(edges)
+        docs = _docs(spark, sf_dir).select("doc_id")
+        return docs.join(comps, "doc_id", "left").select(
+            "doc_id", F.coalesce("entity_id", "doc_id").alias("entity_id")
+        )
+
+    q["er_cluster_cc"] = er_cluster_cc
+
+    def er_pipeline_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Full ER pipeline on the synthesized interleaved-span corpus +
+        truth-label F1 (rows-only check: corpus is built by mapInPandas,
+        not SQL-expressible)."""
+        import tempfile
+
+        from rapidfuzz_spark.pipeline import metrics as M
+        from rapidfuzz_spark.pipeline import run as P
+        from rapidfuzz_spark.pipeline import synth
+
+        corpus = synth.synth_documents(spark, n_entities=300, seed=42)
+        truth, _ = synth.truth_tables(corpus)
+        with tempfile.TemporaryDirectory(prefix="rf_q_") as tmp:
+            conf = P.PipelineConfig(
+                metric="jaro_winkler", threshold=0.82, checkpoint=False
+            )
+            ents = P.run_pipeline(spark, corpus.drop("entity_id"), tmp, conf)
+            stats = M.cluster_pairwise_f1(
+                ents.select("doc_id", "entity_id"), truth
+            )
+        rows = [(k, float(v)) for k, v in sorted(stats.items())]
+        return spark.createDataFrame(rows, "stat string, value double")
+
+    q["er_pipeline_f1"] = er_pipeline_f1
     return q
 
 
@@ -448,4 +632,235 @@ def oracle_sql() -> dict[str, str]:
       SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
       FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
       WHERE len(a.tok) >= 2"""
+
+    # -- training-data pipeline operators (textops) --------------------
+
+    o["exact_dedup"] = """
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+             count(*)   OVER (PARTITION BY md5(text)) AS group_size
+      FROM documents"""
+    o["minhash_lsh_pairs"] = """
+      WITH sh AS (
+        SELECT DISTINCT doc_id, substr(t, i, 5) AS sh
+        FROM (SELECT doc_id, lower(text) AS t,
+                     unnest(range(1, greatest(len(lower(text)) - 4, 1) + 1)) AS i
+              FROM documents)
+      ),
+      mh AS (
+        SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || sh)) AS mh
+        FROM sh, generate_series(0, 15) s(seed)
+        GROUP BY doc_id, s.seed
+      ),
+      bands AS (
+        SELECT doc_id, (seed // 4)::INT AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, seed // 4
+      )
+      SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+      FROM bands a JOIN bands b USING (band, sig)
+      WHERE a.doc_id < b.doc_id"""
+    o["simhash_sketch"] = r"""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+          FROM documents)
+        WHERE len(tok) > 0
+      ),
+      votes AS (
+        SELECT doc_id, p.pos,
+               sum(CASE WHEN substr(md5(tok), p.pos, 1)
+                        IN ('8','9','a','b','c','d','e','f')
+                        THEN 1 ELSE -1 END) AS s
+        FROM toks, generate_series(1, 32) p(pos)
+        GROUP BY doc_id, p.pos
+      )
+      SELECT doc_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos)
+               AS simhash
+      FROM votes GROUP BY doc_id"""
+    o["ngram_jaccard"] = f"""
+      SELECT id_1, id_2,
+             round(inter::DOUBLE / (len(s1) + len(s2) - inter), 6) AS jacc3
+      FROM (
+        SELECT id_1, id_2, s1, s2, len(list_intersect(s1, s2)) AS inter
+        FROM (
+          SELECT id_1, id_2,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(lower(t1)) - 2, 1) + 1),
+                   i -> substr(lower(t1), i, 3))) AS s1,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(lower(t2)) - 2, 1) + 1),
+                   i -> substr(lower(t2), i, 3))) AS s2
+          FROM ({_PAIRS_SQL})))"""
+    o["embedding_neardup"] = """
+      SELECT * FROM (
+        SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id)
+      WHERE cos_sim >= 0.3"""
+    o["ann_bruteforce"] = """
+      WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                 FROM embeddings WHERE vec_id % 50 = 0),
+      scored AS (
+        SELECT qid, c.vec_id AS cid,
+               round(list_cosine_similarity(qe, c.embedding::DOUBLE[]), 6)
+                 AS cos_sim
+        FROM q, embeddings c WHERE c.vec_id <> qid),
+      r AS (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rnk
+            FROM scored)
+      SELECT qid, cid, cos_sim, rnk FROM r WHERE rnk <= 5"""
+    o["ann_lsh"] = """
+      WITH dims AS (
+        SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS x
+        FROM (SELECT vec_id, embedding,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)),
+      proj AS (
+        SELECT vec_id, p.p,
+               sum(CASE WHEN substr(md5(p.p::VARCHAR || ':' || d::VARCHAR), 1, 1)
+                        IN ('8','9','a','b','c','d','e','f')
+                        THEN x ELSE -x END) AS pr
+        FROM dims, generate_series(0, 7) p(p)
+        GROUP BY vec_id, p.p),
+      buck AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY p) AS bucket
+        FROM proj GROUP BY vec_id),
+      q AS (SELECT e.vec_id AS qid, e.embedding::DOUBLE[] AS qe, b.bucket
+            FROM embeddings e JOIN buck b USING (vec_id)
+            WHERE e.vec_id % 50 = 0),
+      c AS (SELECT e.vec_id AS cid, e.embedding::DOUBLE[] AS ce, b.bucket
+            FROM embeddings e JOIN buck b USING (vec_id)),
+      scored AS (SELECT qid, cid,
+                        round(list_cosine_similarity(qe, ce), 6) AS cos_sim
+                 FROM q JOIN c USING (bucket) WHERE qid <> cid),
+      r AS (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rnk
+            FROM scored)
+      SELECT qid, cid, cos_sim, rnk FROM r WHERE rnk <= 5"""
+    o["lang_id_ngram"] = """
+      WITH tg AS (
+        SELECT doc_id, lang, substr(t, i, 3) AS tg
+        FROM (SELECT doc_id, lang, lower(text) AS t,
+                     unnest(range(1, greatest(len(lower(text)) - 2, 1) + 1)) AS i
+              FROM documents)
+      ),
+      counts AS (SELECT lang, tg, count(*) AS c FROM tg GROUP BY lang, tg),
+      prof AS (
+        SELECT lang, tg FROM (
+          SELECT lang, tg, row_number() OVER (
+            PARTITION BY lang ORDER BY c DESC, tg) AS r
+          FROM counts)
+        WHERE r <= 20),
+      doctg AS (SELECT DISTINCT doc_id, lang AS true_lang, tg FROM tg),
+      hits AS (
+        SELECT doc_id, true_lang, p.lang, count(*) AS score
+        FROM doctg JOIN prof p USING (tg)
+        GROUP BY doc_id, true_lang, p.lang),
+      best AS (
+        SELECT doc_id, lang AS pred_lang, lang = true_lang AS is_correct,
+               row_number() OVER (
+                 PARTITION BY doc_id ORDER BY score DESC, lang) AS r
+        FROM hits)
+      SELECT doc_id, pred_lang, is_correct FROM best WHERE r = 1"""
+    o["quality_scores"] = r"""
+      WITH f AS (
+        SELECT doc_id,
+               len(text) AS n_chars_m,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+               len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+               len(regexp_replace(text, '[^ ]', '', 'g')) AS n_space
+        FROM documents),
+      g AS (
+        SELECT doc_id, n_chars_m, n_tokens,
+               (n_chars_m - n_space)::DOUBLE / n_tokens AS mean_tok,
+               n_alpha::DOUBLE / n_chars_m AS alpha_r,
+               n_digit::DOUBLE / n_chars_m AS digit_r,
+               least(n_chars_m::DOUBLE / 200.0, 1.0) AS len_f
+        FROM f)
+      SELECT doc_id, n_chars_m, n_tokens,
+             round(mean_tok, 6) AS mean_tok_len,
+             round(alpha_r, 6) AS alpha_ratio,
+             round(digit_r, 6) AS digit_ratio,
+             round(0.4 * len_f + 0.3 * alpha_r
+                   + 0.3 * (CASE WHEN mean_tok >= 3.0 AND mean_tok <= 10.0
+                                 THEN 1.0 ELSE 0.5 END)
+                   - 0.2 * digit_r, 6) AS quality
+      FROM g"""
+    o["token_count"] = r"""
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+               AS bpe_tokens
+      FROM documents"""
+    o["winnow_fingerprint"] = """
+      WITH grams AS (
+        SELECT doc_id, i AS pos, md5(substr(t, i, 8)) AS h
+        FROM (SELECT doc_id, lower(text) AS t,
+                     unnest(range(1, greatest(len(lower(text)) - 7, 1) + 1)) AS i
+              FROM documents)
+      ),
+      fps AS (
+        SELECT doc_id,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM grams)
+      SELECT doc_id, count(DISTINCT fp) AS n_fingerprints, min(fp) AS min_fp
+      FROM fps GROUP BY doc_id"""
+    _MEDIA_SQL = """
+      SELECT doc_id::VARCHAR AS doc_id,
+             'm://' || md5(text) AS media_ref,
+             CASE doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             md5('m://' || md5(text)) AS h
+      FROM documents"""
+    o["media_decode"] = f"""
+      SELECT doc_id, media_ref, kind, 16 AS n_bytes,
+             (16 + ('0x' || substr(h, 1, 4))::BIGINT % 1920)::INT AS width,
+             (16 + ('0x' || substr(h, 5, 4))::BIGINT % 1080)::INT AS height,
+             (CASE WHEN kind = 'image' THEN 1
+                   ELSE 1 + ('0x' || substr(h, 9, 4))::BIGINT % 300 END)::INT
+               AS n_frames,
+             (CASE WHEN kind = 'image' THEN 0
+                   ELSE (1 + ('0x' || substr(h, 9, 4))::BIGINT % 300) * 33 END)::INT
+               AS duration_ms
+      FROM ({_MEDIA_SQL})"""
+    o["media_frame_samples"] = f"""
+      WITH m AS (
+        SELECT doc_id, media_ref,
+               (CASE WHEN kind = 'image' THEN 1
+                     ELSE 1 + ('0x' || substr(h, 9, 4))::BIGINT % 300 END)::INT
+                 AS n_frames
+        FROM ({_MEDIA_SQL}))
+      SELECT doc_id, media_ref,
+             unnest(range(0, n_frames, 30))::INT AS frame_idx
+      FROM m WHERE n_frames > 1"""
+    o["media_byte_hist"] = f"""
+      SELECT doc_id, media_ref,
+             array_to_string(list_transform(range(0, 16), j ->
+               len(list_filter(range(0, 16), p ->
+                 substr(h, 2 * p + 1, 1)
+                   = substr('0123456789abcdef', j + 1, 1)))::VARCHAR), ',')
+               AS hist
+      FROM ({_MEDIA_SQL})"""
+    o["er_cluster_cc"] = f"""
+      WITH RECURSIVE e AS (
+        SELECT id_1 AS a, id_2 AS b FROM (
+          SELECT id_1, id_2, round(jaro_winkler_similarity(t1, t2), 6) AS jw
+          FROM ({_PAIRS_SQL}))
+        WHERE jw >= 0.85
+      ),
+      sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+      )
+      SELECT a AS doc_id, min(b) AS entity_id FROM reach GROUP BY a"""
     return o

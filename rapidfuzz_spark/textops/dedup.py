@@ -1,0 +1,220 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All operators are pure DataFrame compositions of built-in functions
+(shingling via `transform(sequence(...))` higher-order expressions, hashes
+via `md5`) — no UDFs, fully codegen'd, and every hash is engine-portable
+(md5 over UTF-8) so results are bit-identical across Spark / DuckDB /
+any ANSI engine. At scale each stage is one shuffle on an explicit key:
+
+- exact:   groupBy(md5(text))                    — one hash-aggregate
+- minhash: explode(shingles) x seeds -> min      — partial aggregation
+           (map-side combine) makes the shuffle O(docs x seeds), not
+           O(docs x shingles x seeds)
+- LSH:     equi-join on (band, signature)        — hot buckets are real
+           near-dup clusters; cap with a census like blocking.py if a
+           corpus has degenerate boilerplate
+- simhash: explode(tokens) x 32 bit positions    — same partial-agg shape
+- jaccard: array_intersect on the pair row       — no extra shuffle at all
+- cosine:  aggregate(zip_with(...)) on the pair  — JVM-side FMA loop
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """Distinct lowercase character k-shingles as an array column
+    (short strings yield the string itself)."""
+    t = F.lower(text if isinstance(text, Column) else F.col(text))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
+            lambda i: t.substr(i, F.lit(k)),
+        )
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id, group_size): canonical = min doc_id among
+    byte-identical texts. One hash-aggregate on md5(text) — at 100 TB the
+    md5 shuffle key is 32 bytes/doc regardless of document size."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(text_col))
+    return docs.select(
+        "doc_id",
+        F.min("doc_id").over(w).alias("canonical_id"),
+        F.count("*").over(w).alias("group_size"),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n_hashes: int = 16, k: int = 5
+) -> DataFrame:
+    """(doc_id, seed, mh): MinHash signature rows. Hash family h_seed(x) =
+    md5(seed ':' x) compared lexicographically — portable and uniform.
+    Partial aggregation collapses the exploded shingles map-side."""
+    sh = docs.select(
+        "doc_id", F.explode(char_shingles(text_col, k)).alias("sh")
+    )
+    return (
+        sh.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), "sh")).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_band_signatures(
+    signatures: DataFrame, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band, sig): hash each band of ``rows_per_band`` minhashes.
+    collect_list order is made deterministic by sorting the (seed, mh)
+    structs before joining."""
+    return (
+        signatures.withColumn(
+            "band", F.floor(F.col("seed") / rows_per_band).cast("int")
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda x: x["mh"],
+                    ),
+                    ",",
+                )
+            ).alias("sig")
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    rows_per_band: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """(id_1, id_2) candidate near-duplicate pairs: docs agreeing on at
+    least one LSH band. The join key (band, sig) is the scale lever: more
+    bands -> higher recall, bigger buckets; dedup across bands is one
+    dropDuplicates hash-aggregate."""
+    bands = lsh_band_signatures(
+        minhash_signatures(docs, text_col, n_hashes, k), rows_per_band
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_1"), F.col("b.doc_id").alias("id_2")
+        )
+        .dropDuplicates(["id_1", "id_2"])
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(doc_id, simhash): ``bits``-bit SimHash as a bitstring. Token bit j
+    = high bit of hex nibble j of md5(token); document bit j = majority
+    vote (sum of +-1 > 0). Bitstring (not bigint) keeps it portable and
+    makes Hamming-distance banding a substring groupBy."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(text_col), r"\s+"))
+        ).alias("tok"),
+    ).where(F.length("tok") > 0)
+    votes = (
+        toks.withColumn("pos", F.explode(F.sequence(F.lit(1), F.lit(bits))))
+        .select(
+            "doc_id",
+            "pos",
+            F.when(
+                F.expr("substring(md5(tok), pos, 1)").isin(*list("89abcdef")), 1
+            )
+            .otherwise(-1)
+            .alias("v"),
+        )
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("v").alias("s"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "pos",
+                            F.when(F.col("s") > 0, F.lit("1"))
+                            .otherwise(F.lit("0"))
+                            .alias("bit"),
+                        )
+                    )
+                ),
+                lambda x: x["bit"],
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+def ngram_jaccard(
+    pairs: DataFrame, t1: str = "t1", t2: str = "t2", n: int = 3
+) -> Column:
+    """Jaccard similarity of character n-gram sets, computed entirely on
+    the pair row with array_intersect — zero additional shuffle."""
+    s1, s2 = char_shingles(t1, n), char_shingles(t2, n)
+    inter = F.size(F.array_intersect(s1, s2))
+    union = F.size(s1) + F.size(s2) - inter
+    return F.round(inter.cast("double") / union, 6)
+
+
+def cosine_similarity(e1: Column | str, e2: Column | str) -> Column:
+    """Cosine over array<float> embeddings, cast element-wise to double
+    first so the sequential JVM fold is bit-reproducible; all higher-order
+    built-ins, no UDF."""
+    a = F.transform(
+        e1 if isinstance(e1, Column) else F.col(e1), lambda x: x.cast("double")
+    )
+    b = F.transform(
+        e2 if isinstance(e2, Column) else F.col(e2), lambda x: x.cast("double")
+    )
+
+    def dot(u, v):
+        return F.aggregate(
+            F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame, threshold: float = 0.9, block_col: str = "label"
+) -> DataFrame:
+    """(id_1, id_2, cos_sim) pairs above ``threshold``, blocked on
+    ``block_col`` (at scale: an LSH bucket from ann.hyperplane_buckets;
+    here the coarse label works the same way). The threshold filter sits
+    directly on the join output so Catalyst keeps it inside the same
+    stage."""
+    e = embeddings.select("vec_id", "embedding", F.col(block_col).alias("blk"))
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, "blk")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_1"),
+            F.col("b.vec_id").alias("id_2"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,147 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+winnowing fingerprints. Pure built-in expressions end to end.
+
+Scale notes: every operator is either per-row arithmetic (quality, token
+counts — zero shuffle, full codegen) or one explode + partial aggregation
+(lang-ID profiles, fingerprints). The lang-ID *training* aggregation
+produces |langs| x top_n rows — broadcast-joined back to the corpus, so
+classification adds no shuffle of the documents side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def char_trigrams(text: Column | str) -> Column:
+    """All (non-distinct) lowercase character trigrams."""
+    t = F.lower(text if isinstance(text, Column) else F.col(text))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(t) - 2, F.lit(1))),
+        lambda i: t.substr(i, F.lit(3)),
+    )
+
+
+def trigram_profiles(
+    docs: DataFrame, lang_col: str = "lang", text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """(lang, tg): the ``top_n`` most frequent character trigrams per
+    language (frequency desc, trigram asc tiebreak — deterministic)."""
+    tg = docs.select(
+        F.col(lang_col).alias("lang"), F.explode(char_trigrams(text_col)).alias("tg")
+    )
+    counts = tg.groupBy("lang", "tg").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), "tg")
+    return (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= top_n)
+        .select("lang", "tg")
+    )
+
+
+def language_id(
+    docs: DataFrame, lang_col: str = "lang", text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """(doc_id, pred_lang, is_correct): n-gram-profile classifier.
+    Profiles are learned from the corpus itself (top trigrams per lang),
+    each doc votes by how many distinct profile trigrams it contains;
+    argmax with lang-asc tiebreak. Profile table is tiny -> broadcast."""
+    profiles = trigram_profiles(docs, lang_col, text_col, top_n)
+    doc_tg = docs.select(
+        "doc_id",
+        F.col(lang_col).alias("true_lang"),
+        F.explode(F.array_distinct(char_trigrams(text_col))).alias("tg"),
+    )
+    hits = (
+        doc_tg.join(F.broadcast(profiles), "tg")
+        .groupBy("doc_id", "true_lang", "lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
+    return (
+        hits.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("pred_lang"),
+            (F.col("lang") == F.col("true_lang")).alias("is_correct"),
+        )
+    )
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + a composite score in [0,1] — the usual
+    pre-training corpus filters (length, word-length sanity, symbol
+    density), all as codegen'd arithmetic."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    n_alpha = F.length(F.regexp_replace(F.lower(t), r"[^a-z]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(t, r"[^ ]", ""))
+    # compose the score from UNROUNDED ratios (rounding the inputs first
+    # would park the composite exactly on a .5 rounding boundary whenever a
+    # 1-dp coefficient meets a 6-dp ratio); round only for display
+    mean_tok = (n_chars - n_space).cast("double") / n_tokens
+    alpha_ratio = n_alpha.cast("double") / n_chars
+    digit_ratio = n_digit.cast("double") / n_chars
+    # length factor saturates at 200 chars; word-length factor is 1 inside
+    # [3, 10] mean chars/token and decays outside
+    len_f = F.least(n_chars.cast("double") / 200.0, F.lit(1.0))
+    wl_f = F.when((mean_tok >= 3.0) & (mean_tok <= 10.0), 1.0).otherwise(0.5)
+    score = F.round(
+        0.4 * len_f + 0.3 * alpha_ratio + 0.3 * wl_f - 0.2 * digit_ratio, 6
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars_m"),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok, 6).alias("mean_tok_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, ws_tokens, bpe_tokens): whitespace tokens and a BPE-ish
+    regex token count (letter runs | digit runs | single symbol) —
+    the standard cheap proxy for tokenizer cost, via regexp_count."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(t), r"\s+")).alias("ws_tokens"),
+        F.regexp_count(F.lower(t), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")).alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 8, window: int = 4
+) -> DataFrame:
+    """(doc_id, n_fingerprints, min_fp): winnowing (Schleimer et al.) —
+    hash every k-gram, keep the min hash of each sliding window of
+    ``window`` consecutive k-grams, count distinct survivors. The rolling
+    window is a frame-bounded window min (no self-join)."""
+    t = F.lower(F.col(text_col))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - (k - 1), F.lit(1))),
+                lambda i: t.substr(i, F.lit(k)),
+            )
+        ).alias("pos", "g"),
+    ).select("doc_id", "pos", F.md5("g").alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    fps = grams.select("doc_id", F.min("h").over(w).alias("fp"))
+    return fps.groupBy("doc_id").agg(
+        F.count_distinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+    )

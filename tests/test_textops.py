@@ -1,0 +1,204 @@
+"""Semantic tests for the training-data operators (textops package):
+dedup family, ANN, text analysis, multimodal plumbing. Engine-portability
+of every oracle-checked operator is additionally verified by
+tools/driver_sim.py against DuckDB."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from rapidfuzz_spark.textops import ann, dedup, multimodal, quality
+
+TEXTS = [
+    (0, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 0
+    (2, "completely different content about database query optimization"),
+    (3, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 0
+    (4, "zzz qqq xxx vvv kkk www uuu yyy hhh jjj mmm nnn ppp rrr sss ttt"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(TEXTS, "doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    rows = {r.doc_id: r for r in dedup.exact_duplicates(docs).collect()}
+    assert rows[0].canonical_id == 0 and rows[3].canonical_id == 0
+    assert rows[0].group_size == 2 and rows[3].group_size == 2
+    assert rows[1].canonical_id == 1 and rows[1].group_size == 1
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {
+        (r.id_1, r.id_2)
+        for r in dedup.minhash_lsh_candidates(docs, n_hashes=16, rows_per_band=4).collect()
+    }
+    assert (0, 3) in pairs  # exact dup always collides on every band
+    assert (0, 1) in pairs  # 1-char edit: shingle sets nearly identical
+    assert (0, 2) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_near_dup_close(docs):
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
+    assert all(len(v) == 32 and set(v) <= {"0", "1"} for v in sh.values())
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert sh[0] == sh[3]
+    assert ham(sh[0], sh[1]) <= 6
+    assert ham(sh[0], sh[4]) >= 8
+
+
+def test_ngram_jaccard(spark):
+    p = spark.createDataFrame(
+        [(1, 2, "abcdef", "abcdef"), (3, 4, "abcdef", "uvwxyz")],
+        "id_1 long, id_2 long, t1 string, t2 string",
+    )
+    out = {
+        (r.id_1, r.id_2): r.j
+        for r in p.select(
+            "id_1", "id_2", dedup.ngram_jaccard(p, n=3).alias("j")
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0
+    assert out[(3, 4)] == 0.0
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 8))
+    base[5] = base[0] + rng.normal(scale=1e-3, size=8)  # planted near-dup of 0
+    rows = [
+        (i, [float(x) for x in base[i]], int(i // 10)) for i in range(len(base))
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).cache()
+
+
+def test_cosine_and_neardup(vecs):
+    out = dedup.embedding_near_duplicates(vecs, threshold=0.999, block_col="label")
+    assert {(r.id_1, r.id_2) for r in out.collect()} == {(0, 5)}
+
+
+def test_ann_bruteforce(vecs):
+    top = ann.brute_force_topk(vecs.where(F.col("vec_id") == 0), vecs, k=3)
+    rows = sorted(top.collect(), key=lambda r: r.rnk)
+    assert rows[0].cid == 5 and rows[0].cos_sim > 0.999
+    assert len(rows) == 3 and [r.rnk for r in rows] == [1, 2, 3]
+
+
+def test_ann_lsh_same_bucket_for_identical(vecs):
+    b = {r.vec_id: r.bucket for r in ann.hyperplane_buckets(vecs, n_planes=8).collect()}
+    assert b[0] == b[5]  # near-identical vectors share all hyperplane signs
+    assert all(len(v) == 8 for v in b.values())
+    top = ann.lsh_topk(vecs.where(F.col("vec_id") == 0), vecs, k=3, n_planes=8)
+    got = {r.cid for r in top.collect()}
+    assert 5 in got
+
+
+def test_language_id_shapes(spark):
+    docs = spark.createDataFrame(
+        [(i, "abc def ghi " * 5, "en") if i % 2 else (i, "xyz uvw rst " * 5, "fr")
+         for i in range(10)],
+        "doc_id long, text string, lang string",
+    )
+    out = quality.language_id(docs, top_n=10).collect()
+    assert len(out) == 10
+    acc = sum(r.is_correct for r in out) / len(out)
+    assert acc == 1.0  # perfectly separable synthetic corpus
+
+
+def test_quality_and_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world 42!")], "doc_id long, text string"
+    )
+    q = quality.quality_features(docs).collect()[0]
+    assert q.n_chars_m == 15 and q.n_tokens == 3
+    t = quality.token_counts(docs).collect()[0]
+    assert t.ws_tokens == 3
+    assert t.bpe_tokens == 4  # hello | world | 42 | !
+
+
+def test_winnow_fingerprints(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in quality.winnow_fingerprints(docs, k=8, window=4).collect()}
+    assert out[1].n_fingerprints == out[2].n_fingerprints
+    assert out[1].min_fp == out[2].min_fp  # deterministic
+
+
+MEDIA_ROWS = [
+    ("d1", "m://aaaa", "image"),
+    ("d2", "m://bbbb", "audio"),
+    ("d3", "m://cccc", "video"),
+]
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = spark.createDataFrame(
+        MEDIA_ROWS, "doc_id string, media_ref string, kind string"
+    )
+    return multimodal.with_payload(df).cache()
+
+
+def test_decode_media_deterministic(media):
+    a = {r.media_ref: r for r in multimodal.decode_media(media).collect()}
+    b = {r.media_ref: r for r in multimodal.decode_media(media).collect()}
+    assert a.keys() == b.keys() and len(a) == 3
+    for k in a:
+        assert (a[k].width, a[k].height, a[k].n_frames) == (
+            b[k].width, b[k].height, b[k].n_frames
+        )
+        assert 16 <= a[k].width < 1936 and 16 <= a[k].height < 1096
+    assert a["m://aaaa"].n_frames == 1 and a["m://aaaa"].duration_ms == 0
+    assert a["m://cccc"].duration_ms == a["m://cccc"].n_frames * 33
+
+
+def test_media_spans_extraction(spark):
+    rows = [
+        (
+            "d1",
+            [
+                {"kind": "text", "text": "hi", "media_ref": None, "offset": 0},
+                {"kind": "image", "text": None, "media_ref": "m://x", "offset": 1},
+            ],
+        )
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = multimodal.media_spans(df).collect()
+    assert len(out) == 1 and out[0].media_ref == "m://x" and out[0].kind == "image"
+
+
+def test_byte_histogram_features(media):
+    rows = multimodal.byte_histogram_features(media, n_bins=16).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert len(r.feature) == 16
+        assert abs(sum(r.feature) - 1.0) < 1e-9
+
+
+def test_frame_samples(media):
+    dec = multimodal.decode_media(media)
+    out = multimodal.sample_frames(dec, every_n=30).collect()
+    by_ref = {}
+    for r in out:
+        by_ref.setdefault(r.media_ref, []).append(r.frame_idx)
+    nf = {r.media_ref: r.n_frames for r in dec.collect()}
+    for ref, idxs in by_ref.items():
+        assert idxs == list(range(0, nf[ref], 30))
+
+
+def test_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"\x00", "image")
