@@ -35,6 +35,7 @@ _POPCNT_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint6
 
 
 def _popcount_u64(x: np.ndarray) -> np.ndarray:
+    x = np.ascontiguousarray(x)
     return _POPCNT_TABLE[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
 
 
@@ -143,6 +144,306 @@ def lcs_batch_word(pats: list, texts: list) -> np.ndarray:
     return plens_s[inv].astype(np.int64) - _popcount_u64(s[inv]).astype(np.int64)
 
 
+def _build_pm_block(pats: list, codes, lens, offs, W: int) -> np.ndarray:
+    """PM bitmask table, shape (n, W, 256) uint64, patterns of len <= 64*W."""
+    n = len(pats)
+    pm = np.zeros((n, W, 256), dtype=np.uint64)
+    rows = np.repeat(np.arange(n, dtype=np.intp), lens)
+    pos = np.arange(len(codes), dtype=np.int64) - np.repeat(offs[:-1], lens)
+    word = (pos >> 6).astype(np.intp)
+    bits = np.uint64(1) << (pos & 63).astype(np.uint64)
+    np.bitwise_or.at(pm, (rows, word, codes), bits)
+    return pm
+
+
+def myers_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
+    """Vectorized-across-pairs blockwise Myers/Hyyrö for patterns of
+    word count W (len in (64*(W-1), 64*W]). Semantics follow the
+    reference's hyrroe2003_block (/root/reference/src/distance/
+    levenshtein.rs:769-1019) minus the Ukkonen band: the hp/hn horizontal
+    carries chain low->high word; per text char the distance moves by the
+    carry out of the pattern's last bit. All strings latin-1."""
+    n = len(pats)
+    pcodes, plens, poffs = _encode_latin1(pats)
+    tcodes, tlens, toffs = _encode_latin1(texts)
+    order = np.argsort(-tlens, kind="stable")
+    inv = np.empty(n, dtype=np.intp)
+    inv[order] = np.arange(n, dtype=np.intp)
+    pm = _build_pm_block(pats, pcodes, plens, poffs, W)[order]
+    plens_s = plens[order]
+    tlens_s = tlens[order]
+    toffs_s = toffs[:-1][order]
+    last = np.uint64(1) << ((plens_s.astype(np.uint64) - np.uint64(1)) % np.uint64(64))
+    last_w = ((plens_s - 1) >> 6).astype(np.intp)  # per-pair last word index
+    # exact-W groups have every pattern ending in word W-1; the mixed-word
+    # where() path below is only needed for padded groups
+    uniform_last = bool((last_w == W - 1).all())
+    one = np.uint64(1)
+    vp = np.full((n, W), ~np.uint64(0), dtype=np.uint64)
+    vn = np.zeros((n, W), dtype=np.uint64)
+    dist = plens_s.astype(np.int64).copy()
+    max_t = int(tlens_s[0]) if n else 0
+    active = n
+    rows = np.arange(n, dtype=np.intp)
+    for j in range(max_t):
+        while active > 0 and tlens_s[active - 1] <= j:
+            active -= 1
+        a = slice(0, active)
+        cj = tcodes[toffs_s[a] + j]
+        hp_c = np.ones(active, dtype=np.uint64)  # left boundary +1 per row
+        hn_c = np.zeros(active, dtype=np.uint64)
+        for w in range(W):
+            vp_w = vp[a, w]
+            vn_w = vn[a, w]
+            pm_j = pm[rows[:active], w, cj]
+            x = pm_j | hn_c
+            d0 = (((x & vp_w) + vp_w) ^ vp_w) | x | vn_w
+            hp = vn_w | ~(d0 | vp_w)
+            hn = d0 & vp_w
+            # score moves at each pair's own last word (masked top bit),
+            # plain bit-63 carry elsewhere; words past a pair's last are
+            # processed but never read back (upward-only propagation)
+            if uniform_last:
+                if w == W - 1:
+                    hp_c_new = ((hp & last[a]) != 0).astype(np.uint64)
+                    hn_c_new = ((hn & last[a]) != 0).astype(np.uint64)
+                    dist[a] += hp_c_new.astype(np.int64)
+                    dist[a] -= hn_c_new.astype(np.int64)
+                else:
+                    hp_c_new = hp >> np.uint64(63)
+                    hn_c_new = hn >> np.uint64(63)
+            else:
+                is_last = last_w[a] == w
+                if is_last.any():
+                    hp_c_new = np.where(
+                        is_last, (hp & last[a]) != 0, hp >> np.uint64(63)
+                    ).astype(np.uint64)
+                    hn_c_new = np.where(
+                        is_last, (hn & last[a]) != 0, hn >> np.uint64(63)
+                    ).astype(np.uint64)
+                    dist[a] += np.where(is_last, hp_c_new.astype(np.int64), 0)
+                    dist[a] -= np.where(is_last, hn_c_new.astype(np.int64), 0)
+                else:
+                    hp_c_new = hp >> np.uint64(63)
+                    hn_c_new = hn >> np.uint64(63)
+            hp = (hp << one) | hp_c
+            hn = (hn << one) | hn_c
+            vp[a, w] = hn | ~(d0 | hp)
+            vn[a, w] = hp & d0
+            hp_c, hn_c = hp_c_new, hn_c_new
+    return dist[inv]
+
+
+def lcs_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
+    """Vectorized-across-pairs blockwise Hyyrö LCS for patterns of word
+    count W (reference lcs_blockwise semantics, lcs_seq.rs:267-341, no
+    band): S-vector per word with an emulated add-with-carry chain;
+    LCS = popcount of ~S."""
+    n = len(pats)
+    pcodes, plens, poffs = _encode_latin1(pats)
+    tcodes, tlens, toffs = _encode_latin1(texts)
+    order = np.argsort(-tlens, kind="stable")
+    inv = np.empty(n, dtype=np.intp)
+    inv[order] = np.arange(n, dtype=np.intp)
+    pm = _build_pm_block(pats, pcodes, plens, poffs, W)[order]
+    plens_s = plens[order]
+    tlens_s = tlens[order]
+    toffs_s = toffs[:-1][order]
+    s = np.full((n, W), ~np.uint64(0), dtype=np.uint64)
+    max_t = int(tlens_s[0]) if n else 0
+    active = n
+    rows = np.arange(n, dtype=np.intp)
+    for j in range(max_t):
+        while active > 0 and tlens_s[active - 1] <= j:
+            active -= 1
+        a = slice(0, active)
+        cj = tcodes[toffs_s[a] + j]
+        carry = np.zeros(active, dtype=np.uint64)
+        for w in range(W):
+            s_w = s[a, w]
+            u = s_w & pm[rows[:active], w, cj]
+            t1 = s_w + u
+            c1 = t1 < s_w
+            x = t1 + carry
+            c2 = x < t1
+            carry = (c1 | c2).astype(np.uint64)
+            s[a, w] = x | (s_w - u)
+    nots = ~s
+    sim = np.zeros(n, dtype=np.int64)
+    for w in range(W):
+        sim += _popcount_u64(nots[:, w]).astype(np.int64)
+    return sim[inv]
+
+
+def osa_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
+    """Vectorized-across-pairs blockwise OSA (Hyyrö bit-parallel with
+    transposition carry; semantics per /root/reference/src/distance/
+    osa.rs:156-227). Per-word state adds the previous char's d0 and pm;
+    the transposition mask pulls bit 63 of the word below for both."""
+    n = len(pats)
+    pcodes, plens, poffs = _encode_latin1(pats)
+    tcodes, tlens, toffs = _encode_latin1(texts)
+    order = np.argsort(-tlens, kind="stable")
+    inv = np.empty(n, dtype=np.intp)
+    inv[order] = np.arange(n, dtype=np.intp)
+    pm = _build_pm_block(pats, pcodes, plens, poffs, W)[order]
+    plens_s = plens[order]
+    tlens_s = tlens[order]
+    toffs_s = toffs[:-1][order]
+    last = np.uint64(1) << ((plens_s.astype(np.uint64) - np.uint64(1)) % np.uint64(64))
+    one = np.uint64(1)
+    s63 = np.uint64(63)
+    vp = np.full((n, W), ~np.uint64(0), dtype=np.uint64)
+    vn = np.zeros((n, W), dtype=np.uint64)
+    d0s = np.zeros((n, W), dtype=np.uint64)  # previous char's d0 per word
+    pms = np.zeros((n, W), dtype=np.uint64)  # previous char's pm per word
+    dist = plens_s.astype(np.int64).copy()
+    max_t = int(tlens_s[0]) if n else 0
+    active = n
+    rows = np.arange(n, dtype=np.intp)
+    for j in range(max_t):
+        while active > 0 and tlens_s[active - 1] <= j:
+            active -= 1
+        a = slice(0, active)
+        cj = tcodes[toffs_s[a] + j]
+        hp_c = np.ones(active, dtype=np.uint64)
+        hn_c = np.zeros(active, dtype=np.uint64)
+        d0_old_below = np.zeros(active, dtype=np.uint64)
+        pm_cur_below = np.zeros(active, dtype=np.uint64)
+        for w in range(W):
+            vp_w = vp[a, w]
+            vn_w = vn[a, w]
+            # .copy(): d0s[a, w] is a view — d0_old survives as this
+            # word's previous-char d0 for the word above's tr term even
+            # after d0s[a, w] is overwritten below
+            d0_old = d0s[a, w].copy()
+            pm_old = pms[a, w]
+            pm_j = pm[rows[:active], w, cj]
+            tr = (
+                (((~d0_old) & pm_j) << one)
+                | (((~d0_old_below) & pm_cur_below) >> s63)
+            ) & pm_old
+            x = pm_j | hn_c
+            d0 = (((x & vp_w) + vp_w) ^ vp_w) | x | vn_w | tr
+            hp = vn_w | ~(d0 | vp_w)
+            hn = d0 & vp_w
+            if w == W - 1:
+                dist[a] += ((hp & last[a]) != 0).astype(np.int64)
+                dist[a] -= ((hn & last[a]) != 0).astype(np.int64)
+            hp_c_new = hp >> s63
+            hn_c_new = hn >> s63
+            hp = (hp << one) | hp_c
+            hn = (hn << one) | hn_c
+            vp[a, w] = hn | ~(d0 | hp)
+            vn[a, w] = hp & d0
+            d0_old_below = d0_old
+            pm_cur_below = pm_j
+            d0s[a, w] = d0
+            pms[a, w] = pm_j
+            hp_c, hn_c = hp_c_new, hn_c_new
+    return dist[inv]
+
+
+def _pad_codes(strs: list, sentinel: int) -> tuple[np.ndarray, np.ndarray]:
+    """(codes padded to max len with sentinel, lengths) as uint32/int64."""
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=len(strs))
+    L = int(lens.max()) if len(strs) else 0
+    out = np.full((len(strs), L), sentinel, dtype=np.uint32)
+    for i, s in enumerate(strs):
+        if s:
+            out[i, : len(s)] = np.frombuffer(
+                s.encode("utf-32-le"), dtype=np.uint32
+            )
+    return out, lens
+
+
+def damerau_batch_np(pats: list, texts: list) -> np.ndarray:
+    """Unrestricted Damerau-Levenshtein, vectorized across pairs AND
+    columns (Lowrance-Wagner with per-(pair, col) last-match tracking;
+    same recurrence as damerau.damerau_distance_np, which is the tested
+    per-pair oracle). Keeps the full DP cube per chunk for the
+    transposition gather — callers chunk to bound memory."""
+    n = len(pats)
+    A, las = _pad_codes(pats, 0xFFFFFFFE)
+    B, lbs = _pad_codes(texts, 0xFFFFFFFF)
+    order = np.argsort(-las, kind="stable")
+    inv = np.empty(n, dtype=np.intp)
+    inv[order] = np.arange(n, dtype=np.intp)
+    A, B = A[order], B[order]
+    las_s, lbs_s = las[order], lbs[order]
+    L1, L2 = A.shape[1], B.shape[1]
+    inf = np.int16(min(L1 + L2 + 1, 32000))
+    m = np.full((n, L1 + 2, L2 + 2), inf, dtype=np.int16)
+    m[:, 1, 1:] = np.arange(L2 + 1, dtype=np.int16)
+    m[:, 1:, 1] = np.arange(L1 + 1, dtype=np.int16)
+    j_idx = np.arange(1, L2 + 1, dtype=np.int16)
+    lastA_row = np.zeros((n, L2), dtype=np.int64)  # last i with A[i-1]==B[j]
+    rows = np.arange(n, dtype=np.intp)
+    active = n
+    for i in range(1, L1 + 1):
+        while active > 0 and las_s[active - 1] < i:
+            active -= 1
+        a = slice(0, active)
+        r = rows[:active]
+        eq = B[a] == A[a, i - 1 : i]
+        cost = (~eq).astype(np.int16)
+        match_pos = np.where(eq, j_idx, 0)
+        run = np.maximum.accumulate(match_pos, axis=1)
+        l_vec = np.zeros((active, L2), dtype=np.int64)
+        l_vec[:, 1:] = run[:, :-1]
+        k_vec = lastA_row
+        prev = m[a, i]
+        diag = prev[:, 1 : L2 + 1] + cost
+        up = prev[:, 2 : L2 + 2] + 1
+        trans = (
+            m[r[:, None], k_vec[a], l_vec]
+            + (i - k_vec[a] - 1).astype(np.int16)
+            + 1
+            + (j_idx[None, :] - l_vec - 1).astype(np.int16)
+        )
+        cand = np.minimum(np.minimum(diag, up), trans)
+        t = np.minimum.accumulate(
+            np.minimum(cand - j_idx[None, :], np.int16(min(i, 32000))), axis=1
+        )
+        m[a, i + 1, 2:] = np.minimum(cand, t + j_idx[None, :])
+        lastA_row[a] = np.where(eq, i, lastA_row[a])
+    out = m[rows, las_s + 1, lbs_s + 1].astype(np.int64)
+    return out[inv]
+
+
+_DL_CUBE_BUDGET = 24 * 1024 * 1024  # bytes; int16 cube sized to stay near L3
+
+_BLOCK_MAX_WORDS = 16  # vectorized path up to 1024-char patterns
+_BLOCK_CHUNK = 4096  # bounds the (chunk, W, 256) u64 PM table
+
+
+def _block_bucket(plen: int) -> int:
+    """Exact word count — measured better than power-of-two padding:
+    padded groups pay extra word-steps on every char, which outweighs the
+    per-group numpy overhead they save (kernel is compute-bound, not
+    group-bound, at Arrow-batch sizes)."""
+    return (plen + 63) >> 6
+
+
+def _is_latin1(s: str) -> bool:
+    try:
+        s.encode("latin-1")
+        return True
+    except UnicodeEncodeError:
+        return False
+
+
+def _run_block_groups(groups: dict, out: np.ndarray, kernel) -> None:
+    """groups: W -> (indices, pats, texts); runs `kernel` per W in
+    memory-bounded chunks and scatters results into `out`."""
+    for W, (idx, ps, ts) in groups.items():
+        for lo in range(0, len(idx), _BLOCK_CHUNK):
+            hi = lo + _BLOCK_CHUNK
+            out[np.asarray(idx[lo:hi], dtype=np.intp)] = kernel(
+                ps[lo:hi], ts[lo:hi], W
+            )
+
+
 def _affix_strip_pair(a: str, b: str) -> tuple[str, str, int]:
     pfx = common_prefix_len(a, b)
     a, b = a[pfx:], b[pfx:]
@@ -163,12 +464,17 @@ def _is_word_ok(s: str) -> bool:
 
 
 def levenshtein_batch(a_arr, b_arr) -> np.ndarray:
-    """Uniform Levenshtein distances for paired object arrays of str."""
+    """Uniform Levenshtein distances for paired object arrays of str.
+    Routing (per pair, after affix strip): <=64-char pattern -> one-word
+    vectorized Myers; <=64*_BLOCK_MAX_WORDS latin-1 -> blockwise
+    vectorized Myers grouped by word count; else arbitrary-precision
+    Python-int kernel with a per-batch pattern cache."""
     n = len(a_arr)
     out = np.zeros(n, dtype=np.int64)
     np_idx: list = []
     np_p: list = []
     np_t: list = []
+    blk: dict = {}
     pm_cache: dict = {}
     for i in range(n):
         a, b = a_arr[i], b_arr[i]
@@ -184,6 +490,13 @@ def levenshtein_batch(a_arr, b_arr) -> np.ndarray:
             np_idx.append(i)
             np_p.append(sa)
             np_t.append(sb)
+            continue
+        W = _block_bucket(len(sa))
+        if W <= _BLOCK_MAX_WORDS and _is_latin1(sa) and _is_latin1(sb):
+            g = blk.setdefault(W, ([], [], []))
+            g[0].append(i)
+            g[1].append(sa)
+            g[2].append(sb)
         else:
             pm = pm_cache.get(sa)
             if pm is None:
@@ -191,6 +504,7 @@ def levenshtein_batch(a_arr, b_arr) -> np.ndarray:
             out[i] = myers_distance(sa, sb, pm)
     if np_idx:
         out[np.asarray(np_idx, dtype=np.intp)] = myers_batch_word(np_p, np_t)
+    _run_block_groups(blk, out, myers_batch_block)
     return out
 
 
@@ -201,7 +515,8 @@ def lcs_similarity_batch(a_arr, b_arr) -> np.ndarray:
     np_idx: list = []
     np_p: list = []
     np_t: list = []
-    base: list = []
+    base = np.zeros(n, dtype=np.int64)
+    blk: dict = {}
     pm_cache: dict = {}
     for i in range(n):
         a, b = a_arr[i], b_arr[i]
@@ -209,6 +524,7 @@ def lcs_similarity_batch(a_arr, b_arr) -> np.ndarray:
             out[i] = len(a)
             continue
         sa, sb, affix = _affix_strip_pair(a, b)
+        base[i] = affix
         if not sa or not sb:
             out[i] = affix
             continue
@@ -218,7 +534,13 @@ def lcs_similarity_batch(a_arr, b_arr) -> np.ndarray:
             np_idx.append(i)
             np_p.append(sa)
             np_t.append(sb)
-            base.append(affix)
+            continue
+        W = _block_bucket(len(sa))
+        if W <= _BLOCK_MAX_WORDS and _is_latin1(sa) and _is_latin1(sb):
+            g = blk.setdefault(W, ([], [], []))
+            g[0].append(i)
+            g[1].append(sa)
+            g[2].append(sb)
         else:
             pm = pm_cache.get(sa)
             if pm is None:
@@ -226,7 +548,11 @@ def lcs_similarity_batch(a_arr, b_arr) -> np.ndarray:
             out[i] = affix + lcs_length(sa, sb, pm)
     if np_idx:
         idx = np.asarray(np_idx, dtype=np.intp)
-        out[idx] = np.asarray(base, dtype=np.int64) + lcs_batch_word(np_p, np_t)
+        out[idx] = base[idx] + lcs_batch_word(np_p, np_t)
+    _run_block_groups(blk, out, lcs_batch_block)
+    for W, (idx, _, _) in blk.items():
+        ix = np.asarray(idx, dtype=np.intp)
+        out[ix] += base[ix]
     return out
 
 
@@ -240,6 +566,7 @@ def indel_batch(a_arr, b_arr) -> np.ndarray:
 def osa_batch(a_arr, b_arr) -> np.ndarray:
     n = len(a_arr)
     out = np.zeros(n, dtype=np.int64)
+    blk: dict = {}
     pm_cache: dict = {}
     for i in range(n):
         a, b = a_arr[i], b_arr[i]
@@ -251,18 +578,59 @@ def osa_batch(a_arr, b_arr) -> np.ndarray:
             continue
         if len(sa) > len(sb):
             sa, sb = sb, sa
-        pm = pm_cache.get(sa)
-        if pm is None:
-            pm = pm_cache[sa] = pm_vector(sa)
-        out[i] = _osa.osa_distance_kernel(sa, sb, pm)
+        W = _block_bucket(len(sa))
+        if W <= _BLOCK_MAX_WORDS and _is_latin1(sa) and _is_latin1(sb):
+            g = blk.setdefault(W, ([], [], []))
+            g[0].append(i)
+            g[1].append(sa)
+            g[2].append(sb)
+        else:
+            pm = pm_cache.get(sa)
+            if pm is None:
+                pm = pm_cache[sa] = pm_vector(sa)
+            out[i] = _osa.osa_distance_kernel(sa, sb, pm)
+    _run_block_groups(blk, out, osa_batch_block)
     return out
 
 
 def damerau_batch(a_arr, b_arr) -> np.ndarray:
     n = len(a_arr)
     out = np.zeros(n, dtype=np.int64)
+    vec_idx: list = []
+    vec_p: list = []
+    vec_t: list = []
     for i in range(n):
-        out[i] = _damerau._dist(a_arr[i], b_arr[i])
+        a, b = a_arr[i], b_arr[i]
+        if a == b:
+            continue
+        sa, sb = _damerau.remove_common_affix(a, b)
+        if not sa or not sb:
+            out[i] = max(len(sa), len(sb))
+            continue
+        if len(sa) > len(sb):
+            sa, sb = sb, sa
+        if len(sa) * len(sb) <= 64:
+            out[i] = _damerau.damerau_distance_py(sa, sb)
+        else:
+            vec_idx.append(i)
+            vec_p.append(sa)
+            vec_t.append(sb)
+    if vec_idx:
+        # sort by pattern len desc and chunk so the per-chunk DP cube
+        # (n, L1+2, L2+2) int32 stays under budget
+        order = sorted(range(len(vec_idx)), key=lambda k: -len(vec_p[k]))
+        lo = 0
+        while lo < len(order):
+            L1 = len(vec_p[order[lo]]) + 2
+            L2 = max(len(vec_t[order[k]]) for k in range(lo, len(order))) + 2
+            step = max(8, _DL_CUBE_BUDGET // (L1 * L2 * 2))
+            sel = order[lo : lo + step]
+            ps = [vec_p[k] for k in sel]
+            ts = [vec_t[k] for k in sel]
+            res = damerau_batch_np(ps, ts)
+            for k, v in zip(sel, res):
+                out[vec_idx[k]] = v
+            lo += step
     return out
 
 

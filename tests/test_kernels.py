@@ -399,3 +399,96 @@ class TestDuality:
     def test_maximum_zero_guard(self):
         assert levenshtein.normalized_distance("", "") == 0.0
         assert levenshtein.normalized_similarity("", "") == 1.0
+
+
+# ---------------------------------------------------------------------------
+# vectorized multi-word (blockwise) batch kernels
+# ---------------------------------------------------------------------------
+
+
+class TestBlockwiseBatchKernels:
+    """The >64-char vectorized paths must agree with the arbitrary-
+    precision Python-int kernels (which are locked to the reference's
+    oracle vectors above)."""
+
+    def _cases(self):
+        import random
+
+        random.seed(11)
+        al = "abcdef "
+        out = []
+        for _ in range(300):
+            la = random.choice([3, 63, 64, 65, 129, 250, 400])
+            lb = random.choice([3, 64, 65, 130, 260, 410])
+            a = "".join(random.choice(al) for _ in range(la))
+            b = "".join(random.choice(al) for _ in range(lb))
+            out.append((a, b))
+        # word-boundary transpositions and equal strings
+        out += [("a" * 63 + "xy", "a" * 63 + "yx"), ("b" * 200, "b" * 200)]
+        return out
+
+    def test_levenshtein_block_matches_python(self):
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+        from rapidfuzz_spark.kernels.common import pm_vector
+        from rapidfuzz_spark.kernels.levenshtein import myers_distance
+
+        cases = self._cases()
+        a = np.array([c[0] for c in cases], dtype=object)
+        b = np.array([c[1] for c in cases], dtype=object)
+        got = B.levenshtein_batch(a, b)
+        for i, (x, y) in enumerate(cases):
+            if x == y:
+                assert got[i] == 0
+                continue
+            p, t = (x, y) if len(x) <= len(y) else (y, x)
+            assert got[i] == myers_distance(p, t, pm_vector(p))
+
+    def test_lcs_block_matches_python(self):
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+        from rapidfuzz_spark.kernels.common import pm_vector
+        from rapidfuzz_spark.kernels.lcs_indel import lcs_length
+
+        cases = self._cases()
+        a = np.array([c[0] for c in cases], dtype=object)
+        b = np.array([c[1] for c in cases], dtype=object)
+        got = B.lcs_similarity_batch(a, b)
+        for i, (x, y) in enumerate(cases):
+            p, t = (x, y) if len(x) <= len(y) else (y, x)
+            assert got[i] == (lcs_length(p, t, pm_vector(p)) if p else 0)
+
+    def test_osa_block_boundary_transposition(self):
+        from rapidfuzz_spark.kernels import batch as B
+
+        assert B.osa_batch_block(["a" * 63 + "xy"], ["a" * 63 + "yx"], 2)[0] == 1
+
+    def test_osa_block_matches_python(self):
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+        from rapidfuzz_spark.kernels import osa
+
+        cases = self._cases()
+        a = np.array([c[0] for c in cases], dtype=object)
+        b = np.array([c[1] for c in cases], dtype=object)
+        got = B.osa_batch(a, b)
+        for i, (x, y) in enumerate(cases):
+            assert got[i] == osa._dist(x, y)
+
+    def test_damerau_vectorized_matches_python(self):
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+        from rapidfuzz_spark.kernels import damerau
+
+        cases = self._cases()[:80]
+        a = np.array([c[0] for c in cases], dtype=object)
+        b = np.array([c[1] for c in cases], dtype=object)
+        got = B.damerau_batch(a, b)
+        for i, (x, y) in enumerate(cases):
+            sx, sy = damerau.remove_common_affix(x, y)
+            exp = damerau.damerau_distance_py(sx, sy) if (sx or sy) else 0
+            assert got[i] == exp
