@@ -14,6 +14,14 @@ Oracle notes:
 - prefix / postfix / hamming-pad oracles use generate_series scans.
 - jaro of two empty strings differs (DuckDB 0.0 vs reference 1.0);
   document texts are non-empty so the case never arises here.
+
+Training-data operators (textops) are oracle-checked too: every hash the
+Spark side uses (MinHash family, SimHash bits, LSH hyperplanes, media
+decode stubs) is md5-derived, so DuckDB reproduces it bit-for-bit;
+embedding math casts to double element-wise so sequential folds agree.
+``er_cluster_cc`` checks connected components against a recursive-CTE
+transitive closure. ``er_pipeline_f1`` / ``salted_block_pairs`` cover the
+full pipeline (rows-only / distribution-invariance respectively).
 """
 
 from __future__ import annotations

@@ -107,7 +107,13 @@ def q_pipeline_e2e(spark, tmp_dir):
     ingest -> blocking (salted) -> dual-pass scoring -> CC clustering."""
     n_docs = docs(spark).count()
     corpus = synth.synth_documents(spark, n_entities=max(500, n_docs), seed=42)
-    conf = P.PipelineConfig(metric="jaro_winkler", threshold=0.82, checkpoint=False)
+    # tested config (tests/test_pipeline.py): ratio @ 0.85; drop_cap culls
+    # stopword-grade blocking tokens (shared first/last names) whose blocks
+    # grow O(corpus) — the pair count stays O(docs x cluster_size) instead
+    # of O(docs^2 / vocabulary)
+    conf = P.PipelineConfig(
+        metric="ratio", threshold=0.85, drop_cap=500, checkpoint=False
+    )
     ents = P.run_pipeline(spark, corpus.drop("entity_id"), tmp_dir, conf)
     return ents.select(F.countDistinct("entity_id")).collect()[0][0]
 

@@ -52,10 +52,22 @@ def _encode_latin1(strings) -> Optional[tuple]:
     return codes, lens, offs
 
 
-def _build_pm_word(pats: list, codes, lens, offs) -> np.ndarray:
-    """PM bitmask table, shape (n, 256) uint64, for patterns of len <= 64."""
+def _compact_alphabet(pcodes: np.ndarray, tcodes: np.ndarray):
+    """Remap latin-1 codes to a dense alphabet of the PATTERN characters
+    (slot 0 = 'not in any pattern', PM row 0 stays zero). PM tables shrink
+    from 256 columns to |alphabet|+1, keeping the per-batch gather tables
+    cache-resident — the multi-process scaling bottleneck is the random
+    PM gather, not compute."""
+    uniq = np.unique(pcodes)
+    remap = np.zeros(256, dtype=np.intp)
+    remap[uniq] = np.arange(1, len(uniq) + 1, dtype=np.intp)
+    return remap[pcodes], remap[tcodes], len(uniq) + 1
+
+
+def _build_pm_word(pats: list, codes, lens, offs, sigma: int = 256) -> np.ndarray:
+    """PM bitmask table, shape (n, sigma) uint64, for patterns of len <= 64."""
     n = len(pats)
-    pm = np.zeros((n, 256), dtype=np.uint64)
+    pm = np.zeros((n, sigma), dtype=np.uint64)
     rows = np.repeat(np.arange(n, dtype=np.intp), lens)
     pos = np.arange(len(codes), dtype=np.int64) - np.repeat(offs[:-1], lens)
     bits = (np.uint64(1) << pos.astype(np.uint64))
@@ -81,11 +93,12 @@ def myers_batch_word(pats: list, texts: list) -> np.ndarray:
     assert enc_p is not None and enc_t is not None
     pcodes, plens, poffs = enc_p
     tcodes, tlens, toffs = enc_t
+    pcodes, tcodes, sigma = _compact_alphabet(pcodes, tcodes)
     # sort by text length desc -> active pairs are a prefix at every step
     order = np.argsort(-tlens, kind="stable")
     inv = np.empty(n, dtype=np.intp)
     inv[order] = np.arange(n, dtype=np.intp)
-    pm = _build_pm_word(pats, pcodes, plens, poffs)[order]
+    pm = _build_pm_word(pats, pcodes, plens, poffs, sigma)[order]
     plens_s = plens[order]
     tlens_s = tlens[order]
     toffs_s = toffs[:-1][order]
@@ -122,10 +135,11 @@ def lcs_batch_word(pats: list, texts: list) -> np.ndarray:
     n = len(pats)
     pcodes, plens, poffs = _encode_latin1(pats)
     tcodes, tlens, toffs = _encode_latin1(texts)
+    pcodes, tcodes, sigma = _compact_alphabet(pcodes, tcodes)
     order = np.argsort(-tlens, kind="stable")
     inv = np.empty(n, dtype=np.intp)
     inv[order] = np.arange(n, dtype=np.intp)
-    pm = _build_pm_word(pats, pcodes, plens, poffs)[order]
+    pm = _build_pm_word(pats, pcodes, plens, poffs, sigma)[order]
     plens_s = plens[order]
     tlens_s = tlens[order]
     toffs_s = toffs[:-1][order]
@@ -144,10 +158,12 @@ def lcs_batch_word(pats: list, texts: list) -> np.ndarray:
     return plens_s[inv].astype(np.int64) - _popcount_u64(s[inv]).astype(np.int64)
 
 
-def _build_pm_block(pats: list, codes, lens, offs, W: int) -> np.ndarray:
-    """PM bitmask table, shape (n, W, 256) uint64, patterns of len <= 64*W."""
+def _build_pm_block(
+    pats: list, codes, lens, offs, W: int, sigma: int = 256
+) -> np.ndarray:
+    """PM bitmask table, shape (n, W, sigma) uint64, patterns len <= 64*W."""
     n = len(pats)
-    pm = np.zeros((n, W, 256), dtype=np.uint64)
+    pm = np.zeros((n, W, sigma), dtype=np.uint64)
     rows = np.repeat(np.arange(n, dtype=np.intp), lens)
     pos = np.arange(len(codes), dtype=np.int64) - np.repeat(offs[:-1], lens)
     word = (pos >> 6).astype(np.intp)
@@ -166,10 +182,11 @@ def myers_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
     n = len(pats)
     pcodes, plens, poffs = _encode_latin1(pats)
     tcodes, tlens, toffs = _encode_latin1(texts)
+    pcodes, tcodes, sigma = _compact_alphabet(pcodes, tcodes)
     order = np.argsort(-tlens, kind="stable")
     inv = np.empty(n, dtype=np.intp)
     inv[order] = np.arange(n, dtype=np.intp)
-    pm = _build_pm_block(pats, pcodes, plens, poffs, W)[order]
+    pm = _build_pm_block(pats, pcodes, plens, poffs, W, sigma)[order]
     plens_s = plens[order]
     tlens_s = tlens[order]
     toffs_s = toffs[:-1][order]
@@ -242,10 +259,11 @@ def lcs_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
     n = len(pats)
     pcodes, plens, poffs = _encode_latin1(pats)
     tcodes, tlens, toffs = _encode_latin1(texts)
+    pcodes, tcodes, sigma = _compact_alphabet(pcodes, tcodes)
     order = np.argsort(-tlens, kind="stable")
     inv = np.empty(n, dtype=np.intp)
     inv[order] = np.arange(n, dtype=np.intp)
-    pm = _build_pm_block(pats, pcodes, plens, poffs, W)[order]
+    pm = _build_pm_block(pats, pcodes, plens, poffs, W, sigma)[order]
     plens_s = plens[order]
     tlens_s = tlens[order]
     toffs_s = toffs[:-1][order]
@@ -283,10 +301,11 @@ def osa_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
     n = len(pats)
     pcodes, plens, poffs = _encode_latin1(pats)
     tcodes, tlens, toffs = _encode_latin1(texts)
+    pcodes, tcodes, sigma = _compact_alphabet(pcodes, tcodes)
     order = np.argsort(-tlens, kind="stable")
     inv = np.empty(n, dtype=np.intp)
     inv[order] = np.arange(n, dtype=np.intp)
-    pm = _build_pm_block(pats, pcodes, plens, poffs, W)[order]
+    pm = _build_pm_block(pats, pcodes, plens, poffs, W, sigma)[order]
     plens_s = plens[order]
     tlens_s = tlens[order]
     toffs_s = toffs[:-1][order]
@@ -342,6 +361,107 @@ def osa_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
             pms[a, w] = pm_j
             hp_c, hn_c = hp_c_new, hn_c_new
     return dist[inv]
+
+
+def jaro_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
+    """Vectorized-across-pairs Jaro similarity (pattern <= 64*W chars,
+    latin-1). Two phases mirroring the reference's bit-parallel flagging
+    (/root/reference/src/distance/jaro.rs:147-190,286-420):
+
+    1. per text char, build the per-pair match window [j-bound, j+bound]
+       over the pattern's words, flag the lowest unflagged PM bit, and
+       append the text char to the pair's match sequence;
+    2. walk flagged pattern bits in order against the matched text chars
+       to count transpositions.
+    """
+    n = len(pats)
+    pcodes, plens, poffs = _encode_latin1(pats)
+    tcodes, tlens, toffs = _encode_latin1(texts)
+    pcodes, tcodes, sigma = _compact_alphabet(pcodes, tcodes)
+    order = np.argsort(-tlens, kind="stable")
+    inv = np.empty(n, dtype=np.intp)
+    inv[order] = np.arange(n, dtype=np.intp)
+    pm = _build_pm_block(pats, pcodes, plens, poffs, W, sigma)[order]
+    plens_s = plens[order].astype(np.int64)
+    tlens_s = tlens[order].astype(np.int64)
+    toffs_s = toffs[:-1][order]
+    poffs_s = poffs[:-1][order]
+    bound = np.maximum(np.maximum(plens_s, tlens_s) // 2 - 1, 0)
+    one = np.uint64(1)
+    flagged = np.zeros((n, W), dtype=np.uint64)
+    max_m = int(plens_s.max()) if n else 0
+    matched2 = np.zeros((n, max(max_m, 1)), dtype=np.intp)
+    cnt = np.zeros(n, dtype=np.int64)
+    max_t = int(tlens_s[0]) if n else 0
+    active = n
+    rows = np.arange(n, dtype=np.intp)
+    # sliding window maintained incrementally: at char j the window is
+    # pattern bits [j-bound, j+bound] — each step sets one new high-edge
+    # bit and clears one low-edge bit (two scatters instead of a full
+    # per-word mask rebuild)
+    window = np.zeros((n, W), dtype=np.uint64)
+    hi_ptr = np.zeros(n, dtype=np.int64)  # next bit to set (exclusive hi)
+    for j in range(max_t):
+        while active > 0 and tlens_s[active - 1] <= j:
+            active -= 1
+        a = slice(0, active)
+        r = rows[:active]
+        cj = tcodes[toffs_s[a] + j]
+        hi_target = np.minimum(j + bound[a] + 1, plens_s[a])
+        while True:
+            grow = np.nonzero(hi_ptr[:active] < hi_target)[0]
+            if len(grow) == 0:
+                break
+            p = hi_ptr[grow]
+            window[grow, (p >> 6)] |= one << (p & 63).astype(np.uint64)
+            hi_ptr[grow] += 1
+        lo_clear = j - bound[a] - 1
+        shrink = np.nonzero((lo_clear >= 0) & (lo_clear < plens_s[a]))[0]
+        if len(shrink):
+            p = lo_clear[shrink]
+            window[shrink, (p >> 6)] &= ~(one << (p & 63).astype(np.uint64))
+        taken = np.zeros(active, dtype=bool)
+        for w in range(W):
+            cand = pm[r, w, cj] & window[a, w] & ~flagged[a, w]
+            take = (cand != 0) & ~taken
+            if take.any():
+                low = cand & (~cand + one)
+                tr = r[take]
+                flagged[tr, w] |= low[take]
+                taken |= take
+        hit = np.nonzero(taken)[0]
+        if len(hit):
+            matched2[hit, cnt[hit]] = cj[hit]
+            cnt[hit] += 1
+    # phase 2: transpositions, fully vectorized — unpack flagged bits to a
+    # boolean matrix; np.nonzero yields (pair, pos) in row-major order =
+    # flag order per pair; compare against the matched text chars in order
+    t_cnt = np.zeros(n, dtype=np.int64)
+    if max_m:
+        bits = np.unpackbits(
+            flagged.view(np.uint8), axis=1, bitorder="little"
+        )[:, : max(max_m, 1)]
+        ri, ci = np.nonzero(bits)
+        if len(ri):
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(np.bincount(ri, minlength=n), out=starts[1:])
+            seq = np.arange(len(ri)) - starts[ri]
+            ch1 = pcodes[poffs_s[ri] + ci]
+            ch2 = matched2[ri, seq]
+            np.add.at(t_cnt, ri, (ch1 != ch2).astype(np.int64))
+    m = cnt.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sim = np.where(
+            cnt > 0,
+            (
+                m / plens_s
+                + m / tlens_s
+                + (m - (t_cnt // 2)) / np.where(cnt > 0, m, 1.0)
+            )
+            / 3.0,
+            0.0,
+        )
+    return sim[inv]
 
 
 def _pad_codes(strs: list, sentinel: int) -> tuple[np.ndarray, np.ndarray]:
@@ -414,7 +534,7 @@ def damerau_batch_np(pats: list, texts: list) -> np.ndarray:
 _DL_CUBE_BUDGET = 24 * 1024 * 1024  # bytes; int16 cube sized to stay near L3
 
 _BLOCK_MAX_WORDS = 16  # vectorized path up to 1024-char patterns
-_BLOCK_CHUNK = 4096  # bounds the (chunk, W, 256) u64 PM table
+_BLOCK_CHUNK = 512  # bounds the (chunk, W, 256) u64 PM table
 
 
 def _block_bucket(plen: int) -> int:
@@ -637,26 +757,45 @@ def damerau_batch(a_arr, b_arr) -> np.ndarray:
 def jaro_batch(a_arr, b_arr) -> np.ndarray:
     n = len(a_arr)
     out = np.zeros(n, dtype=np.float64)
+    blk: dict = {}
     pm_cache: dict = {}
     for i in range(n):
-        a = a_arr[i]
-        pm = pm_cache.get(a)
-        if pm is None:
-            pm = pm_cache[a] = pm_vector(a)
-        out[i] = _jaro.jaro_similarity(a, b_arr[i], pm)
+        a, b = a_arr[i], b_arr[i]
+        if a == b:
+            out[i] = 1.0 if a else 1.0  # both empty -> 1.0 (reference)
+            continue
+        if not a or not b:
+            out[i] = 0.0
+            continue
+        sa, sb = (a, b) if len(a) <= len(b) else (b, a)
+        W = _block_bucket(len(sa))
+        if W <= _BLOCK_MAX_WORDS and _is_latin1(sa) and _is_latin1(sb):
+            g = blk.setdefault(W, ([], [], []))
+            g[0].append(i)
+            g[1].append(sa)
+            g[2].append(sb)
+        else:
+            pm = pm_cache.get(sa)
+            if pm is None:
+                pm = pm_cache[sa] = pm_vector(sa)
+            out[i] = _jaro.jaro_similarity(sa, sb, pm)
+    _run_block_groups(blk, out, jaro_batch_block)
     return out
 
 
 def jaro_winkler_batch(a_arr, b_arr, prefix_weight: float = 0.1) -> np.ndarray:
-    n = len(a_arr)
-    out = np.zeros(n, dtype=np.float64)
-    pm_cache: dict = {}
-    for i in range(n):
-        a = a_arr[i]
-        pm = pm_cache.get(a)
-        if pm is None:
-            pm = pm_cache[a] = pm_vector(a)
-        out[i] = _jaro.jaro_winkler_similarity(a, b_arr[i], prefix_weight, pm)
+    """Jaro + Winkler prefix boost (jaro_winkler.rs:78-98): applied only
+    when jaro > 0.7, prefix capped at 4, result capped at 1.0."""
+    out = jaro_batch(a_arr, b_arr)
+    boost = np.nonzero(out > 0.7)[0]
+    for i in boost:
+        a, b = a_arr[i], b_arr[i]
+        pfx = 0
+        nmax = min(len(a), len(b), 4)
+        while pfx < nmax and a[pfx] == b[pfx]:
+            pfx += 1
+        if pfx:
+            out[i] = min(out[i] + pfx * prefix_weight * (1.0 - out[i]), 1.0)
     return out
 
 

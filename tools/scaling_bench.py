@@ -1,0 +1,119 @@
+"""N-vs-4N scaling evidence (BASELINE.json north_rule: >= 0.8 throughput
+scaling efficiency between N- and 4N-executor clusters).
+
+Sandbox proxy per driver instruction: the same job at two parallelism
+levels on the SAME input. This uses Spark's ``local-cluster[N,4,mem]``
+master — N real executor JVMs on this machine, each with its own heap,
+GC, Arrow channels, and Python workers — so "1 executor vs 4 executors"
+is measured, not just "4 threads vs 16 threads of one JVM".
+
+The job is the ER pipeline's pairwise-scoring stage (the north-rule
+throughput metric is scored-pairs/sec): blocked candidate pairs of the
+synthesized interleaved corpus, scored with 4 metrics per pair. The input
+is materialized (localCheckpoint) at a FIXED 128 partitions before the
+clock starts, so every run executes identical tasks — strong scaling.
+
+    SCALING_ENTITIES=600000 python tools/scaling_bench.py 1   # N
+    SCALING_ENTITIES=600000 python tools/scaling_bench.py 4   # 4N
+
+Prints one JSON line per run; results recorded in BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import rapidfuzz_spark.functions as RF
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PARTS = 128  # fixed task count -> identical work at every parallelism
+
+
+def main() -> None:
+    # N executors x 4 cores each, one JVM per executor (local-cluster) —
+    # the faithful sandbox proxy for "N- vs 4N-executor clusters": each
+    # executor owns its heap, GC, Arrow channels, and Python workers.
+    # `scaling_bench.py 1` vs `scaling_bench.py 4` is the N vs 4N pair.
+    n_exec = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    cores = int(os.environ.get("SCALING_CORES_PER_EXEC", "4"))
+    mem_mb = int(os.environ.get("SCALING_EXEC_MB", "8192"))
+    cpus = n_exec * cores
+    os.environ.setdefault("PYTHONPATH", "/root/repo")
+    spark = (
+        SparkSession.builder.master(f"local-cluster[{n_exec},{cores},{mem_mb}]")
+        .appName(f"rf-scaling-{n_exec}x{cores}")
+        .config("spark.sql.shuffle.partitions", str(PARTS))
+        .config("spark.driver.memory", "8g")
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # the north-rule job: the ER pipeline's pairwise-scoring stage over the
+    # blocked candidate pairs of the synthesized interleaved corpus
+    from rapidfuzz_spark.pipeline import blocking, ingest, scoring, synth
+
+    n_entities = int(os.environ.get("SCALING_ENTITIES", "40000"))
+    corpus = synth.synth_documents(spark, n_entities=n_entities, seed=42)
+    docs_t = ingest.with_match_text(corpus.drop("entity_id")).localCheckpoint(
+        eager=True
+    )
+    keys = blocking.blocking_keys(docs_t, sn_window=3)
+    cand = blocking.candidate_pairs(keys, hot_cap=200, drop_cap=500)
+    pairs = (
+        scoring.attach_texts(cand, docs_t)
+        .select(
+            F.col("text_1").alias("t1"),
+            F.col("text_2").alias("t2"),
+        )
+        .repartition(PARTS)
+        .localCheckpoint(eager=True)
+    )
+    n_pairs = pairs.count()
+    # warm-up: spawns the Python workers + imports outside the timed region
+    pairs.limit(PARTS * 10).select(RF.ratio("t1", "t2").alias("s")).agg(
+        F.count("s")
+    ).collect()
+
+    t0 = time.perf_counter()
+    pairs.select(
+        RF.jaro_winkler_similarity("t1", "t2").alias("jw"),
+        RF.ratio("t1", "t2").alias("r"),
+        RF.levenshtein_normalized_similarity("t1", "t2").alias("lv"),
+        RF.osa_normalized_similarity("t1", "t2").alias("os"),
+    ).agg(
+        F.count("jw"), F.sum("jw"), F.sum("r"), F.sum("lv"), F.sum("os")
+    ).collect()
+    wall = time.perf_counter() - t0
+    scored = 4 * n_pairs  # four metrics per pair
+    print(
+        json.dumps(
+            {
+                "executors": n_exec,
+                "cores_per_executor": cores,
+                "cpus": cpus,
+                "n_pairs": n_pairs,
+                "scored": scored,
+                "wall_sec": round(wall, 3),
+                "scored_pairs_per_sec": round(scored / wall, 1),
+                "sf_dir": SF_DIR,
+                "partitions": PARTS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
