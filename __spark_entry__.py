@@ -539,6 +539,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(rows, "stat string, value double")
 
     q["er_pipeline_f1"] = er_pipeline_f1
+
+    def part_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Fuzzy join on a second table family: top-1 most-similar other
+        part name (jaro-winkler) within the same p_type block."""
+        p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+            "p_partkey", "p_name", "p_type"
+        ).repartition(spark.sparkContext.defaultParallelism)
+        a, b = p.alias("a"), p.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.p_partkey") != F.col("b.p_partkey")),
+        ).select(
+            F.col("a.p_partkey").alias("pid"),
+            F.col("b.p_partkey").alias("cand"),
+            F.round(
+                RF.jaro_winkler_similarity(F.col("a.p_name"), F.col("b.p_name")), 6
+            ).alias("jw"),
+        )
+        w = Window.partitionBy("pid").orderBy(F.desc("jw"), "cand")
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .select("pid", F.col("cand").alias("best_match"), F.col("jw").alias("sim"))
+        )
+
+    q["part_name_match"] = part_name_match
+
+    def lev_token_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Levenshtein over array<int> sequences (HashableChar parity —
+        reference src/lib.rs:109-121): token-length code sequences of the
+        first 20 tokens of each doc pair."""
+        p = _pairs(spark, sf_dir)
+        seq = lambda c: F.transform(  # noqa: E731
+            F.slice(F.split(F.lower(c), r"\s+"), 1, 20),
+            lambda t: (F.length(t) % 26 + 97).cast("int"),
+        )
+        return p.select(
+            "id_1",
+            "id_2",
+            RF.levenshtein_distance_seq(seq("t1"), seq("t2")).alias("lev_seq"),
+        )
+
+    q["lev_token_seq"] = lev_token_seq
     return q
 
 
@@ -871,4 +915,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
       )
       SELECT a AS doc_id, min(b) AS entity_id FROM reach GROUP BY a"""
+    o["part_name_match"] = """
+      WITH pairs AS (
+        SELECT a.p_partkey AS pid, b.p_partkey AS cand,
+               round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        FROM part a JOIN part b
+          ON a.p_type = b.p_type AND a.p_partkey <> b.p_partkey),
+      r AS (SELECT *, row_number() OVER (
+              PARTITION BY pid ORDER BY jw DESC, cand) AS rnk FROM pairs)
+      SELECT pid, cand AS best_match, jw AS sim FROM r WHERE rnk = 1"""
+    # the sequence metric treats elements by identity (hash domain), so an
+    # injective int->char remap reproduces it exactly in string SQL
+    o["lev_token_seq"] = f"""
+      SELECT id_1, id_2,
+             levenshtein(
+               array_to_string(list_transform(
+                 string_split_regex(lower(t1), '\\s+')[1:20],
+                 t -> chr((len(t) % 26 + 97)::INT)), ''),
+               array_to_string(list_transform(
+                 string_split_regex(lower(t2), '\\s+')[1:20],
+                 t -> chr((len(t) % 26 + 97)::INT)), '')) AS lev_seq
+      FROM ({_PAIRS_SQL})"""
     return o

@@ -242,6 +242,83 @@ def ratio(
     return indel_normalized_similarity(s1, s2, score_cutoff=score_cutoff)
 
 
+# ---- arbitrary hashable-element sequences (array<int>/array<long>) --------
+#
+# The reference is generic over HashableChar — element identity IS its hash
+# (src/lib.rs:102-121), so any injective remap preserves every metric.
+# Arrays of ints are remapped per Arrow batch to a dense codepoint
+# alphabet and scored by the same string batch engine (latin-1 fast path
+# when the vocabulary fits in 255 symbols).
+
+
+def _seqs_to_strings(c1: pd.Series, c2: pd.Series):
+    vocab: dict = {}
+
+    def enc(seq) -> str:
+        out = []
+        for v in seq:
+            code = vocab.get(v)
+            if code is None:
+                code = len(vocab) + 1
+                if code >= 0xD800:  # jump the surrogate gap (injective)
+                    code += 0x800
+                vocab[v] = code
+            out.append(chr(code))
+        return "".join(out)
+
+    a = np.array([enc(s if s is not None else []) for s in c1], dtype=object)
+    b = np.array([enc(s if s is not None else []) for s in c2], dtype=object)
+    return a, b
+
+
+def _seq_metric_fn(metric: str, variant: str):
+    integral = metric in _INTEGRAL_METRICS and variant in ("distance", "similarity")
+    ret_type = "long" if integral else "double"
+
+    def fn(
+        s1: ColumnOrName,
+        s2: ColumnOrName,
+        score_cutoff: Optional[float] = None,
+        score_hint: Optional[float] = None,
+        **params,
+    ) -> Column:
+        @pandas_udf(ret_type)
+        def _udf(c1: pd.Series, c2: pd.Series) -> pd.Series:
+            null = c1.isna() | c2.isna()
+            a, b = _seqs_to_strings(c1, c2)
+            vals, keep = _score_block(metric, variant, a, b, score_cutoff, **params)
+            out = (
+                pd.Series(vals.astype(np.int64), dtype="Int64")
+                if integral
+                else pd.Series(vals, dtype="float64")
+            )
+            drop = null.to_numpy()
+            if keep is not None:
+                drop = drop | ~keep
+            out[drop] = None
+            return out
+
+        return _udf(s1, s2)
+
+    fn.__name__ = f"{metric}_{variant}_seq"
+    fn.__doc__ = (
+        f"{metric} {variant.replace('_', ' ')} over array<int>/array<long> "
+        f"columns (HashableChar parity: elements compared by identity)."
+    )
+    return fn
+
+
+levenshtein_distance_seq = _seq_metric_fn("levenshtein", "distance")
+levenshtein_normalized_similarity_seq = _seq_metric_fn(
+    "levenshtein", "normalized_similarity"
+)
+indel_distance_seq = _seq_metric_fn("indel", "distance")
+lcs_seq_similarity_seq = _seq_metric_fn("lcs_seq", "similarity")
+hamming_distance_seq = _seq_metric_fn("hamming", "distance")
+damerau_levenshtein_distance_seq = _seq_metric_fn("damerau_levenshtein", "distance")
+osa_distance_seq = _seq_metric_fn("osa", "distance")
+
+
 def token_sort_key(col: ColumnOrName) -> Column:
     """Canonical token-sorted key (lowercase, non-alnum -> space, tokens
     sorted) — pure Spark built-ins, used for blocking and exact-dup checks."""

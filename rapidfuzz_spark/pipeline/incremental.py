@@ -1,0 +1,137 @@
+"""Incremental entity resolution: link NEW documents against an existing
+entity catalog without re-running the full pairwise pipeline, plus a
+Structured Streaming wrapper.
+
+Batch path (`link_increment`): new docs are blocked against the existing
+corpus only (no new-x-new self-join by default), scored with the same
+dual-pass cutoff scorer as the batch pipeline, and each new doc adopts the
+entity of its best match at/above the threshold — otherwise it founds a
+new entity (its own doc_id). At scale the increment is small relative to
+the base, so the blocking-key join broadcasts the increment's keys and
+the base side is never reshuffled.
+
+Streaming path (`stream_link`): `readStream` -> `foreachBatch` over
+`link_increment` — each micro-batch appends its entity assignments to the
+output table. foreachBatch (not a stateful operator) is the right Spark
+shape here: linkage needs a join against the big static catalog, which is
+a batch join per micro-batch, and Spark's checkpointing makes the stream
+exactly-once at the sink.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import blocking, ingest, scoring
+from .run import PipelineConfig
+
+
+def link_increment(
+    new_docs: DataFrame,
+    base_docs_t: DataFrame,
+    base_entities: DataFrame,
+    conf: PipelineConfig = PipelineConfig(),
+) -> DataFrame:
+    """Assign an entity_id to every row of ``new_docs``.
+
+    - new_docs:     (doc_id, spans) — the increment
+    - base_docs_t:  existing docs WITH derived text columns
+      (``ingest.with_match_text`` output)
+    - base_entities: (doc_id, entity_id) for the existing docs
+
+    Returns (doc_id, spans, entity_id, matched_doc_id, score); spans pass
+    through untouched (span-sequence invariant).
+    """
+    new_t = ingest.with_match_text(new_docs)
+    keys_new = blocking.blocking_keys(new_t, use_sorted_neighborhood=False)
+    keys_base = blocking.blocking_keys(base_docs_t, use_sorted_neighborhood=False)
+    # census over the BASE keys: hot/stopword keys are dropped exactly as
+    # in batch blocking (the increment inherits the same skew policy)
+    census = blocking.hot_key_census(keys_base, conf.hot_cap, conf.drop_cap)
+    keys_base = (
+        keys_base.join(F.broadcast(census), "block_key", "left")
+        .where(~F.coalesce(F.col("dropped"), F.lit(False)))
+        .select("block_key", "doc_id")
+    )
+    cand = (
+        F.broadcast(keys_new.withColumnRenamed("doc_id", "new_id"))
+        .join(keys_base.withColumnRenamed("doc_id", "base_id"), "block_key")
+        .select("new_id", "base_id")
+        .dropDuplicates(["new_id", "base_id"])
+    )
+    pairs = cand.select(
+        F.col("new_id").alias("doc_id_1"), F.col("base_id").alias("doc_id_2")
+    )
+    t_new = new_t.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("canon_text").alias("text_1"),
+        F.col("norm_text").alias("raw_1"),
+    )
+    t_base = base_docs_t.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("canon_text").alias("text_2"),
+        F.col("norm_text").alias("raw_2"),
+    )
+    pairs_t = (
+        pairs.join(F.broadcast(t_new), "doc_id_1")
+        .join(t_base, "doc_id_2")
+        .withColumn("len_1", F.length("text_1"))
+        .withColumn("len_2", F.length("text_2"))
+    )
+    edges = scoring.score_pairs(pairs_t, metric=conf.metric, threshold=conf.threshold)
+    w = Window.partitionBy("doc_id_1").orderBy(F.desc("score"), "doc_id_2")
+    best = (
+        edges.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") == 1)
+        .select(
+            F.col("doc_id_1").alias("doc_id"),
+            F.col("doc_id_2").alias("matched_doc_id"),
+            "score",
+        )
+    )
+    assigned = (
+        best.join(
+            base_entities.withColumnsRenamed(
+                {"doc_id": "matched_doc_id", "entity_id": "matched_entity_id"}
+            ),
+            "matched_doc_id",
+        )
+    )
+    return (
+        new_docs.join(F.broadcast(assigned), "doc_id", "left")
+        .withColumn("entity_id", F.coalesce("matched_entity_id", "doc_id"))
+        .drop("matched_entity_id")
+    )
+
+
+def stream_link(
+    stream_docs: DataFrame,
+    base_docs_t: DataFrame,
+    base_entities: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    conf: PipelineConfig = PipelineConfig(),
+    trigger_available_now: bool = True,
+):
+    """Structured Streaming linkage: stream of (doc_id, spans) micro-batches
+    -> entity assignments appended to ``out_dir`` parquet. Returns the
+    StreamingQuery (caller awaits termination)."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        out = link_increment(batch_df, base_docs_t, base_entities, conf)
+        out.select(
+            "doc_id", "entity_id", "matched_doc_id", "score"
+        ).write.mode("append").parquet(os.path.join(out_dir, "assignments"))
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

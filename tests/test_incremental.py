@@ -1,0 +1,106 @@
+"""Incremental ER (batch + Structured Streaming) and array-sequence
+metric functions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+import rapidfuzz_spark.functions as RF
+from rapidfuzz_spark.pipeline import incremental, ingest, synth
+from rapidfuzz_spark.pipeline.run import PipelineConfig
+
+
+@pytest.fixture(scope="module")
+def split_corpus(spark):
+    """Synthesized corpus split into a base catalog (first doc of each
+    entity) and an increment (the remaining duplicate docs)."""
+    docs = synth.synth_documents(spark, n_entities=250, seed=42).cache()
+    first = docs.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("entity_id").orderBy("doc_id")),
+    )
+    base = first.where(F.col("rn") == 1).drop("rn").cache()
+    increment = first.where(F.col("rn") > 1).drop("rn").cache()
+    base.count(), increment.count()
+    return base, increment
+
+
+def test_link_increment_accuracy(spark, split_corpus):
+    base, increment = split_corpus
+    base_t = ingest.with_match_text(base.select("doc_id", "spans"))
+    base_entities = base.select("doc_id", F.col("doc_id").alias("entity_id"))
+    conf = PipelineConfig(metric="ratio", threshold=0.85)
+    out = incremental.link_increment(
+        increment.select("doc_id", "spans"), base_t, base_entities, conf
+    ).cache()
+    assert out.count() == increment.count()
+    # spans pass through untouched
+    assert (
+        out.select("doc_id", "spans")
+        .exceptAll(increment.select("doc_id", "spans"))
+        .isEmpty()
+    )
+    # accuracy: the assigned entity's doc belongs to the same true entity
+    truth = increment.select("doc_id", F.col("entity_id").alias("true_ent"))
+    base_truth = base.select(
+        F.col("doc_id").alias("entity_id"), F.col("entity_id").alias("ent_true")
+    )
+    joined = out.join(truth, "doc_id").join(base_truth, "entity_id", "left")
+    n = joined.count()
+    correct = joined.where(F.col("ent_true") == F.col("true_ent")).count()
+    assert correct / n >= 0.9, f"incremental accuracy {correct}/{n}"
+
+
+def test_stream_link(spark, split_corpus, tmp_path):
+    base, increment = split_corpus
+    base_t = ingest.with_match_text(base.select("doc_id", "spans"))
+    base_entities = base.select("doc_id", F.col("doc_id").alias("entity_id"))
+    src = str(tmp_path / "stream_src")
+    increment.select("doc_id", "spans").repartition(3).write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = incremental.stream_link(
+        stream,
+        base_t,
+        base_entities,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        conf=PipelineConfig(metric="ratio", threshold=0.85),
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out" / "assignments"))
+    assert out.count() == increment.count()
+    assert out.select("doc_id").distinct().count() == increment.count()
+
+
+def test_seq_metrics_match_string_metrics(spark):
+    """array<int> sequences: injective remap invariance — distances equal
+    those of the equivalent strings (HashableChar parity)."""
+    rows = [
+        ([1, 2, 3, 4], [1, 2, 4]),
+        ([7, 7, 7], [8, 8, 8]),
+        ([1, 2], [2, 1]),
+        ([100000, 5], [100000, 5]),
+    ]
+    df = spark.createDataFrame(rows, "s1 array<int>, s2 array<int>")
+    got = df.select(
+        RF.levenshtein_distance_seq("s1", "s2").alias("lev"),
+        RF.indel_distance_seq("s1", "s2").alias("ind"),
+        RF.hamming_distance_seq("s1", "s2", pad=True).alias("ham"),
+        RF.osa_distance_seq("s1", "s2").alias("osa"),
+        RF.damerau_levenshtein_distance_seq("s1", "s2").alias("dl"),
+    ).collect()
+    assert [r.lev for r in got] == [1, 3, 2, 0]
+    assert [r.ind for r in got] == [1, 6, 2, 0]  # indel = l1+l2-2*LCS
+    assert [r.ham for r in got] == [2, 3, 2, 0]
+    assert [r.osa for r in got] == [1, 3, 1, 0]
+    assert [r.dl for r in got] == [1, 3, 1, 0]
+
+
+def test_seq_metrics_int_hamming_reference_case(spark):
+    # reference hamming.rs: [1,2,4] vs [1,2,3] = 1
+    df = spark.createDataFrame([([1, 2, 4], [1, 2, 3])], "s1 array<int>, s2 array<int>")
+    assert df.select(RF.hamming_distance_seq("s1", "s2").alias("h")).collect()[0].h == 1
