@@ -583,6 +583,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["lev_token_seq"] = lev_token_seq
+
+    def incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental ER: link the duplicate docs of a synthesized corpus
+        against a base catalog of one doc per entity (rows-only check —
+        corpus is mapInPandas-synthesized)."""
+        from rapidfuzz_spark.pipeline import incremental, ingest, synth
+        from rapidfuzz_spark.pipeline.run import PipelineConfig
+
+        docs = synth.synth_documents(spark, n_entities=300, seed=42)
+        first = docs.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("entity_id").orderBy("doc_id")),
+        )
+        base = first.where(F.col("rn") == 1).drop("rn")
+        inc = first.where(F.col("rn") > 1).drop("rn")
+        base_t = ingest.with_match_text(base.select("doc_id", "spans"))
+        base_ents = base.select("doc_id", F.col("doc_id").alias("entity_id"))
+        out = incremental.link_increment(
+            inc.select("doc_id", "spans"),
+            base_t,
+            base_ents,
+            PipelineConfig(metric="ratio", threshold=0.85),
+        )
+        return out.select("doc_id", "entity_id", "matched_doc_id", "score")
+
+    q["incremental_link"] = incremental_link
     return q
 
 

@@ -70,10 +70,57 @@ def _maximum(metric: str, a: np.ndarray, b: np.ndarray, **params) -> np.ndarray:
     return B.maximum_batch(metric, a, b, tuple(params.get("weights") or (1, 1, 1)))
 
 
+def _length_prefilter(
+    metric: str, variant: str, a, b, score_cutoff, **params
+) -> Optional[np.ndarray]:
+    """Pairs that CANNOT reach the cutoff, by the length-difference lower
+    bound raw >= |len1-len2| (weights-adjusted for weighted Levenshtein) —
+    the reference's length pruning (levenshtein.rs:1045-1047) applied
+    vectorized before the kernel. Returns a boolean skip mask or None.
+    Only pairs whose keep-decision is provably False are skipped, so
+    cutoff semantics are unchanged."""
+    n = len(a)
+    la = np.fromiter((len(x) for x in a), dtype=np.int64, count=n)
+    lb = np.fromiter((len(x) for x in b), dtype=np.int64, count=n)
+    w = tuple(params.get("weights") or (1, 1, 1))
+    if metric == "levenshtein" and w != (1, 1, 1):
+        ins, dele, _ = w
+        bound = np.where(la > lb, (la - lb) * dele, (lb - la) * ins).astype(
+            np.float64
+        )
+    else:
+        bound = np.abs(la - lb).astype(np.float64)
+    maximum = _maximum(metric, a, b, **params).astype(np.float64)
+    if variant == "distance":
+        skip = bound > score_cutoff
+    elif variant == "similarity":
+        skip = bound > maximum - score_cutoff
+    elif variant == "normalized_distance":
+        skip = bound > maximum * score_cutoff
+    else:  # normalized_similarity
+        safe_max = np.where(maximum > 0, maximum, 1.0)
+        skip = (1.0 - bound / safe_max) < score_cutoff
+        skip &= maximum > 0  # maximum==0 -> norm_dist 0.0 -> sim 1.0, keep
+    return skip if skip.any() else None
+
+
 def _score_block(
     metric: str, variant: str, a: np.ndarray, b: np.ndarray, score_cutoff, **params
 ):
     """Score one Arrow batch -> (values: float64 ndarray, keep_mask)."""
+    if score_cutoff is not None and len(a):
+        skip = _length_prefilter(metric, variant, a, b, score_cutoff, **params)
+        if skip is not None:
+            live = ~skip
+            vals = np.zeros(len(a), dtype=np.float64)
+            keep = np.zeros(len(a), dtype=bool)
+            if live.any():
+                sub_vals, sub_keep = _score_block(
+                    metric, variant, a[live], b[live], score_cutoff, **params
+                )
+                vals[live] = sub_vals
+                keep[live] = sub_keep if sub_keep is not None else True
+            return vals, keep
     raw = _raw_distance(metric, a, b, **params).astype(np.float64)
     invalid = raw < 0  # hamming pad=False length mismatch sentinel
     if variant == "distance":
@@ -199,10 +246,37 @@ def _jaro_fn(winkler: bool, variant: str):
             null = c1.isna() | c2.isna()
             a = c1.fillna("").to_numpy(dtype=object)
             b = c2.fillna("").to_numpy(dtype=object)
-            if winkler:
-                sim = B.jaro_winkler_batch(a, b, prefix_weight)
-            else:
-                sim = B.jaro_batch(a, b)
+            live = None
+            if score_cutoff is not None and variant.endswith("similarity") and len(a):
+                # reference jaro length_filter (jaro.rs:122-131): common
+                # chars m <= min(l1,l2) bounds sim above; winkler boost is
+                # capped by prefix<=4. Skip pairs that cannot reach cutoff.
+                la = np.fromiter((len(x) for x in a), np.float64, len(a))
+                lb = np.fromiter((len(x) for x in b), np.float64, len(b))
+                m = np.minimum(la, lb)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    ub = np.where(
+                        m > 0, (m / np.maximum(la, 1) + m / np.maximum(lb, 1) + 1) / 3,
+                        np.where((la == 0) & (lb == 0), 1.0, 0.0),
+                    )
+                if winkler:
+                    ub = ub + 4 * prefix_weight * (1.0 - ub)
+                live = ub >= score_cutoff
+                if not live.all():
+                    sim = np.zeros(len(a), dtype=np.float64)
+                    if live.any():
+                        sim[live] = (
+                            B.jaro_winkler_batch(a[live], b[live], prefix_weight)
+                            if winkler
+                            else B.jaro_batch(a[live], b[live])
+                        )
+                else:
+                    live = None
+            if live is None:
+                if winkler:
+                    sim = B.jaro_winkler_batch(a, b, prefix_weight)
+                else:
+                    sim = B.jaro_batch(a, b)
             vals = sim if variant.endswith("similarity") else 1.0 - sim
             if score_cutoff is None:
                 keep = None

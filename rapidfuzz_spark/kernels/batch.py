@@ -799,34 +799,53 @@ def jaro_winkler_batch(a_arr, b_arr, prefix_weight: float = 0.1) -> np.ndarray:
     return out
 
 
+def _padded_neq(a_arr, b_arr):
+    """(neq matrix over the common-length region, la, lb) via UTF-32 code
+    matrices padded with distinct sentinels (vectorized across pairs)."""
+    A, la = _pad_codes(list(a_arr), 0xFFFFFFFE)
+    B, lb = _pad_codes(list(b_arr), 0xFFFFFFFF)
+    L = max(A.shape[1], B.shape[1], 1)
+    if A.shape[1] < L:
+        A = np.pad(A, ((0, 0), (0, L - A.shape[1])), constant_values=0xFFFFFFFE)
+    if B.shape[1] < L:
+        B = np.pad(B, ((0, 0), (0, L - B.shape[1])), constant_values=0xFFFFFFFF)
+    return A != B, la, lb
+
+
 def hamming_batch(a_arr, b_arr, pad: bool = True) -> np.ndarray:
-    """pad=False yields -1 (caller maps to null) on unequal lengths —
-    the SQL-friendly analogue of the reference's Err (hamming.rs:232-235)."""
+    """Vectorized positional mismatches + length surplus. pad=False yields
+    -1 (caller maps to null) on unequal lengths — the SQL-friendly analogue
+    of the reference's Err (hamming.rs:232-235)."""
     n = len(a_arr)
-    out = np.zeros(n, dtype=np.int64)
-    for i in range(n):
-        a, b = a_arr[i], b_arr[i]
-        if len(a) != len(b) and not pad:
-            out[i] = -1
-            continue
-        out[i] = _hamming.hamming_distance_raw(a, b, pad=True)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    neq, la, lb = _padded_neq(a_arr, b_arr)
+    common = np.minimum(la, lb)
+    idx = np.arange(neq.shape[1], dtype=np.int64)[None, :]
+    mism = (neq & (idx < common[:, None])).sum(axis=1).astype(np.int64)
+    out = mism + np.abs(la - lb)
+    if not pad:
+        out = np.where(la != lb, -1, out)
     return out
 
 
 def prefix_batch(a_arr, b_arr) -> np.ndarray:
+    """Common-prefix length: first True of the padded != matrix (sentinels
+    differ, so the pad boundary always mismatches)."""
     n = len(a_arr)
-    out = np.zeros(n, dtype=np.int64)
-    for i in range(n):
-        out[i] = common_prefix_len(a_arr[i], b_arr[i])
-    return out
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    neq, la, lb = _padded_neq(a_arr, b_arr)
+    any_neq = neq.any(axis=1)
+    first = neq.argmax(axis=1).astype(np.int64)
+    return np.where(any_neq, first, np.minimum(la, lb))
 
 
 def postfix_batch(a_arr, b_arr) -> np.ndarray:
-    n = len(a_arr)
-    out = np.zeros(n, dtype=np.int64)
-    for i in range(n):
-        out[i] = common_suffix_len(a_arr[i], b_arr[i])
-    return out
+    """Common-suffix length = common prefix of the reversed strings."""
+    ra = np.array([s[::-1] for s in a_arr], dtype=object)
+    rb = np.array([s[::-1] for s in b_arr], dtype=object)
+    return prefix_batch(ra, rb)
 
 
 def weighted_levenshtein_batch(a_arr, b_arr, weights=(1, 1, 1)) -> np.ndarray:
