@@ -128,6 +128,11 @@ def candidate_pairs(
     (block_key, salt): every (x, y) pair in a hot block is produced exactly
     once, spread over G partitions instead of one.
     """
+    # materialize keys once: the census aggregation and the pair self-join
+    # both consume them (recomputing the explode+window passes twice costs
+    # more than storing (block_key, doc_id) rows — they are a few dozen
+    # bytes per doc-token even at cluster scale)
+    keys = keys.localCheckpoint(eager=True)
     census = keys.sparkSession.createDataFrame(
         hot_key_census(keys, hot_cap, drop_cap).collect() or [],
         "block_key string, key_count long, g int, dropped boolean",
