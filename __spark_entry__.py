@@ -609,6 +609,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "entity_id", "matched_doc_id", "score")
 
     q["incremental_link"] = incremental_link
+
+    def soft_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Soft TF-IDF (Cohen et al. 2003) scores over blocked doc pairs:
+        corpus-trained IDF weights, fuzzy token matching via the indel
+        kernel (rows-only: the inner fuzzy-gated argmax over token
+        cross-products is not practically SQL-expressible)."""
+        from rapidfuzz_spark.textops import softtfidf as ST
+
+        d = _docs(spark, sf_dir).withColumn("norm_text", F.lower("text"))
+        dt = ST.attach_token_idf(d, ST.idf_table(d)).select(
+            "doc_id", "lang", "n_chars", "toks", "idfs"
+        )
+        a, b = dt.alias("a"), dt.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.floor(F.col("a.n_chars") / 50) == F.floor(F.col("b.n_chars") / 50))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("id_1"),
+            F.col("b.doc_id").alias("id_2"),
+            F.col("a.toks").alias("toks_1"),
+            F.col("a.idfs").alias("idfs_1"),
+            F.col("b.toks").alias("toks_2"),
+            F.col("b.idfs").alias("idfs_2"),
+        )
+        return pairs.select(
+            "id_1",
+            "id_2",
+            F.round(
+                ST.soft_tfidf_similarity("toks_1", "idfs_1", "toks_2", "idfs_2"), 6
+            ).alias("soft_tfidf"),
+        )
+
+    q["soft_tfidf_pairs"] = soft_tfidf_pairs
     return q
 
 

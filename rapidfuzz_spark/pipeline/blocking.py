@@ -33,6 +33,27 @@ def token_keys(docs: DataFrame, min_len: int = 2) -> DataFrame:
     return toks.select(F.concat(F.lit("t:"), "tok").alias("block_key"), "doc_id")
 
 
+def token_affix_keys(docs: DataFrame, n: int = 4, min_len: int = 5) -> DataFrame:
+    """Per-token prefix AND suffix keys ("tp:abcd" / "ts:defg"): a single
+    in-token edit at position p keeps the prefix key when p > n and the
+    suffix key when p <= len-n, so 2n >= len-1 covers every single-edit
+    corruption of a discriminative token — the recall carrier once
+    stopword-grade whole-token keys are census-dropped at scale. Hot
+    affixes (shared name stems) are themselves culled by the census."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("norm_text", r"\s+"))).alias("tok"),
+    ).where(F.length("tok") >= min_len)
+    pfx = toks.select(
+        F.concat(F.lit("tp:"), F.substring("tok", 1, n)).alias("block_key"), "doc_id"
+    )
+    sfx = toks.select(
+        F.concat(F.lit("ts:"), F.substring("tok", -n, n)).alias("block_key"),
+        "doc_id",
+    )
+    return pfx.unionByName(sfx).dropDuplicates(["block_key", "doc_id"])
+
+
 def prefix_keys(docs: DataFrame, n: int = 4) -> DataFrame:
     return docs.select(
         F.concat(
@@ -77,6 +98,7 @@ def blocking_keys(
     docs: DataFrame,
     use_tokens: bool = True,
     use_prefix: bool = True,
+    use_token_affixes: bool = True,
     use_sorted_neighborhood: bool = True,
     sn_window: int = 3,
 ) -> DataFrame:
@@ -85,6 +107,8 @@ def blocking_keys(
         parts.append(token_keys(docs))
     if use_prefix:
         parts.append(prefix_keys(docs))
+    if use_token_affixes:
+        parts.append(token_affix_keys(docs))
     if use_sorted_neighborhood:
         parts.append(sorted_neighborhood_keys(docs, window=sn_window))
     out = parts[0]

@@ -44,6 +44,10 @@ def run_pipeline(
 ) -> DataFrame:
     """Returns entities DataFrame (doc_id, entity_id, spans intact)."""
     docs_t = ingest.with_match_text(docs)
+    if conf.metric == "soft_tfidf":
+        from ..textops import softtfidf as ST
+
+        docs_t = ST.attach_token_idf(docs_t, ST.idf_table(docs_t))
     keys = blocking.blocking_keys(docs_t, sn_window=conf.sn_window)
     pairs = blocking.candidate_pairs(
         keys, hot_cap=conf.hot_cap, drop_cap=conf.drop_cap

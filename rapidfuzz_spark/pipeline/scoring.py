@@ -38,23 +38,24 @@ SCORERS = {
 def attach_texts(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     """(doc_id_1, doc_id_2) -> + (text_N = canonical token-sorted,
     raw_N = normalized unsorted, len_N). Token sorting preserves length,
-    so one length pair serves both scoring passes."""
+    so one length pair serves both scoring passes. If the docs carry
+    token/IDF arrays (softtfidf.attach_token_idf), those ride along as
+    toks_N / idfs_N."""
+    extra = [c for c in ("toks", "idfs") if c in docs.columns]
     t = docs.select(
-        "doc_id", F.col("canon_text").alias("text"), F.col("norm_text").alias("raw")
+        "doc_id",
+        F.col("canon_text").alias("text"),
+        F.col("norm_text").alias("raw"),
+        *extra,
     )
+    ren1 = {"doc_id": "doc_id_1", "text": "text_1", "raw": "raw_1"}
+    ren2 = {"doc_id": "doc_id_2", "text": "text_2", "raw": "raw_2"}
+    for c in extra:
+        ren1[c] = f"{c}_1"
+        ren2[c] = f"{c}_2"
     return (
-        pairs.join(
-            t.withColumnsRenamed(
-                {"doc_id": "doc_id_1", "text": "text_1", "raw": "raw_1"}
-            ),
-            "doc_id_1",
-        )
-        .join(
-            t.withColumnsRenamed(
-                {"doc_id": "doc_id_2", "text": "text_2", "raw": "raw_2"}
-            ),
-            "doc_id_2",
-        )
+        pairs.join(t.withColumnsRenamed(ren1), "doc_id_1")
+        .join(t.withColumnsRenamed(ren2), "doc_id_2")
         .withColumn("len_1", F.length("text_1"))
         .withColumn("len_2", F.length("text_2"))
     )
@@ -76,6 +77,17 @@ def score_pairs(
     metric on unsorted normalized text) — catches token reorders (canon
     pass) and token-resorting first-char typos (raw pass)."""
     df = pairs_with_text
+    if metric == "soft_tfidf":
+        # IDF-weighted fuzzy-token cosine (textops.softtfidf): token-set
+        # based, so reorders need no canon pass and no length prefilter
+        from ..textops import softtfidf as ST
+
+        score = ST.soft_tfidf_similarity("toks_1", "idfs_1", "toks_2", "idfs_2")
+        return (
+            df.withColumn("score", score)
+            .where(F.col("score") >= threshold)
+            .select("doc_id_1", "doc_id_2", "score")
+        )
     if length_prefilter and metric in ("ratio", "indel", "levenshtein", "lcs_seq"):
         # 1 - |l1-l2|/(l1+l2) >= t  <=>  |l1-l2| <= (1-t)*(l1+l2)
         df = df.where(

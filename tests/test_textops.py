@@ -202,3 +202,61 @@ def test_frame_samples(media):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.real_decode(b"\x00", "image")
+
+
+class TestSoftTfidf:
+    def test_idf_and_similarity(self, spark):
+        from pyspark.sql import functions as F
+
+        from rapidfuzz_spark.textops import softtfidf as ST
+
+        docs = spark.createDataFrame(
+            [
+                (1, "james smith abcdefg"),
+                (2, "james smith abcdefx"),   # near-dup of 1 (rare token 1 edit)
+                (3, "james smith qzwvkpy"),   # same name, different rare token
+                (4, "maria garcia tuvwxyz"),
+            ],
+            "doc_id long, norm_text string",
+        )
+        idf = ST.idf_table(docs)
+        idf_map = {r.tok: r.idf for r in idf.collect()}
+        assert idf_map["abcdefg"] > idf_map["james"]  # rare > common
+        dt = ST.attach_token_idf(docs, idf)
+        a = dt.alias("a"); b = dt.alias("b")
+        pairs = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("id_1"), F.col("b.doc_id").alias("id_2"),
+                F.col("a.toks").alias("toks_1"), F.col("a.idfs").alias("idfs_1"),
+                F.col("b.toks").alias("toks_2"), F.col("b.idfs").alias("idfs_2"),
+            )
+        )
+        s = {
+            (r.id_1, r.id_2): r.s
+            for r in pairs.withColumn(
+                "s",
+                ST.soft_tfidf_similarity("toks_1", "idfs_1", "toks_2", "idfs_2"),
+            ).collect()
+        }
+        assert s[(1, 2)] > 0.8          # true near-dup scores high
+        assert s[(1, 3)] < 0.5          # same name, different rare token: low
+        assert s[(1, 4)] < 0.1          # nothing shared
+        assert s[(1, 2)] > s[(1, 3)] > s[(1, 4)]
+
+    def test_pipeline_with_soft_tfidf(self, spark, tmp_path):
+        from pyspark.sql import functions as F  # noqa: F401
+
+        from rapidfuzz_spark.pipeline import metrics, run, synth
+
+        corpus = synth.synth_documents(spark, n_entities=200, seed=42).cache()
+        corpus.count()
+        ents = run.run_pipeline(
+            spark,
+            corpus.select("doc_id", "spans"),
+            str(tmp_path / "out"),
+            run.PipelineConfig(metric="soft_tfidf", threshold=0.72, checkpoint=False),
+        )
+        truth = corpus.select("doc_id", "entity_id")
+        res = metrics.cluster_pairwise_f1(ents.select("doc_id", "entity_id"), truth)
+        assert res["f1"] >= 0.98, res
