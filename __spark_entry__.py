@@ -644,6 +644,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["soft_tfidf_pairs"] = soft_tfidf_pairs
+
+    def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gap-based sessionization of the events stream table (30-min
+        inactivity cut), pure window functions — the batch shape of the
+        stateful-session operator."""
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+            spark.sparkContext.defaultParallelism, "user_id"
+        )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        ev = ev.withColumn("prev_us", F.lag(us).over(w))
+        gap = us - F.col("prev_us")
+        new_sess = F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0)
+        return (
+            ev.withColumn("new_sess", new_sess)
+            .withColumn(
+                "session_idx",
+                F.sum("new_sess").over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                ),
+            )
+            .groupBy("user_id", "session_idx")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 6).alias("session_value"),
+            )
+        )
+
+    q["event_sessions"] = event_sessions
     return q
 
 
@@ -997,4 +1026,22 @@ def oracle_sql() -> dict[str, str]:
                  string_split_regex(lower(t2), '\\s+')[1:20],
                  t -> chr((len(t) % 26 + 97)::INT)), '')) AS lev_seq
       FROM ({_PAIRS_SQL})"""
+    o["event_sessions"] = """
+      WITH g AS (
+        SELECT event_id, user_id, value, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      s AS (
+        SELECT user_id, value,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM g
+      )
+      SELECT user_id, session_idx, count(*) AS n_events,
+             round(sum(value), 6) AS session_value
+      FROM s GROUP BY user_id, session_idx"""
     return o
