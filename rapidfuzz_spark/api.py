@@ -23,7 +23,7 @@ from .kernels import lcs_indel as _lcs_indel
 from .kernels import levenshtein as _levenshtein
 from .kernels import osa as _osa
 from .kernels import prefix_postfix as _pp
-from .kernels.common import MetricSurface, pm_vector
+from .kernels.common import MetricSurface
 from .kernels.fuzz import ratio as _ratio
 
 

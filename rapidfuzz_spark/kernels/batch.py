@@ -24,7 +24,6 @@ from typing import Optional
 import numpy as np
 
 from . import damerau as _damerau
-from . import hamming as _hamming
 from . import jaro as _jaro
 from . import osa as _osa
 from .common import common_prefix_len, common_suffix_len, pm_vector

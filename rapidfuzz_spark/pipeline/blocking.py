@@ -19,8 +19,6 @@ standard ER practice; recall is preserved by the other blocking passes.
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 

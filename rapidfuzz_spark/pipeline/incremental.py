@@ -21,9 +21,7 @@ exactly-once at the sink.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import blocking, ingest, scoring
