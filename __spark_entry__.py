@@ -38,6 +38,12 @@ import rapidfuzz_spark.functions as RF
 # ---------------------------------------------------------------------------
 
 
+# deterministic interleaved-span corpus, committed as a single parquet so
+# the Spark queries AND their DuckDB oracles read identical bytes
+# (regenerate: python tools/make_fixtures.py — pure function of seed 42)
+_SYNTH_FIXTURE = "/root/repo/tests/fixtures/synth300.parquet"
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -516,17 +522,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["er_cluster_cc"] = er_cluster_cc
 
     def er_pipeline_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Full ER pipeline on the synthesized interleaved-span corpus +
-        truth-label F1 (rows-only check: corpus is built by mapInPandas,
-        not SQL-expressible)."""
+        """Full ER pipeline (blocking incl. sorted-neighborhood -> dual-pass
+        JW scoring -> connected components) on the committed interleaved-span
+        corpus fixture + truth-label F1. The oracle replays the ENTIRE
+        pipeline in SQL over the same parquet bytes: span->text projection,
+        all four blocking-key families, threshold edges, recursive-CTE
+        transitive closure, and the pairwise-F1 arithmetic (salting changes
+        pair distribution, never the pair set, so the unsalted SQL replay is
+        exact; census drop_cap is vacuous at 881 docs)."""
         import tempfile
 
         from rapidfuzz_spark.pipeline import metrics as M
         from rapidfuzz_spark.pipeline import run as P
-        from rapidfuzz_spark.pipeline import synth
 
-        corpus = synth.synth_documents(spark, n_entities=300, seed=42)
-        truth, _ = synth.truth_tables(corpus)
+        corpus = spark.read.parquet(_SYNTH_FIXTURE)
+        truth = corpus.select("doc_id", "entity_id")
         with tempfile.TemporaryDirectory(prefix="rf_q_") as tmp:
             conf = P.PipelineConfig(
                 metric="jaro_winkler", threshold=0.82, checkpoint=False
@@ -584,14 +594,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lev_token_seq"] = lev_token_seq
 
+    _UNI_SRC = "abcdefghijklmnopqrstuvwxyz"
+    _UNI_DST = "日бвг本джз語йклмн中прсту文фхцчш"
+
+    def unicode_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Levenshtein + Jaro-Winkler over a Cyrillic/CJK text column (doc
+        texts deterministically transliterated outside latin-1) — exercises
+        the uint32 dense-alphabet vectorized kernel path (reference Unicode
+        semantics, levenshtein.rs:2163-2169: one codepoint = one symbol)."""
+        p = _pairs(spark, sf_dir)
+        t1 = F.translate("t1", _UNI_SRC, _UNI_DST)
+        t2 = F.translate("t2", _UNI_SRC, _UNI_DST)
+        return p.select(
+            "id_1",
+            "id_2",
+            RF.levenshtein_distance(t1, t2).alias("lev_uni"),
+            F.round(RF.jaro_winkler_similarity(t1, t2), 6).alias("jw_uni"),
+        )
+
+    q["unicode_metrics"] = unicode_metrics
+
     def incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Incremental ER: link the duplicate docs of a synthesized corpus
-        against a base catalog of one doc per entity (rows-only check —
-        corpus is mapInPandas-synthesized)."""
-        from rapidfuzz_spark.pipeline import incremental, ingest, synth
+        """Incremental ER: link the duplicate docs of the committed corpus
+        fixture against a base catalog of one doc per entity. Full value
+        oracle: the SQL replays blocking (token/prefix/affix keys + census
+        drop), dual-pass jaro-winkler scoring at 0.85, and best-match
+        adoption over the same parquet bytes."""
+        from rapidfuzz_spark.pipeline import incremental, ingest
         from rapidfuzz_spark.pipeline.run import PipelineConfig
 
-        docs = synth.synth_documents(spark, n_entities=300, seed=42)
+        docs = spark.read.parquet(_SYNTH_FIXTURE)
         first = docs.withColumn(
             "rn",
             F.row_number().over(Window.partitionBy("entity_id").orderBy("doc_id")),
@@ -604,7 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             inc.select("doc_id", "spans"),
             base_t,
             base_ents,
-            PipelineConfig(metric="ratio", threshold=0.85),
+            PipelineConfig(metric="jaro_winkler", threshold=0.85),
         )
         return out.select("doc_id", "entity_id", "matched_doc_id", "score")
 
@@ -613,8 +645,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def soft_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Soft TF-IDF (Cohen et al. 2003) scores over blocked doc pairs:
         corpus-trained IDF weights, fuzzy token matching via the indel
-        kernel (rows-only: the inner fuzzy-gated argmax over token
-        cross-products is not practically SQL-expressible)."""
+        kernel. Full value oracle: the inner fuzzy-gated argmax is replayed
+        in SQL over unnested token cross-products (the distinct token-pair
+        indel sims come from the same recursive-CTE LCS DP as the
+        indel_distance oracle)."""
         from rapidfuzz_spark.textops import softtfidf as ST
 
         d = _docs(spark, sf_dir).withColumn("norm_text", F.lower("text"))
@@ -668,7 +702,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .groupBy("user_id", "session_idx")
             .agg(
                 F.count("*").alias("n_events"),
-                F.round(F.sum("value"), 6).alias("session_value"),
+                # exact integer arithmetic: per-row round to micro-units then
+                # sum as bigint — float-sum fold order (Spark vs DuckDB) can
+                # otherwise flip round(.., 6) at the boundary
+                F.sum(
+                    F.round(F.col("value") * F.lit(1000000.0)).cast("long")
+                ).alias("session_value_micro"),
             )
         )
 
@@ -724,10 +763,10 @@ def oracle_sql() -> dict[str, str]:
     o["osa_distance"] = _OSA_CTE
     o["hamming_distance"] = f"""
       SELECT p.id_1, p.id_2,
-             sum(CASE WHEN g.i <= least(len(p.s1), len(p.s2))
-                       AND substr(p.s1, g.i, 1) <> substr(p.s2, g.i, 1)
-                      THEN 1 ELSE 0 END)
-             + abs(len(p.s1) - len(p.s2)) AS ham_dist
+             (sum(CASE WHEN g.i <= least(len(p.s1), len(p.s2))
+                        AND substr(p.s1, g.i, 1) <> substr(p.s2, g.i, 1)
+                       THEN 1 ELSE 0 END)
+              + abs(len(p.s1) - len(p.s2)))::BIGINT AS ham_dist
       FROM (SELECT id_1, id_2, substr(t1, 1, 32) AS s1, substr(t2, 1, 32) AS s2
             FROM ({_PAIRS_SQL})) p
       CROSS JOIN generate_series(1, 32) g(i)
@@ -1042,6 +1081,255 @@ def oracle_sql() -> dict[str, str]:
         FROM g
       )
       SELECT user_id, session_idx, count(*) AS n_events,
-             round(sum(value), 6) AS session_value
+             sum(CAST(round(value * 1000000.0) AS BIGINT))::BIGINT
+               AS session_value_micro
       FROM s GROUP BY user_id, session_idx"""
+
+    # the Spark side scores the transliterated Cyrillic/CJK strings; the
+    # oracle scores the ORIGINAL ascii strings — valid because every metric
+    # treats symbols by identity only (reference HashableChar, lib.rs:
+    # 102-121), so an injective per-symbol relabeling preserves all values
+    # exactly. (DuckDB's builtins are byte-based on multibyte UTF-8, so
+    # they cannot score the CJK text directly.)
+    o["unicode_metrics"] = f"""
+      SELECT id_1, id_2,
+             levenshtein(t1, t2) AS lev_uni,
+             round(jaro_winkler_similarity(t1, t2), 6) AS jw_uni
+      FROM ({_PAIRS_SQL})"""
+
+    # -- synth-fixture pipeline oracles ---------------------------------
+    # Both engines read the committed parquet fixture (tools/make_fixtures
+    # .py, pure function of seed 42). The SQL replays the pipeline's exact
+    # semantics: span->text projection, blocking-key families, dual-pass
+    # jaro-winkler (DuckDB builtin, already locked to the kernels by the
+    # jaro_winkler_similarity query), clustering, and F1 arithmetic.
+    # Salting never changes the candidate-pair SET (exactly-once by
+    # construction) and the census drop_cap (20000) is vacuous at 881
+    # docs, so the unsalted, census-free SQL replay is exact.
+    _FIXTURE_TEXTS = """
+  corpus AS (
+    SELECT doc_id, entity_id,
+           trim(regexp_replace(lower(
+             array_to_string(
+               list_transform(
+                 list_filter(spans, s -> s.kind = 'text' AND s.text IS NOT NULL),
+                 s -> s.text), ' ')), '[^\\p{L}\\p{N}]+', ' ', 'g')) AS norm_text
+    FROM read_parquet('/root/repo/tests/fixtures/synth300.parquet')
+  ),
+  texts AS (
+    SELECT doc_id, entity_id, norm_text,
+           array_to_string(list_sort(string_split_regex(norm_text, '\\s+')), ' ')
+             AS canon_text
+    FROM corpus
+  )"""
+
+    # blocking-key families over a doc set named {src} (doc_id, norm_text,
+    # canon_text): token / canon-prefix / token-affix keys
+    def _keys_sql(src: str) -> str:
+        return f"""
+    SELECT 't:' || tok AS block_key, doc_id FROM (
+      SELECT doc_id, unnest(list_distinct(string_split_regex(norm_text, '\\s+'))) AS tok
+      FROM {src}) WHERE len(tok) >= 2
+    UNION ALL
+    SELECT 'p:' || substr(replace(canon_text, ' ', ''), 1, 4) AS block_key, doc_id
+    FROM {src} WHERE len('p:' || substr(replace(canon_text, ' ', ''), 1, 4)) > 2
+    UNION ALL
+    SELECT DISTINCT bk AS block_key, doc_id FROM (
+      SELECT doc_id, 'tp:' || substr(tok, 1, 4) AS bk FROM (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(norm_text, '\\s+'))) AS tok
+        FROM {src}) WHERE len(tok) >= 5
+      UNION ALL
+      SELECT doc_id, 'ts:' || right(tok, 4) AS bk FROM (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(norm_text, '\\s+'))) AS tok
+        FROM {src}) WHERE len(tok) >= 5)"""
+
+    o["incremental_link"] = f"""
+      WITH {_FIXTURE_TEXTS},
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY entity_id ORDER BY doc_id) AS rn
+        FROM texts),
+      base AS (SELECT doc_id, norm_text, canon_text FROM ranked WHERE rn = 1),
+      inc  AS (SELECT doc_id, norm_text, canon_text FROM ranked WHERE rn > 1),
+      base_keys AS ({_keys_sql("base")}),
+      inc_keys AS ({_keys_sql("inc")}),
+      cand AS (
+        SELECT DISTINCT i.doc_id AS new_id, b.doc_id AS base_id
+        FROM inc_keys i JOIN base_keys b USING (block_key)),
+      scored AS (
+        -- threshold on the RAW score (cutoff semantics), round only for
+        -- ranking/output — mirrors score_pairs + link_increment exactly
+        SELECT c.new_id, c.base_id,
+               greatest(
+                 jaro_winkler_similarity(ni.canon_text, ba.canon_text),
+                 jaro_winkler_similarity(ni.norm_text, ba.norm_text))
+                 AS raw_score
+        FROM cand c
+        JOIN inc ni ON ni.doc_id = c.new_id
+        JOIN base ba ON ba.doc_id = c.base_id),
+      best AS (
+        SELECT new_id, base_id, round(raw_score, 6) AS score,
+               row_number() OVER (
+                 PARTITION BY new_id
+                 ORDER BY round(raw_score, 6) DESC, base_id) AS rnk
+        FROM scored WHERE raw_score >= 0.85)
+      SELECT i.doc_id, coalesce(b.base_id, i.doc_id) AS entity_id,
+             b.base_id AS matched_doc_id, b.score
+      FROM inc i LEFT JOIN (SELECT * FROM best WHERE rnk = 1) b
+        ON b.new_id = i.doc_id"""
+
+    o["er_pipeline_f1"] = f"""
+      WITH RECURSIVE {_FIXTURE_TEXTS},
+      allkeys AS (
+        {_keys_sql("texts")}
+        UNION ALL
+        SELECT concat_ws(':', 'sn' || o.off, r.bucket, r.rnk) AS block_key, r.doc_id
+        FROM (SELECT doc_id, substr(replace(canon_text, ' ', ''), 1, 2) AS bucket,
+                     row_number() OVER (
+                       PARTITION BY substr(replace(canon_text, ' ', ''), 1, 2)
+                       ORDER BY replace(canon_text, ' ', ''), doc_id) AS rnk
+              FROM texts) r, (VALUES (1), (2), (3)) o(off)
+        UNION ALL
+        SELECT concat_ws(':', 'sn' || o.off, r.bucket, r.rnk - o.off), r.doc_id
+        FROM (SELECT doc_id, substr(replace(canon_text, ' ', ''), 1, 2) AS bucket,
+                     row_number() OVER (
+                       PARTITION BY substr(replace(canon_text, ' ', ''), 1, 2)
+                       ORDER BY replace(canon_text, ' ', ''), doc_id) AS rnk
+              FROM texts) r, (VALUES (1), (2), (3)) o(off)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM allkeys a JOIN allkeys b USING (block_key)
+        WHERE a.doc_id < b.doc_id),
+      edges AS (
+        SELECT id1, id2
+        FROM cand c
+        JOIN texts t1 ON t1.doc_id = c.id1
+        JOIN texts t2 ON t2.doc_id = c.id2
+        WHERE greatest(jaro_winkler_similarity(t1.canon_text, t2.canon_text),
+                       jaro_winkler_similarity(t1.norm_text, t2.norm_text))
+              >= 0.82),
+      sym AS (SELECT id1 AS a, id2 AS b FROM edges
+              UNION SELECT id2, id1 FROM edges),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM texts
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      pred AS (SELECT a AS doc_id, min(b) AS entity_id FROM reach GROUP BY a),
+      pp AS (SELECT p1.doc_id AS d1, p2.doc_id AS d2
+             FROM pred p1 JOIN pred p2 ON p1.entity_id = p2.entity_id
+             WHERE p1.doc_id < p2.doc_id),
+      tpp AS (SELECT t1.doc_id AS d1, t2.doc_id AS d2
+              FROM texts t1 JOIN texts t2 ON t1.entity_id = t2.entity_id
+              WHERE t1.doc_id < t2.doc_id),
+      counts AS (
+        SELECT (SELECT count(*) FROM pp JOIN tpp USING (d1, d2)) AS tp,
+               (SELECT count(*) FROM pp) AS np,
+               (SELECT count(*) FROM tpp) AS nt),
+      st AS (
+        SELECT tp, np - tp AS fp, nt - tp AS fn,
+               CASE WHEN np = 0 THEN 1.0 ELSE tp::DOUBLE / np END AS prec,
+               CASE WHEN nt = 0 THEN 1.0 ELSE tp::DOUBLE / nt END AS rec
+        FROM counts)
+      SELECT 'f1' AS stat,
+             CASE WHEN prec + rec = 0 THEN 0.0
+                  ELSE 2 * prec * rec / (prec + rec) END AS value FROM st
+      UNION ALL SELECT 'fn', fn::DOUBLE FROM st
+      UNION ALL SELECT 'fp', fp::DOUBLE FROM st
+      UNION ALL SELECT 'precision', prec FROM st
+      UNION ALL SELECT 'recall', rec FROM st
+      UNION ALL SELECT 'tp', tp::DOUBLE FROM st"""
+
+    o["soft_tfidf_pairs"] = """
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, lang, n_chars, lower(text) AS t FROM documents),
+      tok_occ AS (
+        SELECT doc_id, u.tok AS tok, min(u.ord) AS first_ord FROM (
+          SELECT doc_id,
+                 unnest(list_transform(string_split_regex(t, '\\s+'),
+                        (x, i) -> struct_pack(tok := x, ord := i))) AS u
+          FROM docs)
+        WHERE len(u.tok) > 0
+        GROUP BY doc_id, u.tok),
+      dtoks AS (
+        SELECT doc_id, tok,
+               row_number() OVER (PARTITION BY doc_id ORDER BY first_ord) - 1
+                 AS pos
+        FROM tok_occ),
+      idf AS (
+        SELECT tok,
+               ln(1.0 + (SELECT count(*) FROM docs)::DOUBLE / count(*)) AS idf
+        FROM dtoks GROUP BY tok),
+      wtoks AS (SELECT d.doc_id, d.tok, d.pos, i.idf
+                FROM dtoks d JOIN idf i USING (tok)),
+      norms AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nrm
+                FROM wtoks GROUP BY doc_id),
+      vocab AS (SELECT DISTINCT tok FROM dtoks),
+      tp2 AS (SELECT a.tok AS s1, b.tok AS s2 FROM vocab a, vocab b),
+      cells(s1, s2, i, j, v, age) AS (
+        SELECT s1, s2, 0, 0, 0, 0 FROM tp2
+        UNION ALL
+        (
+          WITH contrib AS (
+            SELECT c.s1, c.s2, c.i + 1 AS i, c.j AS j, c.v AS v
+            FROM cells c WHERE c.age = 0 AND c.i < len(c.s1)
+            UNION ALL
+            SELECT c.s1, c.s2, c.i, c.j + 1, c.v
+            FROM cells c WHERE c.age = 0 AND c.j < len(c.s2)
+            UNION ALL
+            SELECT c.s1, c.s2, c.i + 1, c.j + 1,
+                   c.v + CASE WHEN substr(c.s1, c.i + 1, 1)
+                                   = substr(c.s2, c.j + 1, 1)
+                              THEN 1 ELSE 0 END
+            FROM cells c WHERE c.age = 1 AND c.i < len(c.s1) AND c.j < len(c.s2)
+          )
+          SELECT s1, s2, i, j, max(v), 0 FROM contrib GROUP BY s1, s2, i, j
+          UNION ALL
+          SELECT c.s1, c.s2, c.i, c.j, c.v, c.age + 1
+          FROM cells c WHERE c.age = 0 AND c.i + c.j < len(c.s1) + len(c.s2)
+        )
+      ),
+      sims AS (
+        SELECT p.s1, p.s2,
+               1.0 - (len(p.s1) + len(p.s2) - 2 * coalesce(max(c.v), 0))::DOUBLE
+                     / greatest(len(p.s1) + len(p.s2), 1) AS sim
+        FROM tp2 p LEFT JOIN cells c
+          ON c.s1 = p.s1 AND c.s2 = p.s2 AND c.i = len(p.s1) AND c.j = len(p.s2)
+        GROUP BY p.s1, p.s2, len(p.s1), len(p.s2)),
+      prs AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM docs a JOIN docs b
+          ON a.lang = b.lang
+         AND floor(a.n_chars / 50) = floor(b.n_chars / 50)
+         AND a.doc_id < b.doc_id),
+      ab AS (
+        SELECT p.id_1, p.id_2, wa.tok AS ta, wa.idf AS ia, wa.pos AS posa,
+               wb.tok AS tb, wb.idf AS ib, wb.pos AS posb, s.sim
+        FROM prs p
+        JOIN wtoks wa ON wa.doc_id = p.id_1
+        JOIN wtoks wb ON wb.doc_id = p.id_2
+        JOIN sims s ON s.s1 = wa.tok AND s.s2 = wb.tok
+        WHERE s.sim >= 0.7),
+      s_ab AS (
+        SELECT id_1, id_2,
+               sum((ia / na.nrm) * (ib / nb.nrm) * sim) AS s
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY id_1, id_2, ta ORDER BY sim DESC, posb) AS rk
+              FROM ab) x
+        JOIN norms na ON na.doc_id = id_1
+        JOIN norms nb ON nb.doc_id = id_2
+        WHERE rk = 1 GROUP BY id_1, id_2),
+      s_ba AS (
+        SELECT id_1, id_2,
+               sum((ia / na.nrm) * (ib / nb.nrm) * sim) AS s
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY id_1, id_2, tb ORDER BY sim DESC, posa) AS rk
+              FROM ab) x
+        JOIN norms na ON na.doc_id = id_1
+        JOIN norms nb ON nb.doc_id = id_2
+        WHERE rk = 1 GROUP BY id_1, id_2)
+      SELECT p.id_1, p.id_2,
+             round(least(greatest(coalesce(sab.s, 0.0), coalesce(sba.s, 0.0)),
+                         1.0), 6) AS soft_tfidf
+      FROM prs p
+      LEFT JOIN s_ab sab ON sab.id_1 = p.id_1 AND sab.id_2 = p.id_2
+      LEFT JOIN s_ba sba ON sba.id_1 = p.id_1 AND sba.id_2 = p.id_2"""
     return o

@@ -4,9 +4,9 @@ This is the Spark analogue of the reference's ``BatchComparator`` one×many
 caching (/root/reference/src/distance/levenshtein.rs:1625-1657,
 Readme.md:100-106), applied *within* an Arrow batch of a pandas UDF:
 
-- pairs whose pattern fits one machine word (len <= 64) and is latin-1
-  encodable are scored by a **NumPy-vectorized Myers/Hyyrö kernel across
-  pairs**: the char loop runs over text positions, each step processing
+- pairs whose pattern fits one machine word (len <= 64) are scored by a
+  **NumPy-vectorized Myers/Hyyrö kernel across pairs** (any codepoints —
+  alphabets are densely remapped per batch): the char loop runs over text positions, each step processing
   every still-active pair with uint64 SIMD-ish ops. Pairs are sorted by
   text length so the active set is a shrinking prefix (no wasted lanes).
 - remaining pairs take the arbitrary-precision Python-int kernels with a
@@ -38,13 +38,18 @@ def _popcount_u64(x: np.ndarray) -> np.ndarray:
     return _POPCNT_TABLE[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1)
 
 
-def _encode_latin1(strings) -> Optional[tuple]:
-    """Concatenate latin-1 codes; None if any string is not latin-1."""
+def _encode_codes(strings) -> tuple:
+    """Concatenate Unicode codepoints (latin-1 bytes when possible, else
+    UTF-32 words — latin-1 code == codepoint, so the domains agree)."""
+    blob = "".join(strings)
     try:
-        blob = "".join(strings).encode("latin-1")
+        codes = np.frombuffer(blob.encode("latin-1"), dtype=np.uint8).astype(
+            np.intp
+        )
     except UnicodeEncodeError:
-        return None
-    codes = np.frombuffer(blob, dtype=np.uint8).astype(np.intp)
+        codes = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.intp
+        )
     lens = np.fromiter((len(s) for s in strings), dtype=np.intp, count=len(strings))
     offs = np.zeros(len(strings) + 1, dtype=np.intp)
     np.cumsum(lens, out=offs[1:])
@@ -52,15 +57,29 @@ def _encode_latin1(strings) -> Optional[tuple]:
 
 
 def _compact_alphabet(pcodes: np.ndarray, tcodes: np.ndarray):
-    """Remap latin-1 codes to a dense alphabet of the PATTERN characters
+    """Remap codepoints to a dense alphabet of the PATTERN characters
     (slot 0 = 'not in any pattern', PM row 0 stays zero). PM tables shrink
-    from 256 columns to |alphabet|+1, keeping the per-batch gather tables
+    to |alphabet|+1 columns, keeping the per-batch gather tables
     cache-resident — the multi-process scaling bottleneck is the random
-    PM gather, not compute."""
+    PM gather, not compute. Latin-1 batches use a 256-entry lookup table;
+    arbitrary codepoints (CJK/Cyrillic/emoji) go through a sorted-unique
+    binary search — the NumPy analogue of the reference's growing hashmap
+    (/root/reference/src/details/growing_hashmap.rs:99-165)."""
     uniq = np.unique(pcodes)
-    remap = np.zeros(256, dtype=np.intp)
-    remap[uniq] = np.arange(1, len(uniq) + 1, dtype=np.intp)
-    return remap[pcodes], remap[tcodes], len(uniq) + 1
+    nu = len(uniq)
+    if (nu == 0 or uniq[-1] < 256) and (tcodes.size == 0 or tcodes.max() < 256):
+        remap = np.zeros(256, dtype=np.intp)
+        remap[uniq] = np.arange(1, nu + 1, dtype=np.intp)
+        return remap[pcodes], remap[tcodes], nu + 1
+    p_new = np.searchsorted(uniq, pcodes) + 1
+    idx = np.searchsorted(uniq, tcodes)
+    idx_c = np.minimum(idx, max(nu - 1, 0))
+    t_new = np.where(
+        (idx < nu) & (uniq[idx_c] == tcodes) if nu else np.zeros(len(tcodes), bool),
+        idx_c + 1,
+        0,
+    )
+    return p_new, t_new, nu + 1
 
 
 def _build_pm_word(pats: list, codes, lens, offs, sigma: int = 256) -> np.ndarray:
@@ -83,15 +102,12 @@ def _word_masks(lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 def myers_batch_word(pats: list, texts: list) -> np.ndarray:
     """Vectorized-across-pairs Myers for patterns with len in [1, 64].
 
-    Returns int64 distances. All strings must be latin-1 encodable and
-    texts non-empty (callers handle the trivial cases).
+    Returns int64 distances. Any Unicode codepoints; texts non-empty
+    (callers handle the trivial cases).
     """
     n = len(pats)
-    enc_p = _encode_latin1(pats)
-    enc_t = _encode_latin1(texts)
-    assert enc_p is not None and enc_t is not None
-    pcodes, plens, poffs = enc_p
-    tcodes, tlens, toffs = enc_t
+    pcodes, plens, poffs = _encode_codes(pats)
+    tcodes, tlens, toffs = _encode_codes(texts)
     pcodes, tcodes, sigma = _compact_alphabet(pcodes, tcodes)
     # sort by text length desc -> active pairs are a prefix at every step
     order = np.argsort(-tlens, kind="stable")
@@ -132,8 +148,8 @@ def myers_batch_word(pats: list, texts: list) -> np.ndarray:
 def lcs_batch_word(pats: list, texts: list) -> np.ndarray:
     """Vectorized-across-pairs Hyyrö LCS length for patterns len in [1, 64]."""
     n = len(pats)
-    pcodes, plens, poffs = _encode_latin1(pats)
-    tcodes, tlens, toffs = _encode_latin1(texts)
+    pcodes, plens, poffs = _encode_codes(pats)
+    tcodes, tlens, toffs = _encode_codes(texts)
     pcodes, tcodes, sigma = _compact_alphabet(pcodes, tcodes)
     order = np.argsort(-tlens, kind="stable")
     inv = np.empty(n, dtype=np.intp)
@@ -177,10 +193,10 @@ def myers_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
     reference's hyrroe2003_block (/root/reference/src/distance/
     levenshtein.rs:769-1019) minus the Ukkonen band: the hp/hn horizontal
     carries chain low->high word; per text char the distance moves by the
-    carry out of the pattern's last bit. All strings latin-1."""
+    carry out of the pattern's last bit. Any Unicode codepoints."""
     n = len(pats)
-    pcodes, plens, poffs = _encode_latin1(pats)
-    tcodes, tlens, toffs = _encode_latin1(texts)
+    pcodes, plens, poffs = _encode_codes(pats)
+    tcodes, tlens, toffs = _encode_codes(texts)
     pcodes, tcodes, sigma = _compact_alphabet(pcodes, tcodes)
     order = np.argsort(-tlens, kind="stable")
     inv = np.empty(n, dtype=np.intp)
@@ -250,14 +266,206 @@ def myers_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
     return dist[inv]
 
 
+_BAND_SENTINEL = np.int64(1) << 40  # "> any cutoff" result marker
+
+
+def myers_batch_block_banded(
+    pats: list, texts: list, W: int, ks: np.ndarray
+) -> np.ndarray:
+    """Blockwise Myers with the reference's Ukkonen band maintenance
+    (/root/reference/src/distance/levenshtein.rs:769-1019): per pair only
+    the words whose cells can still lie on a <= k path are advanced. The
+    band's first word moves up monotonically; the last word shrinks and
+    regrows with explicit re-initialization (vp=~0, score from the word
+    below), and the cutoff tightens per row from the remaining-diagonal
+    bound (the reference's score-hint logic).
+
+    Cross-pair vectorized: the word loop runs over the union band of the
+    chunk with per-pair membership masks. ``ks`` is the per-pair distance
+    cutoff; pairs whose distance exceeds it return ``_BAND_SENTINEL``
+    (callers only compare against the cutoff). Patterns must be <= texts
+    in length (caller convention).
+    """
+    n = len(pats)
+    pcodes, plens, poffs = _encode_codes(pats)
+    tcodes, tlens, toffs = _encode_codes(texts)
+    pcodes, tcodes, sigma = _compact_alphabet(pcodes, tcodes)
+    order = np.argsort(-tlens, kind="stable")
+    inv = np.empty(n, dtype=np.intp)
+    inv[order] = np.arange(n, dtype=np.intp)
+    pm = _build_pm_block(pats, pcodes, plens, poffs, W, sigma)[order]
+    pl = plens[order].astype(np.int64)
+    tl = tlens[order].astype(np.int64)
+    toffs_s = toffs[:-1][order]
+    k = np.minimum(ks[order].astype(np.int64), np.maximum(pl, tl))
+    last = np.uint64(1) << ((pl.astype(np.uint64) - np.uint64(1)) % np.uint64(64))
+    last_w = ((pl - 1) >> 6).astype(np.intp)
+    one = np.uint64(1)
+    u0 = np.uint64(0)
+    vp = np.full((n, W), ~u0, dtype=np.uint64)
+    vn = np.zeros((n, W), dtype=np.uint64)
+    # score at the last row of each word, column 0 state: D(i, 0) = i
+    scores = np.minimum(
+        (np.arange(1, W + 1, dtype=np.int64) * 64)[None, :], pl[:, None]
+    )
+    alive = k >= np.abs(pl - tl)
+    dist = np.full(n, _BAND_SENTINEL, dtype=np.int64)
+    fb = np.zeros(n, dtype=np.int64)
+    lb = np.minimum(
+        last_w.astype(np.int64),
+        (np.minimum(k, (k + pl - tl) // 2) + 1 + 63) // 64 - 1,
+    )
+    lb = np.maximum(lb, 0)
+    alive &= lb >= fb
+    rows = np.arange(n, dtype=np.intp)
+    max_t = int(tl[0]) if n else 0
+    active = n
+    for j in range(max_t):
+        while active > 0 and tl[active - 1] <= j:
+            active -= 1
+        a = slice(0, active)
+        r = rows[a]
+        live = alive[a]
+        if not live.any():
+            break
+        cj = tcodes[toffs_s[a] + j]
+        w_lo = int(fb[a][live].min())
+        w_hi = int(lb[a][live].max())
+        hp_c = np.ones(active, dtype=np.uint64)
+        hn_c = np.zeros(active, dtype=np.uint64)
+        # carries out of each pair's own last-band word (feed lb extension)
+        lb_hp = np.zeros(active, dtype=np.uint64)
+        lb_hn = np.zeros(active, dtype=np.uint64)
+        for w in range(w_lo, w_hi + 1):
+            m = live & (fb[a] <= w) & (w <= lb[a])
+            if not m.any():
+                continue
+            # left DP boundary (+1 per row) enters at each pair's first word
+            at_fb = m & (fb[a] == w)
+            hp_c = np.where(at_fb, one, hp_c)
+            hn_c = np.where(at_fb, u0, hn_c)
+            vp_w = vp[r, w]
+            vn_w = vn[r, w]
+            pm_j = pm[r, w, cj]
+            x = pm_j | hn_c
+            d0 = (((x & vp_w) + vp_w) ^ vp_w) | x | vn_w
+            hp = vn_w | ~(d0 | vp_w)
+            hn = d0 & vp_w
+            is_last = last_w[a] == w
+            hp_out = np.where(is_last, (hp & last[a]) != 0, hp >> np.uint64(63))
+            hn_out = np.where(is_last, (hn & last[a]) != 0, hn >> np.uint64(63))
+            hp_out = hp_out.astype(np.uint64)
+            hn_out = hn_out.astype(np.uint64)
+            scores[r, w] = np.where(
+                m,
+                scores[r, w] + hp_out.astype(np.int64) - hn_out.astype(np.int64),
+                scores[r, w],
+            )
+            hps = (hp << one) | hp_c
+            hns = (hn << one) | hn_c
+            vp[r, w] = np.where(m, hns | ~(d0 | hps), vp_w)
+            vn[r, w] = np.where(m, hps & d0, vn_w)
+            at_lb = m & (lb[a] == w)
+            lb_hp = np.where(at_lb, hp_out, lb_hp)
+            lb_hn = np.where(at_lb, hn_out, lb_hn)
+            hp_c = np.where(m, hp_out, hp_c)
+            hn_c = np.where(m, hn_out, hn_c)
+        lbi = np.minimum(lb[a], last_w[a]).astype(np.intp)
+        s_lb = scores[r, lbi]
+        # tighten the cutoff: best still-achievable final score from here
+        k_a = np.minimum(
+            k[a],
+            s_lb
+            + np.maximum(tl[a] - j - 1, pl[a] - ((1 + lb[a]) * 64 - 1) - 1),
+        )
+        k[a] = np.where(live, k_a, k[a])
+        row_num = np.minimum((lb[a] + 1) * 64, pl[a]) - 1
+        # regrow the band's last word where the edge re-enters it
+        ext = (
+            live
+            & (lb[a] < last_w[a])
+            & (row_num <= k[a] + 128 + j + pl[a] - s_lb - 2 - tl[a])
+        )
+        if ext.any():
+            nlb = (lb[a] + 1).astype(np.intp)
+            er = r[ext]
+            en = nlb[ext]
+            vp[er, en] = ~u0
+            vn[er, en] = u0
+            chars = np.where(
+                en == last_w[a][ext], (pl[a][ext] - 1) % 64 + 1, 64
+            ).astype(np.int64)
+            carry_in_p = lb_hp[ext]
+            carry_in_n = lb_hn[ext]
+            base = (
+                scores[er, lb[a][ext].astype(np.intp)]
+                + chars
+                - carry_in_p.astype(np.int64)
+                + carry_in_n.astype(np.int64)
+            )
+            # advance the re-entered word once for this column
+            vp_w = vp[er, en]
+            vn_w = vn[er, en]
+            pm_j = pm[er, en, cj[ext]]
+            x = pm_j | carry_in_n
+            d0 = (((x & vp_w) + vp_w) ^ vp_w) | x | vn_w
+            hp = vn_w | ~(d0 | vp_w)
+            hn = d0 & vp_w
+            is_last = last_w[a][ext] == en
+            hp_out = np.where(
+                is_last, (hp & last[a][ext]) != 0, hp >> np.uint64(63)
+            ).astype(np.uint64)
+            hn_out = np.where(
+                is_last, (hn & last[a][ext]) != 0, hn >> np.uint64(63)
+            ).astype(np.uint64)
+            scores[er, en] = (
+                base + hp_out.astype(np.int64) - hn_out.astype(np.int64)
+            )
+            hps = (hp << one) | carry_in_p
+            hns = (hn << one) | carry_in_n
+            vp[er, en] = hns | ~(d0 | hps)
+            vn[er, en] = hps & d0
+            lb[a] = np.where(ext, lb[a] + 1, lb[a])
+        # shrink last word while its cells are provably outside the band
+        while True:
+            lbi = np.maximum(np.minimum(lb[a], last_w[a]), 0).astype(np.intp)
+            s_lb = scores[r, lbi]
+            row_num = np.minimum((lb[a] + 1) * 64, pl[a]) - 1
+            in1 = s_lb < k[a] + 64
+            in2 = row_num <= k[a] + 128 + j + pl[a] + 1 - s_lb - 2 - tl[a]
+            shrink = live & (lb[a] >= fb[a]) & ~(in1 & in2)
+            if not shrink.any():
+                break
+            lb[a] = np.where(shrink, lb[a] - 1, lb[a])
+        # advance first word while its cells are provably outside the band
+        while True:
+            fbi = np.minimum(fb[a], last_w[a]).astype(np.intp)
+            s_fb = scores[r, fbi]
+            row_num = np.minimum((fb[a] + 1) * 64, pl[a]) - 1
+            in1 = s_fb < k[a] + 64
+            in2 = row_num >= s_fb + pl[a] + j - k[a] - tl[a]
+            adv = live & (fb[a] <= lb[a]) & ~(in1 & in2)
+            if not adv.any():
+                break
+            fb[a] = np.where(adv, fb[a] + 1, fb[a])
+        dead = live & (lb[a] < fb[a])
+        if dead.any():
+            alive[a] = np.where(dead, False, alive[a])
+    ok = alive & (fb <= last_w) & (last_w <= lb)
+    dist[ok] = scores[rows[ok], last_w[ok]]
+    dist = np.where(ok & (dist <= np.minimum(ks[order], np.maximum(pl, tl))),
+                    dist, _BAND_SENTINEL)
+    return dist[inv]
+
+
 def lcs_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
     """Vectorized-across-pairs blockwise Hyyrö LCS for patterns of word
     count W (reference lcs_blockwise semantics, lcs_seq.rs:267-341, no
     band): S-vector per word with an emulated add-with-carry chain;
     LCS = popcount of ~S."""
     n = len(pats)
-    pcodes, plens, poffs = _encode_latin1(pats)
-    tcodes, tlens, toffs = _encode_latin1(texts)
+    pcodes, plens, poffs = _encode_codes(pats)
+    tcodes, tlens, toffs = _encode_codes(texts)
     pcodes, tcodes, sigma = _compact_alphabet(pcodes, tcodes)
     order = np.argsort(-tlens, kind="stable")
     inv = np.empty(n, dtype=np.intp)
@@ -298,8 +506,8 @@ def osa_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
     osa.rs:156-227). Per-word state adds the previous char's d0 and pm;
     the transposition mask pulls bit 63 of the word below for both."""
     n = len(pats)
-    pcodes, plens, poffs = _encode_latin1(pats)
-    tcodes, tlens, toffs = _encode_latin1(texts)
+    pcodes, plens, poffs = _encode_codes(pats)
+    tcodes, tlens, toffs = _encode_codes(texts)
     pcodes, tcodes, sigma = _compact_alphabet(pcodes, tcodes)
     order = np.argsort(-tlens, kind="stable")
     inv = np.empty(n, dtype=np.intp)
@@ -364,7 +572,7 @@ def osa_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
 
 def jaro_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
     """Vectorized-across-pairs Jaro similarity (pattern <= 64*W chars,
-    latin-1). Two phases mirroring the reference's bit-parallel flagging
+    any codepoints). Two phases mirroring the reference's bit-parallel flagging
     (/root/reference/src/distance/jaro.rs:147-190,286-420):
 
     1. per text char, build the per-pair match window [j-bound, j+bound]
@@ -374,8 +582,8 @@ def jaro_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
        to count transpositions.
     """
     n = len(pats)
-    pcodes, plens, poffs = _encode_latin1(pats)
-    tcodes, tlens, toffs = _encode_latin1(texts)
+    pcodes, plens, poffs = _encode_codes(pats)
+    tcodes, tlens, toffs = _encode_codes(texts)
     pcodes, tcodes, sigma = _compact_alphabet(pcodes, tcodes)
     order = np.argsort(-tlens, kind="stable")
     inv = np.empty(n, dtype=np.intp)
@@ -491,11 +699,15 @@ def damerau_batch_np(pats: list, texts: list) -> np.ndarray:
     A, B = A[order], B[order]
     las_s, lbs_s = las[order], lbs[order]
     L1, L2 = A.shape[1], B.shape[1]
-    inf = np.int16(min(L1 + L2 + 1, 32000))
-    m = np.full((n, L1 + 2, L2 + 2), inf, dtype=np.int16)
-    m[:, 1, 1:] = np.arange(L2 + 1, dtype=np.int16)
-    m[:, 1:, 1] = np.arange(L1 + 1, dtype=np.int16)
-    j_idx = np.arange(1, L2 + 1, dtype=np.int16)
+    # int16 cube while the transposition term inf + i + j is provably
+    # < 2^15 (i.e. 2*(L1+L2) small enough); int32 beyond — memory is
+    # chunk-bounded by the caller either way
+    dt = np.int16 if L1 + L2 <= 16000 else np.int32
+    inf = dt(L1 + L2 + 1)
+    m = np.full((n, L1 + 2, L2 + 2), inf, dtype=dt)
+    m[:, 1, 1:] = np.arange(L2 + 1, dtype=dt)
+    m[:, 1:, 1] = np.arange(L1 + 1, dtype=dt)
+    j_idx = np.arange(1, L2 + 1, dtype=dt)
     lastA_row = np.zeros((n, L2), dtype=np.int64)  # last i with A[i-1]==B[j]
     rows = np.arange(n, dtype=np.intp)
     active = n
@@ -505,7 +717,7 @@ def damerau_batch_np(pats: list, texts: list) -> np.ndarray:
         a = slice(0, active)
         r = rows[:active]
         eq = B[a] == A[a, i - 1 : i]
-        cost = (~eq).astype(np.int16)
+        cost = (~eq).astype(dt)
         match_pos = np.where(eq, j_idx, 0)
         run = np.maximum.accumulate(match_pos, axis=1)
         l_vec = np.zeros((active, L2), dtype=np.int64)
@@ -516,13 +728,13 @@ def damerau_batch_np(pats: list, texts: list) -> np.ndarray:
         up = prev[:, 2 : L2 + 2] + 1
         trans = (
             m[r[:, None], k_vec[a], l_vec]
-            + (i - k_vec[a] - 1).astype(np.int16)
+            + (i - k_vec[a] - 1).astype(dt)
             + 1
-            + (j_idx[None, :] - l_vec - 1).astype(np.int16)
+            + (j_idx[None, :] - l_vec - 1).astype(dt)
         )
         cand = np.minimum(np.minimum(diag, up), trans)
         t = np.minimum.accumulate(
-            np.minimum(cand - j_idx[None, :], np.int16(min(i, 32000))), axis=1
+            np.minimum(cand - j_idx[None, :], dt(i)), axis=1
         )
         m[a, i + 1, 2:] = np.minimum(cand, t + j_idx[None, :])
         lastA_row[a] = np.where(eq, i, lastA_row[a])
@@ -542,14 +754,6 @@ def _block_bucket(plen: int) -> int:
     per-group numpy overhead they save (kernel is compute-bound, not
     group-bound, at Arrow-batch sizes)."""
     return (plen + 63) >> 6
-
-
-def _is_latin1(s: str) -> bool:
-    try:
-        s.encode("latin-1")
-        return True
-    except UnicodeEncodeError:
-        return False
 
 
 def _run_block_groups(groups: dict, out: np.ndarray, kernel) -> None:
@@ -573,13 +777,7 @@ def _affix_strip_pair(a: str, b: str) -> tuple[str, str, int]:
 
 
 def _is_word_ok(s: str) -> bool:
-    if len(s) > 64:
-        return False
-    try:
-        s.encode("latin-1")
-        return True
-    except UnicodeEncodeError:
-        return False
+    return len(s) <= 64
 
 
 def levenshtein_batch(a_arr, b_arr) -> np.ndarray:
@@ -611,7 +809,7 @@ def levenshtein_batch(a_arr, b_arr) -> np.ndarray:
             np_t.append(sb)
             continue
         W = _block_bucket(len(sa))
-        if W <= _BLOCK_MAX_WORDS and _is_latin1(sa) and _is_latin1(sb):
+        if W <= _BLOCK_MAX_WORDS:
             g = blk.setdefault(W, ([], [], []))
             g[0].append(i)
             g[1].append(sa)
@@ -655,7 +853,7 @@ def lcs_similarity_batch(a_arr, b_arr) -> np.ndarray:
             np_t.append(sb)
             continue
         W = _block_bucket(len(sa))
-        if W <= _BLOCK_MAX_WORDS and _is_latin1(sa) and _is_latin1(sb):
+        if W <= _BLOCK_MAX_WORDS:
             g = blk.setdefault(W, ([], [], []))
             g[0].append(i)
             g[1].append(sa)
@@ -698,7 +896,7 @@ def osa_batch(a_arr, b_arr) -> np.ndarray:
         if len(sa) > len(sb):
             sa, sb = sb, sa
         W = _block_bucket(len(sa))
-        if W <= _BLOCK_MAX_WORDS and _is_latin1(sa) and _is_latin1(sb):
+        if W <= _BLOCK_MAX_WORDS:
             g = blk.setdefault(W, ([], [], []))
             g[0].append(i)
             g[1].append(sa)
@@ -742,7 +940,8 @@ def damerau_batch(a_arr, b_arr) -> np.ndarray:
         while lo < len(order):
             L1 = len(vec_p[order[lo]]) + 2
             L2 = max(len(vec_t[order[k]]) for k in range(lo, len(order))) + 2
-            step = max(8, _DL_CUBE_BUDGET // (L1 * L2 * 2))
+            itemsize = 2 if L1 + L2 <= 16000 else 4
+            step = max(8, _DL_CUBE_BUDGET // (L1 * L2 * itemsize))
             sel = order[lo : lo + step]
             ps = [vec_p[k] for k in sel]
             ts = [vec_t[k] for k in sel]
@@ -768,7 +967,7 @@ def jaro_batch(a_arr, b_arr) -> np.ndarray:
             continue
         sa, sb = (a, b) if len(a) <= len(b) else (b, a)
         W = _block_bucket(len(sa))
-        if W <= _BLOCK_MAX_WORDS and _is_latin1(sa) and _is_latin1(sb):
+        if W <= _BLOCK_MAX_WORDS:
             g = blk.setdefault(W, ([], [], []))
             g[0].append(i)
             g[1].append(sa)

@@ -61,15 +61,16 @@ def prefix_keys(docs: DataFrame, n: int = 4) -> DataFrame:
     ).where(F.length("block_key") > 2)
 
 
-def sorted_neighborhood_keys(
-    docs: DataFrame, window: int = 3, buckets: int = 64
-) -> DataFrame:
-    """Neighbor keys via rank inside hash-bounded range buckets: each doc
-    pairs with its ``window`` successors in sort order. Bucketing bounds the
-    per-partition sort (scales by adding buckets, not executor memory)."""
+def sorted_neighborhood_keys(docs: DataFrame, window: int = 3) -> DataFrame:
+    """Neighbor keys via rank inside prefix-range buckets: each doc pairs
+    with its ``window`` successors in sort order. The bucket is the sort
+    key's 2-char prefix — a range partition of the lexicographic order, so
+    the per-bucket sort is bounded (scales by prefix length, not executor
+    memory) and the bucketing is engine-independent (reproducible in plain
+    SQL, unlike a hash-modulo bucket)."""
     keyed = docs.select(
         "doc_id", F.regexp_replace("canon_text", r"\s", "").alias("sort_key")
-    ).withColumn("bucket", F.abs(F.hash(F.substring("sort_key", 1, 2))) % buckets)
+    ).withColumn("bucket", F.substring("sort_key", 1, 2))
     w = Window.partitionBy("bucket").orderBy("sort_key", "doc_id")
     ranked = keyed.withColumn("rank", F.row_number().over(w))
     out = None
@@ -152,13 +153,17 @@ def candidate_pairs(
     """
     # materialize keys once: the census aggregation and the pair self-join
     # both consume them (recomputing the explode+window passes twice costs
-    # more than storing (block_key, doc_id) rows — they are a few dozen
-    # bytes per doc-token even at cluster scale)
-    keys = keys.localCheckpoint(eager=True)
-    census = keys.sparkSession.createDataFrame(
-        hot_key_census(keys, hot_cap, drop_cap).collect() or [],
-        "block_key string, key_count long, g int, dropped boolean",
-    )
+    # more than storing (block_key, doc_id) rows). MEMORY_AND_DISK persist,
+    # not localCheckpoint: survives executor loss, spills instead of
+    # pinning the full key set in executor memory, and stays lazy.
+    from pyspark.storagelevel import StorageLevel
+
+    keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
+    # broadcast-join the census DataFrame directly — never collected to
+    # the driver (at 100 TB millions of keys can exceed hot_cap; the
+    # census output is still small relative to data, but it belongs on
+    # executors, not in a driver-side createDataFrame)
+    census = hot_key_census(keys, hot_cap, drop_cap)
     keyed = keys.join(F.broadcast(census), "block_key", "left").where(
         ~F.coalesce(F.col("dropped"), F.lit(False))
     )

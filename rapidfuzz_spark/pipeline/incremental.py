@@ -81,6 +81,10 @@ def link_increment(
         .withColumn("len_2", F.length("text_2"))
     )
     edges = scoring.score_pairs(pairs_t, metric=conf.metric, threshold=conf.threshold)
+    # round before ranking: best-match adoption must not depend on sub-1e-6
+    # float noise (keeps the argmax stable across kernel implementations
+    # and engines; ties break deterministically on doc_id_2)
+    edges = edges.withColumn("score", F.round("score", 6))
     w = Window.partitionBy("doc_id_1").orderBy(F.desc("score"), "doc_id_2")
     best = (
         edges.withColumn("rnk", F.row_number().over(w))

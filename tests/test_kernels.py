@@ -492,3 +492,131 @@ class TestBlockwiseBatchKernels:
             sx, sy = damerau.remove_common_affix(x, y)
             exp = damerau.damerau_distance_py(sx, sy) if (sx or sy) else 0
             assert got[i] == exp
+
+    def test_jaro_batch_matches_python(self):
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+        from rapidfuzz_spark.kernels import jaro
+
+        cases = self._cases()
+        a = np.array([c[0] for c in cases], dtype=object)
+        b = np.array([c[1] for c in cases], dtype=object)
+        got = B.jaro_batch(a, b)
+        for i, (x, y) in enumerate(cases):
+            assert got[i] == pytest.approx(jaro.jaro_similarity(x, y), abs=1e-12)
+
+    def test_jaro_winkler_batch_matches_python(self):
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+        from rapidfuzz_spark.kernels import jaro
+
+        cases = self._cases()
+        # add high-similarity shared-prefix cases so the Winkler boost
+        # branch (jaro > 0.7 + common prefix) is actually exercised
+        cases += [
+            ("martha" * 20, "marhta" * 20),
+            ("a" * 100 + "bcd", "a" * 100 + "bdc"),
+            ("prefixed common words here", "prefixed common words hree"),
+        ]
+        a = np.array([c[0] for c in cases], dtype=object)
+        b = np.array([c[1] for c in cases], dtype=object)
+        got = B.jaro_winkler_batch(a, b)
+        for i, (x, y) in enumerate(cases):
+            exp = jaro.jaro_winkler_similarity(x, y)
+            assert got[i] == pytest.approx(exp, abs=1e-12)
+
+    def test_hamming_batch_matches_python(self):
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+        from rapidfuzz_spark.kernels import hamming
+
+        cases = self._cases()
+        a = np.array([c[0] for c in cases], dtype=object)
+        b = np.array([c[1] for c in cases], dtype=object)
+        got_pad = B.hamming_batch(a, b, pad=True)
+        got_strict = B.hamming_batch(a, b, pad=False)
+        for i, (x, y) in enumerate(cases):
+            assert got_pad[i] == hamming.hamming_distance_raw(x, y, pad=True)
+            if len(x) == len(y):
+                assert got_strict[i] == hamming.hamming_distance_raw(x, y)
+            else:
+                assert got_strict[i] == -1
+
+    def test_prefix_postfix_batch_match_python(self):
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+
+        def pfx(x, y):
+            n = 0
+            for cx, cy in zip(x, y):
+                if cx != cy:
+                    break
+                n += 1
+            return n
+
+        cases = self._cases() + [("abc" * 40, "abc" * 40 + "d")]
+        a = np.array([c[0] for c in cases], dtype=object)
+        b = np.array([c[1] for c in cases], dtype=object)
+        gp = B.prefix_batch(a, b)
+        gs = B.postfix_batch(a, b)
+        for i, (x, y) in enumerate(cases):
+            assert gp[i] == pfx(x, y)
+            assert gs[i] == pfx(x[::-1], y[::-1])
+
+    def test_damerau_no_int16_overflow_on_long_dissimilar(self):
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+
+        a = np.array(["a" * 8200], dtype=object)
+        b = np.array(["b" * 8200], dtype=object)
+        assert B.damerau_batch(a, b)[0] == 8200
+
+    def _unicode_cases(self):
+        import random
+
+        random.seed(7)
+        al = "абвгдежзик日本語中文한국어🙂🚀abcdef "
+        out = []
+        for _ in range(150):
+            la = random.choice([0, 3, 20, 63, 64, 65, 120, 300])
+            lb = random.choice([0, 4, 21, 64, 66, 130, 310])
+            out.append(
+                (
+                    "".join(random.choice(al) for _ in range(la)),
+                    "".join(random.choice(al) for _ in range(lb)),
+                )
+            )
+        return out
+
+    def test_unicode_vectorized_paths_match_python(self):
+        """CJK/Cyrillic/emoji batches must take the vectorized kernels
+        (uint32 dense alphabet) and agree with the Python-int kernels —
+        reference Unicode semantics (levenshtein.rs:2163-2169)."""
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+        from rapidfuzz_spark.kernels import jaro, lcs_indel, osa
+        from rapidfuzz_spark.kernels.common import pm_vector
+        from rapidfuzz_spark.kernels.levenshtein import myers_distance
+
+        cases = self._unicode_cases()
+        a = np.array([c[0] for c in cases], dtype=object)
+        b = np.array([c[1] for c in cases], dtype=object)
+        lev = B.levenshtein_batch(a, b)
+        lcs = B.lcs_similarity_batch(a, b)
+        osad = B.osa_batch(a, b)
+        jw = B.jaro_winkler_batch(a, b)
+        for i, (x, y) in enumerate(cases):
+            p, t = (x, y) if len(x) <= len(y) else (y, x)
+            if x != y:
+                assert lev[i] == myers_distance(p, t, pm_vector(p))
+            assert lcs[i] == (lcs_indel.lcs_length(p, t, pm_vector(p)) if p else 0)
+            assert osad[i] == osa._dist(x, y)
+            assert jw[i] == pytest.approx(
+                jaro.jaro_winkler_similarity(x, y), abs=1e-12
+            )
