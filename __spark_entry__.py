@@ -642,6 +642,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_link"] = incremental_link
 
+    def stream_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Structured Streaming linkage (T17): the increment docs arrive as
+        a parquet file stream (availableNow trigger), each micro-batch is
+        linked against the static base catalog via foreachBatch, and the
+        idempotent batch_id-partitioned sink accumulates assignments. Per
+        new doc the result is independent of micro-batch boundaries, so the
+        stream output equals the batch link_increment output — checked
+        against the same full SQL value oracle as incremental_link."""
+        import tempfile
+
+        from rapidfuzz_spark.pipeline import incremental, ingest
+        from rapidfuzz_spark.pipeline.run import PipelineConfig
+
+        docs = spark.read.parquet(_SYNTH_FIXTURE)
+        first = docs.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("entity_id").orderBy("doc_id")),
+        )
+        base = first.where(F.col("rn") == 1).drop("rn")
+        inc = first.where(F.col("rn") > 1).drop("rn")
+        base_t = ingest.with_match_text(base.select("doc_id", "spans"))
+        base_ents = base.select("doc_id", F.col("doc_id").alias("entity_id"))
+        tmp = tempfile.mkdtemp(prefix="rf_stream_q_")
+        inc.select("doc_id", "spans").write.mode("overwrite").parquet(
+            f"{tmp}/stream_in"
+        )
+        stream = (
+            spark.readStream.schema(inc.select("doc_id", "spans").schema)
+            .option("maxFilesPerTrigger", 2)  # force multiple micro-batches
+            .parquet(f"{tmp}/stream_in")
+        )
+        query = incremental.stream_link(
+            stream,
+            base_t,
+            base_ents,
+            f"{tmp}/out",
+            f"{tmp}/ckpt",
+            PipelineConfig(metric="jaro_winkler", threshold=0.85),
+        )
+        query.awaitTermination()
+        return spark.read.parquet(f"{tmp}/out/assignments").select(
+            "doc_id", "entity_id", "matched_doc_id", "score"
+        )
+
+    q["stream_link"] = stream_link
+
     def soft_tfidf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Soft TF-IDF (Cohen et al. 2003) scores over blocked doc pairs:
         corpus-trained IDF weights, fuzzy token matching via the indel
@@ -1176,6 +1222,10 @@ def oracle_sql() -> dict[str, str]:
              b.base_id AS matched_doc_id, b.score
       FROM inc i LEFT JOIN (SELECT * FROM best WHERE rnk = 1) b
         ON b.new_id = i.doc_id"""
+
+    # the stream is micro-batch-boundary-invariant (per-new-doc linkage
+    # against a static base), so it shares incremental_link's oracle
+    o["stream_link"] = o["incremental_link"]
 
     o["er_pipeline_f1"] = f"""
       WITH RECURSIVE {_FIXTURE_TEXTS},

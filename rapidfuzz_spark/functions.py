@@ -49,16 +49,31 @@ _INTEGRAL_METRICS = (
 )
 
 
-def _raw_distance(metric: str, a: np.ndarray, b: np.ndarray, **params) -> np.ndarray:
+def _raw_distance(
+    metric: str, a: np.ndarray, b: np.ndarray, k_bound=None, **params
+) -> np.ndarray:
     if metric == "levenshtein":
         w = tuple(params.get("weights") or (1, 1, 1))
         if w == (1, 1, 1):
-            return B.levenshtein_batch(a, b)
+            return B.levenshtein_batch(a, b, k=k_bound)
         return B.weighted_levenshtein_batch(a, b, w)
+    if metric == "damerau_levenshtein":
+        return B.damerau_batch(a, b, k=k_bound)
     if metric == "lcs_seq":
         return B.maximum_batch("lcs_seq", a, b) - B.lcs_similarity_batch(a, b)
     if metric == "hamming":
-        return B.hamming_batch(a, b, pad=params.get("pad", False))
+        raw = B.hamming_batch(a, b, pad=params.get("pad", False))
+        if params.get("strict") and (raw < 0).any():
+            # reference parity: hamming on unequal lengths without pad is
+            # an Err (hamming.rs:232-235) — strict mode raises instead of
+            # the default SQL-friendly null
+            from .kernels.hamming import DifferentLengthArgs
+
+            bad = int(np.nonzero(raw < 0)[0][0])
+            raise DifferentLengthArgs(
+                f"hamming strict: unequal lengths {len(a[bad])} != {len(b[bad])}"
+            )
+        return raw
     if metric == "prefix":
         return B.maximum_batch("prefix", a, b) - B.prefix_batch(a, b)
     if metric == "postfix":
@@ -121,7 +136,27 @@ def _score_block(
                 vals[live] = sub_vals
                 keep[live] = sub_keep if sub_keep is not None else True
             return vals, keep
-    raw = _raw_distance(metric, a, b, **params).astype(np.float64)
+    k_bound = None
+    if (
+        score_cutoff is not None
+        and metric in ("levenshtein", "damerau_levenshtein")
+        and tuple(params.get("weights") or (1, 1, 1)) == (1, 1, 1)
+        and len(a)
+    ):
+        # translate the cutoff into a per-pair integer distance bound so
+        # the kernel can run Ukkonen-banded; +1 slack means the sentinel
+        # can never hide a pair the exact keep-condition would accept
+        mx = _maximum(metric, a, b, **params).astype(np.float64)
+        if variant == "distance":
+            kb = np.full(len(a), np.floor(score_cutoff))
+        elif variant == "similarity":
+            kb = np.floor(mx - score_cutoff)
+        elif variant == "normalized_distance":
+            kb = np.floor(mx * score_cutoff)
+        else:
+            kb = np.floor(mx * (1.0 - score_cutoff))
+        k_bound = np.maximum(kb + 1, 0).astype(np.int64)
+    raw = _raw_distance(metric, a, b, k_bound=k_bound, **params).astype(np.float64)
     invalid = raw < 0  # hamming pad=False length mismatch sentinel
     if variant == "distance":
         vals = raw
@@ -326,23 +361,29 @@ def ratio(
 
 
 def _seqs_to_strings(c1: pd.Series, c2: pd.Series):
-    vocab: dict = {}
-
-    def enc(seq) -> str:
-        out = []
-        for v in seq:
-            code = vocab.get(v)
-            if code is None:
-                code = len(vocab) + 1
-                if code >= 0xD800:  # jump the surrogate gap (injective)
-                    code += 0x800
-                vocab[v] = code
-            out.append(chr(code))
-        return "".join(out)
-
-    a = np.array([enc(s if s is not None else []) for s in c1], dtype=object)
-    b = np.array([enc(s if s is not None else []) for s in c2], dtype=object)
-    return a, b
+    """Batch-vectorized injective remap of int sequences to strings: one
+    np.unique over the concatenated batch builds the dense vocabulary,
+    one utf-32 decode materializes the whole blob, and per-row slicing
+    yields the strings (no per-element Python loop). Any injective remap
+    preserves every metric — element identity is the only thing the
+    kernels read (reference HashableChar, src/lib.rs:102-121)."""
+    seqs = [
+        np.asarray(s if s is not None else (), dtype=np.int64) for s in c1
+    ] + [np.asarray(s if s is not None else (), dtype=np.int64) for s in c2]
+    lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=len(seqs))
+    offs = np.zeros(len(seqs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    allv = np.concatenate(seqs) if seqs else np.zeros(0, dtype=np.int64)
+    _, inv = np.unique(allv, return_inverse=True)
+    codes = inv.astype(np.uint32) + np.uint32(1)
+    codes = np.where(codes >= 0xD800, codes + np.uint32(0x800), codes)
+    blob = codes.astype("<u4").tobytes().decode("utf-32-le")
+    strs = [blob[offs[i] : offs[i + 1]] for i in range(len(seqs))]
+    half = len(c1)
+    return (
+        np.array(strs[:half], dtype=object),
+        np.array(strs[half:], dtype=object),
+    )
 
 
 def _seq_metric_fn(metric: str, variant: str):

@@ -684,12 +684,20 @@ def _pad_codes(strs: list, sentinel: int) -> tuple[np.ndarray, np.ndarray]:
     return out, lens
 
 
-def damerau_batch_np(pats: list, texts: list) -> np.ndarray:
+def damerau_batch_np(pats: list, texts: list, k=None) -> np.ndarray:
     """Unrestricted Damerau-Levenshtein, vectorized across pairs AND
     columns (Lowrance-Wagner with per-(pair, col) last-match tracking;
     same recurrence as damerau.damerau_distance_np, which is the tested
     per-pair oracle). Keeps the full DP cube per chunk for the
-    transposition gather — callers chunk to bound memory."""
+    transposition gather — callers chunk to bound memory.
+
+    ``k``: optional shared distance cutoff for the chunk. Restricts each
+    row to the |i-j| <= k diagonal band (the reference's cutoff banding,
+    damerau_levenshtein.rs:111-168): any path leaving the band — including
+    Lowrance-Wagner transposition jumps bridging it — provably costs > k,
+    so in-band results <= k stay exact; pairs above k return some value
+    > k (band-edge inf contamination), which callers only compare against
+    the cutoff."""
     n = len(pats)
     A, las = _pad_codes(pats, 0xFFFFFFFE)
     B, lbs = _pad_codes(texts, 0xFFFFFFFF)
@@ -704,6 +712,8 @@ def damerau_batch_np(pats: list, texts: list) -> np.ndarray:
     # chunk-bounded by the caller either way
     dt = np.int16 if L1 + L2 <= 16000 else np.int32
     inf = dt(L1 + L2 + 1)
+    band = k is not None and 2 * int(k) + 2 < L2
+    K = int(k) if band else L2
     m = np.full((n, L1 + 2, L2 + 2), inf, dtype=dt)
     m[:, 1, 1:] = np.arange(L2 + 1, dtype=dt)
     m[:, 1:, 1] = np.arange(L1 + 1, dtype=dt)
@@ -716,28 +726,32 @@ def damerau_batch_np(pats: list, texts: list) -> np.ndarray:
             active -= 1
         a = slice(0, active)
         r = rows[:active]
-        eq = B[a] == A[a, i - 1 : i]
+        lo = max(1, i - K)
+        hi = min(L2, i + K)
+        sl = slice(lo - 1, hi)
+        jb = j_idx[sl]
+        eq = B[a, sl] == A[a, i - 1 : i]
         cost = (~eq).astype(dt)
-        match_pos = np.where(eq, j_idx, 0)
+        match_pos = np.where(eq, jb, 0)
         run = np.maximum.accumulate(match_pos, axis=1)
-        l_vec = np.zeros((active, L2), dtype=np.int64)
+        l_vec = np.zeros((active, hi - lo + 1), dtype=np.int64)
         l_vec[:, 1:] = run[:, :-1]
-        k_vec = lastA_row
+        k_vec = lastA_row[:active, sl]
         prev = m[a, i]
-        diag = prev[:, 1 : L2 + 1] + cost
-        up = prev[:, 2 : L2 + 2] + 1
+        diag = prev[:, lo : hi + 1] + cost
+        up = prev[:, lo + 1 : hi + 2] + 1
         trans = (
-            m[r[:, None], k_vec[a], l_vec]
-            + (i - k_vec[a] - 1).astype(dt)
+            m[r[:, None], k_vec, l_vec]
+            + (i - k_vec - 1).astype(dt)
             + 1
-            + (j_idx[None, :] - l_vec - 1).astype(dt)
+            + (jb[None, :] - l_vec - 1).astype(dt)
         )
         cand = np.minimum(np.minimum(diag, up), trans)
         t = np.minimum.accumulate(
-            np.minimum(cand - j_idx[None, :], dt(i)), axis=1
+            np.minimum(cand - jb[None, :], dt(i)), axis=1
         )
-        m[a, i + 1, 2:] = np.minimum(cand, t + j_idx[None, :])
-        lastA_row[a] = np.where(eq, i, lastA_row[a])
+        m[a, i + 1, lo + 1 : hi + 2] = np.minimum(cand, t + jb[None, :])
+        lastA_row[:active, sl] = np.where(eq, i, lastA_row[:active, sl])
     out = m[rows, las_s + 1, lbs_s + 1].astype(np.int64)
     return out[inv]
 
@@ -780,18 +794,25 @@ def _is_word_ok(s: str) -> bool:
     return len(s) <= 64
 
 
-def levenshtein_batch(a_arr, b_arr) -> np.ndarray:
+def levenshtein_batch(a_arr, b_arr, k=None) -> np.ndarray:
     """Uniform Levenshtein distances for paired object arrays of str.
     Routing (per pair, after affix strip): <=64-char pattern -> one-word
-    vectorized Myers; <=64*_BLOCK_MAX_WORDS latin-1 -> blockwise
-    vectorized Myers grouped by word count; else arbitrary-precision
-    Python-int kernel with a per-batch pattern cache."""
+    vectorized Myers; <=64*_BLOCK_MAX_WORDS -> blockwise vectorized Myers
+    grouped by word count (Ukkonen-banded when a per-pair distance cutoff
+    ``k`` is supplied and the band is narrower than the pattern); else
+    arbitrary-precision Python-int kernel with a per-batch pattern cache.
+
+    ``k``: optional int64 array of per-pair distance cutoffs. Pairs whose
+    distance exceeds their cutoff MAY return a large sentinel instead of
+    the exact distance — callers must only compare those against the
+    cutoff (the Column API's keep-mask does exactly that)."""
     n = len(a_arr)
     out = np.zeros(n, dtype=np.int64)
     np_idx: list = []
     np_p: list = []
     np_t: list = []
     blk: dict = {}
+    blk_banded: dict = {}
     pm_cache: dict = {}
     for i in range(n):
         a, b = a_arr[i], b_arr[i]
@@ -810,10 +831,20 @@ def levenshtein_batch(a_arr, b_arr) -> np.ndarray:
             continue
         W = _block_bucket(len(sa))
         if W <= _BLOCK_MAX_WORDS:
-            g = blk.setdefault(W, ([], [], []))
-            g[0].append(i)
-            g[1].append(sa)
-            g[2].append(sb)
+            # banded pays off once whole words fall outside the |i-j|<=k
+            # diagonal band (affix stripping already happened, so k is
+            # usually small relative to the remaining core)
+            if k is not None and k[i] < 64 * (W - 1):
+                g = blk_banded.setdefault(W, ([], [], [], []))
+                g[0].append(i)
+                g[1].append(sa)
+                g[2].append(sb)
+                g[3].append(int(k[i]))
+            else:
+                g = blk.setdefault(W, ([], [], []))
+                g[0].append(i)
+                g[1].append(sa)
+                g[2].append(sb)
         else:
             pm = pm_cache.get(sa)
             if pm is None:
@@ -822,6 +853,12 @@ def levenshtein_batch(a_arr, b_arr) -> np.ndarray:
     if np_idx:
         out[np.asarray(np_idx, dtype=np.intp)] = myers_batch_word(np_p, np_t)
     _run_block_groups(blk, out, myers_batch_block)
+    for W, (idx, ps, ts, kk) in blk_banded.items():
+        for lo in range(0, len(idx), _BLOCK_CHUNK):
+            hi = lo + _BLOCK_CHUNK
+            out[np.asarray(idx[lo:hi], dtype=np.intp)] = myers_batch_block_banded(
+                ps[lo:hi], ts[lo:hi], W, np.asarray(kk[lo:hi], dtype=np.int64)
+            )
     return out
 
 
@@ -910,7 +947,10 @@ def osa_batch(a_arr, b_arr) -> np.ndarray:
     return out
 
 
-def damerau_batch(a_arr, b_arr) -> np.ndarray:
+def damerau_batch(a_arr, b_arr, k=None) -> np.ndarray:
+    """``k``: optional per-pair int64 distance cutoffs — chunks run the
+    banded DP with the chunk's max cutoff (exact for results <= each
+    pair's own cutoff; callers only compare over-cutoff values)."""
     n = len(a_arr)
     out = np.zeros(n, dtype=np.int64)
     vec_idx: list = []
@@ -935,19 +975,22 @@ def damerau_batch(a_arr, b_arr) -> np.ndarray:
     if vec_idx:
         # sort by pattern len desc and chunk so the per-chunk DP cube
         # (n, L1+2, L2+2) int32 stays under budget
-        order = sorted(range(len(vec_idx)), key=lambda k: -len(vec_p[k]))
+        order = sorted(range(len(vec_idx)), key=lambda q: -len(vec_p[q]))
         lo = 0
         while lo < len(order):
             L1 = len(vec_p[order[lo]]) + 2
-            L2 = max(len(vec_t[order[k]]) for k in range(lo, len(order))) + 2
+            L2 = max(len(vec_t[order[q]]) for q in range(lo, len(order))) + 2
             itemsize = 2 if L1 + L2 <= 16000 else 4
             step = max(8, _DL_CUBE_BUDGET // (L1 * L2 * itemsize))
             sel = order[lo : lo + step]
-            ps = [vec_p[k] for k in sel]
-            ts = [vec_t[k] for k in sel]
-            res = damerau_batch_np(ps, ts)
-            for k, v in zip(sel, res):
-                out[vec_idx[k]] = v
+            ps = [vec_p[q] for q in sel]
+            ts = [vec_t[q] for q in sel]
+            kc = (
+                int(max(k[vec_idx[q]] for q in sel)) if k is not None else None
+            )
+            res = damerau_batch_np(ps, ts, k=kc)
+            for q, v in zip(sel, res):
+                out[vec_idx[q]] = v
             lo += step
     return out
 
@@ -986,14 +1029,21 @@ def jaro_winkler_batch(a_arr, b_arr, prefix_weight: float = 0.1) -> np.ndarray:
     when jaro > 0.7, prefix capped at 4, result capped at 1.0."""
     out = jaro_batch(a_arr, b_arr)
     boost = np.nonzero(out > 0.7)[0]
-    for i in boost:
-        a, b = a_arr[i], b_arr[i]
-        pfx = 0
-        nmax = min(len(a), len(b), 4)
-        while pfx < nmax and a[pfx] == b[pfx]:
-            pfx += 1
-        if pfx:
-            out[i] = min(out[i] + pfx * prefix_weight * (1.0 - out[i]), 1.0)
+    if len(boost):
+        # vectorized common-prefix length over the first 4 chars: pad with
+        # DISTINCT sentinels so length mismatches break the cumprod run
+        A, _ = _pad_codes([a_arr[i][:4] for i in boost], 0xFFFFFFFE)
+        Bm, _ = _pad_codes([b_arr[i][:4] for i in boost], 0xFFFFFFFF)
+        L = max(A.shape[1], Bm.shape[1], 1)
+        if A.shape[1] < L:
+            A = np.pad(A, ((0, 0), (0, L - A.shape[1])), constant_values=0xFFFFFFFE)
+        if Bm.shape[1] < L:
+            Bm = np.pad(
+                Bm, ((0, 0), (0, L - Bm.shape[1])), constant_values=0xFFFFFFFF
+            )
+        pfx = np.cumprod(A == Bm, axis=1).sum(axis=1).astype(np.float64)
+        ob = out[boost]
+        out[boost] = np.minimum(ob + pfx * prefix_weight * (1.0 - ob), 1.0)
     return out
 
 

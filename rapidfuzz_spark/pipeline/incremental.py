@@ -11,11 +11,13 @@ the base, so the blocking-key join broadcasts the increment's keys and
 the base side is never reshuffled.
 
 Streaming path (`stream_link`): `readStream` -> `foreachBatch` over
-`link_increment` — each micro-batch appends its entity assignments to the
+`link_increment` — each micro-batch writes its entity assignments to the
 output table. foreachBatch (not a stateful operator) is the right Spark
 shape here: linkage needs a join against the big static catalog, which is
-a batch join per micro-batch, and Spark's checkpointing makes the stream
-exactly-once at the sink.
+a batch join per micro-batch. foreachBatch delivery is AT-LEAST-ONCE, so
+the sink write is made idempotent by partitioning on batch_id and
+dynamically overwriting only that partition — a replayed micro-batch
+rewrites its own partition instead of duplicating rows.
 """
 
 from __future__ import annotations
@@ -120,14 +122,21 @@ def stream_link(
     trigger_available_now: bool = True,
 ):
     """Structured Streaming linkage: stream of (doc_id, spans) micro-batches
-    -> entity assignments appended to ``out_dir`` parquet. Returns the
+    -> entity assignments written to ``out_dir`` parquet, partitioned by
+    batch_id with dynamic partition overwrite so a replayed micro-batch
+    (foreachBatch is at-least-once) is idempotent. Returns the
     StreamingQuery (caller awaits termination)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         out = link_increment(batch_df, base_docs_t, base_entities, conf)
-        out.select(
-            "doc_id", "entity_id", "matched_doc_id", "score"
-        ).write.mode("append").parquet(os.path.join(out_dir, "assignments"))
+        (
+            out.select("doc_id", "entity_id", "matched_doc_id", "score")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "assignments"))
+        )
 
     writer = (
         stream_docs.writeStream.foreachBatch(process)

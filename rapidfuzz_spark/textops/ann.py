@@ -115,11 +115,25 @@ def lsh_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    bucket_cap: int | None = 10000,
 ) -> DataFrame:
     """(qid, cid, cos_sim, rnk): top-k within the query's LSH bucket —
-    the scale path: an equi-join on bucket instead of a cross join."""
+    the scale path: an equi-join on bucket instead of a cross join.
+
+    ``bucket_cap``: corpus buckets above the cap (degenerate embedding
+    mass, e.g. near-zero vectors all hashing together) are dropped via a
+    broadcast census so one hot bucket cannot quadratically dominate the
+    join — same policy as blocking.py's drop_cap."""
     qb = hyperplane_buckets(queries, n_planes, id_col, emb_col)
     cb = hyperplane_buckets(corpus, n_planes, id_col, emb_col)
+    if bucket_cap is not None:
+        hot = (
+            cb.groupBy("bucket")
+            .count()
+            .where(F.col("count") > bucket_cap)
+            .select("bucket")
+        )
+        cb = cb.join(F.broadcast(hot), ["bucket"], "left_anti")
     q = queries.select(F.col(id_col).alias("qid"), F.col(emb_col).alias("qe")).join(
         qb.select(F.col("vec_id").alias("qid"), "bucket"), "qid"
     )

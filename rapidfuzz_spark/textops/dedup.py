@@ -103,14 +103,29 @@ def minhash_lsh_candidates(
     n_hashes: int = 16,
     rows_per_band: int = 4,
     k: int = 5,
+    bucket_cap: int | None = 5000,
 ) -> DataFrame:
     """(id_1, id_2) candidate near-duplicate pairs: docs agreeing on at
     least one LSH band. The join key (band, sig) is the scale lever: more
     bands -> higher recall, bigger buckets; dedup across bands is one
-    dropDuplicates hash-aggregate."""
+    dropDuplicates hash-aggregate.
+
+    ``bucket_cap``: degenerate buckets (boilerplate-heavy corpora where
+    thousands of near-identical docs share a band signature) explode
+    quadratically in the self-join; a census over (band, sig) drops
+    buckets above the cap — the LSH analogue of blocking.py's drop_cap.
+    The census output (hot buckets only) broadcasts."""
     bands = lsh_band_signatures(
         minhash_signatures(docs, text_col, n_hashes, k), rows_per_band
     )
+    if bucket_cap is not None:
+        hot = (
+            bands.groupBy("band", "sig")
+            .count()
+            .where(F.col("count") > bucket_cap)
+            .select("band", "sig")
+        )
+        bands = bands.join(F.broadcast(hot), ["band", "sig"], "left_anti")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["band", "sig"])

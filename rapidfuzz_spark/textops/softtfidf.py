@@ -19,8 +19,6 @@ Arrow batch.
 
 from __future__ import annotations
 
-import math
-
 import numpy as np
 import pandas as pd
 
@@ -29,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..kernels import batch as B
+
+_EMPTY_O = np.empty(0, dtype=object)
 
 
 def idf_table(docs: DataFrame, text_col: str = "norm_text") -> DataFrame:
@@ -79,56 +79,78 @@ def soft_tfidf_similarity(
         c1: pd.Series, w1: pd.Series, c2: pd.Series, w2: pd.Series
     ) -> pd.Series:
         n = len(c1)
-        # flatten all token cross-products of the batch into one kernel call
-        flat_a: list = []
-        flat_b: list = []
-        spans: list = []
-        rows: list = []
-        for i in range(n):
-            a = c1.iloc[i]
-            b = c2.iloc[i]
-            if a is None or b is None or len(a) == 0 or len(b) == 0:
-                rows.append(None)
-                continue
-            start = len(flat_a)
-            for x in a:
-                for y in b:
-                    flat_a.append(x)
-                    flat_b.append(y)
-            spans.append((start, len(a), len(b)))
-            rows.append(len(spans) - 1)
-        if flat_a:
-            sims = 1.0 - B.indel_batch(
-                np.asarray(flat_a, dtype=object), np.asarray(flat_b, dtype=object)
-            ) / np.maximum(
-                np.fromiter((len(x) + len(y) for x, y in zip(flat_a, flat_b)),
-                            dtype=np.float64, count=len(flat_a)),
-                1.0,
-            )
         out = np.zeros(n, dtype=np.float64)
-        for i in range(n):
-            r = rows[i]
-            if r is None:
-                out[i] = 0.0
-                continue
-            start, na, nb = spans[r]
-            m = sims[start : start + na * nb].reshape(na, nb)
-            va = np.asarray(w1.iloc[i], dtype=np.float64)
-            vb = np.asarray(w2.iloc[i], dtype=np.float64)
-            na_norm = math.sqrt(float((va * va).sum())) or 1.0
-            nb_norm = math.sqrt(float((vb * vb).sum())) or 1.0
-            va = va / na_norm
-            vb = vb / nb_norm
-            gated = np.where(m >= inner_threshold, m, 0.0)
-            # A -> B: each a matched to its best b
-            best_ab = gated.max(axis=1)
-            j_ab = gated.argmax(axis=1)
-            s_ab = float((va * vb[j_ab] * best_ab).sum())
-            # B -> A
-            best_ba = gated.max(axis=0)
-            j_ba = gated.argmax(axis=0)
-            s_ba = float((vb * va[j_ba] * best_ba).sum())
-            out[i] = min(max(s_ab, s_ba), 1.0)
+        a_arrs = [
+            np.asarray(x, dtype=object) if x is not None else _EMPTY_O for x in c1
+        ]
+        b_arrs = [
+            np.asarray(x, dtype=object) if x is not None else _EMPTY_O for x in c2
+        ]
+        na_all = np.fromiter((len(x) for x in a_arrs), np.int64, n)
+        nb_all = np.fromiter((len(x) for x in b_arrs), np.int64, n)
+        valid = np.nonzero((na_all > 0) & (nb_all > 0))[0]
+        if len(valid) == 0:
+            return pd.Series(out)
+        # --- flatten the batch: token pools + L2-normalized weight pools
+        A = np.concatenate([a_arrs[i] for i in valid])
+        Bt = np.concatenate([b_arrs[i] for i in valid])
+        WA = np.concatenate(
+            [np.asarray(w1.iloc[i], dtype=np.float64) for i in valid]
+        )
+        WB = np.concatenate(
+            [np.asarray(w2.iloc[i], dtype=np.float64) for i in valid]
+        )
+        na = na_all[valid]
+        nb = nb_all[valid]
+        aoffs = np.zeros(len(valid) + 1, np.int64)
+        np.cumsum(na, out=aoffs[1:])
+        boffs = np.zeros(len(valid) + 1, np.int64)
+        np.cumsum(nb, out=boffs[1:])
+        norm_a = np.sqrt(np.add.reduceat(WA * WA, aoffs[:-1]))
+        norm_b = np.sqrt(np.add.reduceat(WB * WB, boffs[:-1]))
+        WA = WA / np.maximum(np.repeat(norm_a, na), 1e-300)
+        WB = WB / np.maximum(np.repeat(norm_b, nb), 1e-300)
+        # --- row-major cross-product index arithmetic (no Python loops):
+        # segment of row r spans na[r]*nb[r] entries; within it position p
+        # maps to a-token p // nb[r] and b-token p % nb[r]
+        seg = na * nb
+        soffs = np.zeros(len(valid) + 1, np.int64)
+        np.cumsum(seg, out=soffs[1:])
+        M = int(soffs[-1])
+        p = np.arange(M, dtype=np.int64) - np.repeat(soffs[:-1], seg)
+        nb_row = np.repeat(nb, seg)
+        a_idx = np.repeat(aoffs[:-1], seg) + p // nb_row
+        b_idx = np.repeat(boffs[:-1], seg) + p % nb_row
+        sims = 1.0 - B.indel_batch(A[a_idx], Bt[b_idx]) / np.maximum(
+            np.fromiter((len(x) for x in A), np.float64, len(A))[a_idx]
+            + np.fromiter((len(x) for x in Bt), np.float64, len(Bt))[b_idx],
+            1.0,
+        )
+        gated = np.where(sims >= inner_threshold, sims, 0.0)
+        # --- A -> B: each a-token's cross entries are CONTIGUOUS blocks of
+        # length nb[r]; blockwise max + first-argmax via reduceat
+        blk_starts = np.repeat(soffs[:-1], na) + (
+            np.arange(int(na.sum()), dtype=np.int64)
+            - np.repeat(aoffs[:-1], na)
+        ) * np.repeat(nb, na)
+        best_ab = np.maximum.reduceat(gated, blk_starts)
+        is_max = gated == np.repeat(best_ab, np.repeat(nb, na))
+        j_cand = np.where(is_max, p % nb_row, np.int64(1) << 40)
+        j_ab = np.minimum.reduceat(j_cand, blk_starts)
+        vb_at = WB[np.repeat(boffs[:-1], na) + j_ab]
+        contrib_ab = WA * vb_at * best_ab
+        s_ab = np.add.reduceat(contrib_ab, aoffs[:-1])
+        # --- B -> A: entries of one b-token are strided; scatter-reduce
+        g_b = np.repeat(boffs[:-1], seg) + p % nb_row  # global b slot per entry
+        best_ba = np.zeros(len(WB), dtype=np.float64)
+        np.maximum.at(best_ba, g_b, gated)
+        is_max_b = gated == best_ba[g_b]
+        i_cand = np.full(len(WB), np.int64(1) << 40, dtype=np.int64)
+        np.minimum.at(i_cand, g_b[is_max_b], (p // nb_row)[is_max_b])
+        va_at = WA[np.repeat(aoffs[:-1], nb) + np.minimum(i_cand, np.repeat(na, nb) - 1)]
+        contrib_ba = WB * va_at * best_ba
+        s_ba = np.add.reduceat(contrib_ba, boffs[:-1])
+        out[valid] = np.minimum(np.maximum(s_ab, s_ba), 1.0)
         return pd.Series(out)
 
     return _udf(toks1, idfs1, toks2, idfs2)

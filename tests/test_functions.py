@@ -109,3 +109,18 @@ def test_token_sort_key(spark):
     df = spark.createDataFrame([("New York  Mets!",), ("mets york new",)], ["t"])
     vals = [r.k for r in df.select(RF.token_sort_key("t").alias("k")).collect()]
     assert vals[0] == vals[1] == "mets new york"
+
+
+def test_hamming_strict_mode(spark):
+    """Column-API parity with the scalar API's DifferentLengthArgs
+    (reference hamming.rs:232-235): strict=True fails the job on unequal
+    lengths, the default yields null."""
+    import pytest
+
+    import rapidfuzz_spark.functions as RF
+
+    df = spark.createDataFrame([("abc", "abd"), ("ab", "abcd")], "a string, b string")
+    got = [r.d for r in df.select(RF.hamming_distance("a", "b").alias("d")).collect()]
+    assert sorted(got, key=str) == [1, None]
+    with pytest.raises(Exception, match="DifferentLengthArgs|unequal lengths"):
+        df.select(RF.hamming_distance("a", "b", strict=True).alias("d")).collect()

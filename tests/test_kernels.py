@@ -620,3 +620,62 @@ class TestBlockwiseBatchKernels:
             assert jw[i] == pytest.approx(
                 jaro.jaro_winkler_similarity(x, y), abs=1e-12
             )
+
+    def test_banded_block_matches_exact(self):
+        """Ukkonen-banded blockwise Myers must equal the exact kernel for
+        all pairs at/below cutoff and never report <= cutoff for a pair
+        above it (reference levenshtein.rs:769-1019 band semantics)."""
+        import random
+
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+
+        random.seed(5)
+        for W in (2, 3, 5):
+            pats, texts, ks = [], [], []
+            for _ in range(200):
+                lp = random.randint(64 * (W - 1) + 1, 64 * W)
+                lt = random.randint(lp, lp + random.randint(0, 150))
+                al = random.choice(["ab", "abcdef月日 "])
+                pats.append("".join(random.choice(al) for _ in range(lp)))
+                texts.append("".join(random.choice(al) for _ in range(lt)))
+                ks.append(random.choice([0, 2, 7, 25, 80, 200]))
+            ks = np.asarray(ks, dtype=np.int64)
+            exact = B.myers_batch_block(pats, texts, W)
+            banded = B.myers_batch_block_banded(pats, texts, W, ks)
+            under = exact <= ks
+            assert (banded[under] == exact[under]).all()
+            assert (banded[~under] > ks[~under]).all()
+
+    def test_damerau_banded_matches_exact(self):
+        """Cutoff-banded damerau DP (reference damerau_levenshtein.rs:
+        111-168) equals the full DP at/below cutoff, stays above it
+        otherwise."""
+        import random
+
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+
+        random.seed(13)
+        pairs, ks = [], []
+        for _ in range(250):
+            la = random.randint(8, 350)
+            lb = random.randint(8, 350)
+            al = random.choice(["ab", "abcdef"])
+            pairs.append(
+                (
+                    "".join(random.choice(al) for _ in range(la)),
+                    "".join(random.choice(al) for _ in range(lb)),
+                )
+            )
+            ks.append(random.choice([0, 2, 8, 30, 120]))
+        a = np.array([p[0] for p in pairs], dtype=object)
+        b = np.array([p[1] for p in pairs], dtype=object)
+        kv = np.asarray(ks, dtype=np.int64)
+        exact = B.damerau_batch(a, b)
+        banded = B.damerau_batch(a, b, k=kv)
+        under = exact <= kv
+        assert (banded[under] == exact[under]).all()
+        assert (banded[~under] > kv[~under]).all()

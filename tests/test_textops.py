@@ -260,3 +260,31 @@ class TestSoftTfidf:
         truth = corpus.select("doc_id", "entity_id")
         res = metrics.cluster_pairwise_f1(ents.select("doc_id", "entity_id"), truth)
         assert res["f1"] >= 0.98, res
+
+
+def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
+    """Boilerplate-heavy corpora: identical docs share every band signature;
+    the census cap must drop those buckets (no quadratic pair blowup) while
+    leaving distinct docs' pairs untouched."""
+    from pyspark.sql import functions as F
+
+    from rapidfuzz_spark.textops import dedup
+
+    boiler = spark.range(40).select(
+        F.concat(F.lit("b"), "id").alias("doc_id"),
+        F.lit("the same boilerplate footer text repeated everywhere").alias(
+            "text"
+        ),
+    )
+    near = spark.createDataFrame(
+        [("x1", "a genuinely unique document about spark joins"),
+         ("x2", "a genuinely unique document about spark joinz")],
+        "doc_id string, text string",
+    )
+    docs = boiler.unionByName(near)
+    capped = dedup.minhash_lsh_candidates(docs, bucket_cap=10)
+    pairs = {(r.id_1, r.id_2) for r in capped.collect()}
+    assert ("x1", "x2") in pairs
+    assert not any(p[0].startswith("b") and p[1].startswith("b") for p in pairs)
+    uncapped = dedup.minhash_lsh_candidates(docs, bucket_cap=None)
+    assert uncapped.where("id_1 like 'b%' and id_2 like 'b%'").count() == 40 * 39 / 2
