@@ -23,17 +23,25 @@ from .kernels import lcs_indel as _lcs_indel
 from .kernels import levenshtein as _levenshtein
 from .kernels import osa as _osa
 from .kernels import prefix_postfix as _pp
-from .kernels.common import MetricSurface
+from .kernels.common import MetricSurface, pm_vector
 from .kernels.fuzz import ratio as _ratio
 
 
-def _make_batch_comparator(surface: MetricSurface, uses_pm_cache=False):
+def _pm_state(s1):
+    return {"pm": pm_vector(s1)}
+
+
+def _make_batch_comparator(surface: MetricSurface, pattern_state=None):
     class BatchComparator:
-        """One×many scorer; pattern state built once per s1."""
+        """One×many scorer; pattern state built once per s1 (reference
+        Readme.md:100-106 / e.g. jaro.rs:797: every metric's comparator
+        caches its pattern bitmask, not just Levenshtein's)."""
 
         def __init__(self, s1, **kw):
             self.s1 = s1
             self.kw = kw
+            if pattern_state is not None:
+                self.kw = {**kw, **pattern_state(s1)}
 
         def distance(self, s2, **k):
             return surface.distance(self.s1, s2, **self.kw, **k)
@@ -61,12 +69,23 @@ def _ns(surface: MetricSurface, batch=None) -> SimpleNamespace:
 
 
 levenshtein = _ns(_levenshtein.surface, _levenshtein.BatchComparator)
-indel = _ns(_lcs_indel.indel_surface)
-lcs_seq = _ns(_lcs_indel.lcs_surface)
+indel = _ns(
+    _lcs_indel.indel_surface,
+    _make_batch_comparator(_lcs_indel.indel_surface, _pm_state),
+)
+lcs_seq = _ns(
+    _lcs_indel.lcs_surface,
+    _make_batch_comparator(_lcs_indel.lcs_surface, _pm_state),
+)
 damerau_levenshtein = _ns(_damerau.surface)
 osa = _ns(_osa.surface)
-jaro = _ns(_jaro.jaro_surface)
-jaro_winkler = _ns(_jaro.jaro_winkler_surface)
+jaro = _ns(
+    _jaro.jaro_surface, _make_batch_comparator(_jaro.jaro_surface, _pm_state)
+)
+jaro_winkler = _ns(
+    _jaro.jaro_winkler_surface,
+    _make_batch_comparator(_jaro.jaro_winkler_surface, _pm_state),
+)
 hamming = _ns(_hamming.surface)
 prefix = _ns(_pp.prefix_surface)
 postfix = _ns(_pp.postfix_surface)

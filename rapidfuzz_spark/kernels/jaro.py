@@ -75,12 +75,14 @@ def jaro_winkler_similarity(
     return min(sim, 1.0)
 
 
-def _jaro_dist(s1: Seq, s2: Seq) -> float:
-    return 1.0 - jaro_similarity(s1, s2)
+def _jaro_dist(s1: Seq, s2: Seq, pm: Optional[dict] = None) -> float:
+    return 1.0 - jaro_similarity(s1, s2, pm)
 
 
-def _jw_dist(s1: Seq, s2: Seq, prefix_weight: float = 0.1) -> float:
-    return 1.0 - jaro_winkler_similarity(s1, s2, prefix_weight)
+def _jw_dist(
+    s1: Seq, s2: Seq, prefix_weight: float = 0.1, pm: Optional[dict] = None
+) -> float:
+    return 1.0 - jaro_winkler_similarity(s1, s2, prefix_weight, pm)
 
 
 def _one(s1: Seq, s2: Seq, **kw) -> float:

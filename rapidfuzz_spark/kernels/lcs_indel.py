@@ -57,23 +57,30 @@ def lcs_similarity_raw(s1: Seq, s2: Seq) -> int:
     return affix + lcs_length(t1, t2)
 
 
-def _lcs_dist(s1: Seq, s2: Seq) -> int:
+def _lcs_dist(s1: Seq, s2: Seq, pm: Optional[dict] = None) -> int:
+    # cached-pattern path (BatchComparator): pm is built over the FULL
+    # unstripped s1, so score via lcs_length directly (the affix strip is
+    # an optimization, not a semantic requirement)
+    if pm is not None:
+        return max(len(s1), len(s2)) - lcs_length(s1, s2, pm)
     return max(len(s1), len(s2)) - lcs_similarity_raw(s1, s2)
 
 
-def _lcs_maximum(s1: Seq, s2: Seq) -> int:
+def _lcs_maximum(s1: Seq, s2: Seq, **_kw) -> int:
     return max(len(s1), len(s2))
 
 
 lcs_surface = MetricSurface(_lcs_dist, _lcs_maximum)
 
 
-def indel_raw_distance(s1: Seq, s2: Seq) -> int:
+def indel_raw_distance(s1: Seq, s2: Seq, pm: Optional[dict] = None) -> int:
     """indel.rs:66-105: distance = len1 + len2 - 2*LCS."""
+    if pm is not None:
+        return len(s1) + len(s2) - 2 * lcs_length(s1, s2, pm)
     return len(s1) + len(s2) - 2 * lcs_similarity_raw(s1, s2)
 
 
-def _indel_maximum(s1: Seq, s2: Seq) -> int:
+def _indel_maximum(s1: Seq, s2: Seq, **_kw) -> int:
     return len(s1) + len(s2)
 
 

@@ -140,25 +140,52 @@ def score_with_checkpoint(
     edges_path = os.path.join(out_dir, "edges")
     ledger_path = os.path.join(out_dir, "ledger")
     bucketed = bucketed.localCheckpoint(eager=True)  # score input once, not per bucket
-    processed = 0
-    for b in pending:
-        if fail_after_buckets is not None and processed >= fail_after_buckets:
-            break
+    import threading
+
+    ledger_lock = threading.Lock()
+
+    def _run_bucket(b: int) -> None:
         t0 = time.time()
         chunk = bucketed.where(F.col("bucket") == b)
         edges = score_pairs(chunk, metric=metric, threshold=threshold)
         n_in = chunk.count()
-        edges.withColumn("bucket", F.lit(b)).write.mode("append").partitionBy(
-            "bucket"
-        ).parquet(edges_path)
-        n_out = (
-            spark.read.parquet(edges_path).where(F.col("bucket") == b).count()
-        )
-        # manifest row written only after edges are durable -> atomic resume
-        spark.createDataFrame(
-            [(b, run_id, metric, float(threshold), n_in, n_out, time.time() - t0)],
-            "bucket int, run_id string, metric string, threshold double,"
-            " n_pairs long, n_edges long, wall_sec double",
-        ).write.mode("append").parquet(ledger_path)
-        processed += 1
+        # each bucket owns its partition DIRECTORY (bucket=N), so
+        # concurrent bucket jobs never share a _temporary staging root,
+        # and a half-written bucket is cleanly overwritten on resume
+        bucket_path = os.path.join(edges_path, f"bucket={b}")
+        edges.write.mode("overwrite").parquet(bucket_path)
+        n_out = spark.read.parquet(bucket_path).count()
+        # manifest row written only after edges are durable -> atomic
+        # resume; serialized under a lock because concurrent appends to one
+        # parquet root share a _temporary staging dir (tiny write, no cost)
+        with ledger_lock:
+            spark.createDataFrame(
+                [
+                    (
+                        b,
+                        run_id,
+                        metric,
+                        float(threshold),
+                        n_in,
+                        n_out,
+                        time.time() - t0,
+                    )
+                ],
+                "bucket int, run_id string, metric string, threshold double,"
+                " n_pairs long, n_edges long, wall_sec double",
+            ).write.mode("append").parquet(ledger_path)
+
+    if fail_after_buckets is not None:
+        # deterministic sequential order for interrupt simulation in tests
+        for b in pending[:fail_after_buckets]:
+            _run_bucket(b)
+    elif pending:
+        # concurrent job submission: bucket jobs are independent (disjoint
+        # partitions of both input and output), so overlapping them hides
+        # per-job scheduling latency — at 100x scale a sequential loop
+        # serializes 3 actions per bucket on the driver
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(pending))) as pool:
+            list(pool.map(_run_bucket, pending))
     return spark.read.parquet(edges_path).select("doc_id_1", "doc_id_2", "score")
