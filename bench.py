@@ -93,6 +93,17 @@ def q_ratio_cutoff(spark):
     )
 
 
+def q_lev_cutoff(spark):
+    """Cutoff levenshtein on long texts — exercises the Ukkonen-banded
+    blockwise Myers path (distance bound 40 on ~300-char pairs)."""
+    p = pairs(spark)
+    return (
+        p.select(RF.levenshtein_distance("t1", "t2", score_cutoff=40).alias("d"))
+        .where(F.col("d").isNotNull())
+        .count()
+    )
+
+
 def q_jw_topk(spark):
     p = pairs(spark)
     scored = p.withColumn("score", RF.jaro_winkler_similarity("t1", "t2"))
@@ -146,6 +157,7 @@ def main() -> None:
     timed("score_jw", q_score_jw)
     timed("score_lev", q_score_lev)
     timed("ratio_cutoff", q_ratio_cutoff)
+    timed("lev_cutoff", q_lev_cutoff)
     timed("jw_topk", q_jw_topk)
     tmp = tempfile.mkdtemp(prefix="rf_bench_")
     try:
@@ -153,8 +165,13 @@ def main() -> None:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    score_sec = times["score_jw"] + times["score_lev"] + times["ratio_cutoff"]
-    pps = round(3 * n_pairs / score_sec, 1) if score_sec > 0 else 0.0
+    score_sec = (
+        times["score_jw"]
+        + times["score_lev"]
+        + times["ratio_cutoff"]
+        + times["lev_cutoff"]
+    )
+    pps = round(4 * n_pairs / score_sec, 1) if score_sec > 0 else 0.0
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_suite_wall_sec",

@@ -49,7 +49,8 @@ def main() -> None:
     docs_t = docs_t.persist(StorageLevel.MEMORY_AND_DISK)
     docs_t.count()
     keys = blocking.blocking_keys(docs_t, sn_window=3)
-    cand = blocking.candidate_pairs(keys, hot_cap=200, drop_cap=20000)
+    drop_cap = int(os.environ.get("F1_DROP_CAP", "500"))
+    cand = blocking.candidate_pairs(keys, hot_cap=200, drop_cap=drop_cap)
     pairs_t = scoring.attach_texts(cand, docs_t).repartition(cpus * 4)
     t0 = time.time()
     scored = pairs_t.select(
