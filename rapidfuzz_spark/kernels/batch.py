@@ -27,7 +27,11 @@ from . import damerau as _damerau
 from . import jaro as _jaro
 from . import osa as _osa
 from .common import common_prefix_len, common_suffix_len, pm_vector
-from .levenshtein import myers_distance, wagner_fischer_weighted
+from .levenshtein import (
+    mbleven_distance as _mbleven,
+    myers_distance,
+    wagner_fischer_weighted,
+)
 from .lcs_indel import lcs_length
 
 _POPCNT_TABLE = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint64)
@@ -828,6 +832,16 @@ def levenshtein_batch(a_arr, b_arr, k=None) -> np.ndarray:
             np_idx.append(i)
             np_p.append(sa)
             np_t.append(sb)
+            continue
+        if k is not None and k[i] <= 3:
+            # tiny bound on a long pair: mbleven enumeration is O(models*len)
+            # vs O(ceil(len/64)*len) for any DP (reference routes cutoff < 4
+            # here too, levenshtein.rs:1142-1147)
+            kb = int(k[i])
+            if kb < 0 or abs(len(sa) - len(sb)) > kb:
+                out[i] = (kb if kb >= 0 else 0) + 1
+            else:
+                out[i] = _mbleven(sa, sb, kb)
             continue
         W = _block_bucket(len(sa))
         if W <= _BLOCK_MAX_WORDS:

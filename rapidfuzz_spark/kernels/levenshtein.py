@@ -58,6 +58,120 @@ def myers_distance(s1: Seq, s2: Seq, pm: Optional[dict] = None) -> int:
     return dist
 
 
+def _mbleven_models(k: int, len_diff: int) -> list:
+    """All edit-op sequences of cost <= k whose net length change matches
+    ``len_diff`` (= len(s1) - len(s2) >= 0, s1 the longer side). Ops:
+    's' substitution (advance both), 'd' delete-from-s1 (advance i),
+    'i' insert-into-s1 == delete-from-s2 (advance j). Enumeration-based
+    bounded edit distance per the published mbleven algorithm; the
+    reference uses precomputed tables of the same sequences
+    (/root/reference/src/distance/levenshtein.rs:311-427)."""
+    out = []
+    seqs = [("", 0)]
+    for _ in range(k):
+        nxt = []
+        for ops, bal in seqs:
+            for op, d in (("s", 0), ("d", 1), ("i", -1)):
+                nxt.append((ops + op, bal + d))
+        seqs += nxt
+    seen = set()
+    for ops, bal in seqs:
+        if bal == len_diff and ops not in seen:
+            seen.add(ops)
+            out.append(ops)
+    return out
+
+
+_MBLEVEN_CACHE: dict = {}
+
+
+def mbleven_distance(s1: Seq, s2: Seq, k: int) -> int:
+    """Bounded uniform Levenshtein for k <= 3 by edit-script enumeration.
+
+    Returns the exact distance when it is <= k, else k+1 (sentinel).
+    O(models * len) with NumPy common-prefix scans — beats any DP when k
+    is tiny and the strings are long (the common dedup case; reference
+    routes cutoff < 4 here too, levenshtein.rs:1104-1222)."""
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    len_diff = len(s1) - len(s2)
+    if len_diff > k:
+        return k + 1
+    a = _codes(s1)
+    b = _codes(s2)
+    la, lb = len(a), len(b)
+    models = _MBLEVEN_CACHE.get((k, len_diff))
+    if models is None:
+        models = _MBLEVEN_CACHE[(k, len_diff)] = _mbleven_models(k, len_diff)
+    best = k + 1
+    for ops in models:
+        if len(ops) >= best:
+            continue
+        i = j = cost = 0
+        p = 0
+        ok = True
+        while True:
+            n = min(la - i, lb - j)
+            if n:
+                neq = a[i : i + n] != b[j : j + n]
+                adv = int(np.argmax(neq))
+                if not neq[adv]:
+                    adv = n
+                i += adv
+                j += adv
+            if i == la and j == lb:
+                break
+            if p == len(ops) or cost + 1 >= best:
+                ok = False
+                break
+            op = ops[p]
+            p += 1
+            cost += 1
+            if op == "s":
+                if i < la and j < lb:
+                    i += 1
+                    j += 1
+                else:
+                    ok = False
+                    break
+            elif op == "d":
+                if i < la:
+                    i += 1
+                else:
+                    ok = False
+                    break
+            else:
+                if j < lb:
+                    j += 1
+                else:
+                    ok = False
+                    break
+        if ok and cost < best:
+            best = cost
+            if best == 0:
+                break
+    return best
+
+
+def bounded_distance(s1: Seq, s2: Seq, k: int, weights=(1, 1, 1)) -> int:
+    """Exact distance when <= k, else any value > k. Routes tiny bounds
+    to mbleven (cutoff < 4, uniform weights — levenshtein.rs:1142-1147),
+    everything else to the full kernel."""
+    if weights == (1, 1, 1):
+        if k < 0:
+            return k + 1  # nothing can pass a negative distance bound
+        if abs(len(s1) - len(s2)) > k:
+            return k + 1
+        if k == 0:
+            return 0 if s1 == s2 else 1
+        if k <= 3:
+            s1, s2 = remove_common_affix(s1, s2)
+            if not len(s1) or not len(s2):
+                return max(len(s1), len(s2))
+            return mbleven_distance(s1, s2, k)
+    return _dist(s1, s2, weights)
+
+
 def uniform_distance(s1: Seq, s2: Seq) -> int:
     """Uniform Levenshtein with the reference's cheap pre-passes:
     affix strip (levenshtein.rs:1094-1101) then bit-parallel kernel."""
@@ -148,7 +262,7 @@ def _maximum(s1: Seq, s2: Seq, weights=(1, 1, 1)) -> int:
     return _weighted_maximum(len(s1), len(s2), ins, dele, sub)
 
 
-surface = MetricSurface(_dist, _maximum)
+surface = MetricSurface(_dist, _maximum, bounded_dist_fn=bounded_distance)
 distance = surface.distance
 similarity = surface.similarity
 normalized_distance = surface.normalized_distance

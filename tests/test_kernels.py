@@ -679,3 +679,89 @@ class TestBlockwiseBatchKernels:
         under = exact <= kv
         assert (banded[under] == exact[under]).all()
         assert (banded[~under] > kv[~under]).all()
+
+
+class TestMbleven:
+    """Small-cutoff enumeration fast path (reference mbleven2018,
+    levenshtein.rs:311-427; routed for cutoff < 4 at :1142-1147)."""
+
+    def test_fuzz_parity_vs_full_kernel(self):
+        import random
+
+        from rapidfuzz_spark.kernels import levenshtein as L
+
+        random.seed(41)
+        for _ in range(3000):
+            a = "".join(random.choices("abc", k=random.randint(0, 12)))
+            b = "".join(random.choices("abc", k=random.randint(0, 12)))
+            true = L.uniform_distance(a, b)
+            for k in range(4):
+                got = L.bounded_distance(a, b, k)
+                if true <= k:
+                    assert got == true, (a, b, k)
+                else:
+                    assert got > k, (a, b, k)
+
+    def test_long_string_small_cutoff(self):
+        from rapidfuzz_spark.kernels import levenshtein as L
+
+        a = "q" + "x" * 50000 + "r"
+        b = "s" + "x" * 50000 + "t"
+        assert L.bounded_distance(a, b, 2) == 2
+        assert L.bounded_distance(a, b, 1) > 1
+        assert L.distance(a, b, score_cutoff=2) == 2
+        assert L.distance(a, b, score_cutoff=1) is None
+
+    def test_scalar_surface_boundaries_unchanged(self):
+        from rapidfuzz_spark.kernels import levenshtein as L
+
+        # reference cutoff ladder (levenshtein.rs:2023-2066)
+        for c, want in [(4, 2), (3, 2), (2, 2), (1, None), (0, None)]:
+            assert L.distance("South Korea", "North Korea", score_cutoff=c) == want
+        assert L.normalized_similarity("kitten", "sitting", score_cutoff=0.57) is not None
+        assert L.normalized_similarity("kitten", "sitting", score_cutoff=0.58) is None
+
+    def test_batch_small_cutoff_long_pairs(self):
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+
+        a = np.array(["q" + "x" * 200 + "r", "kitten", "abc" * 80], dtype=object)
+        b = np.array(["s" + "x" * 200 + "t", "sitting", "abd" * 80], dtype=object)
+        k = np.asarray([2, 3, 1], dtype=np.int64)
+        exact = B.levenshtein_batch(a, b)
+        bounded = B.levenshtein_batch(a, b, k=k)
+        under = exact <= k
+        assert (bounded[under] == exact[under]).all()
+        assert (bounded[~under] > k[~under]).all()
+
+
+class TestNumpyAffixScan:
+    def test_parity_and_unicode(self):
+        import random
+
+        from rapidfuzz_spark.kernels.common import (
+            common_prefix_len,
+            common_suffix_len,
+        )
+
+        random.seed(5)
+        for alphabet in ["ab", "日本語中文한국"]:
+            for _ in range(100):
+                n = random.randint(512, 1500)
+                a = "".join(random.choices(alphabet, k=n))
+                bl = list(a)
+                for _ in range(random.randint(0, 4)):
+                    bl[random.randrange(n)] = "z"
+                b = "".join(bl)
+                p = 0
+                while p < n and a[p] == b[p]:
+                    p += 1
+                s = 0
+                while s < n and a[n - 1 - s] == b[n - 1 - s]:
+                    s += 1
+                assert common_prefix_len(a, b) == p
+                assert common_suffix_len(a, b) == s
+        big = "x" * 100000
+        assert common_prefix_len(big, big) == 100000
+        assert common_suffix_len(big + "a", big + "b") == 0
