@@ -44,7 +44,7 @@ def run_pipeline(
 ) -> DataFrame:
     """Returns entities DataFrame (doc_id, entity_id, spans intact)."""
     docs_t = ingest.with_match_text(docs)
-    if conf.metric == "soft_tfidf":
+    if conf.metric in ("soft_tfidf", "soft_tfidf_jw"):
         from ..textops import softtfidf as ST
 
         docs_t = ST.attach_token_idf(docs_t, ST.idf_table(docs_t))

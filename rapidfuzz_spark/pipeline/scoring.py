@@ -88,6 +88,27 @@ def score_pairs(
             .where(F.col("score") >= threshold)
             .select("doc_id_1", "doc_id_2", "score")
         )
+    if metric == "soft_tfidf_jw":
+        # precision-gated hybrid (F1-swept at 50k entities, BENCH.md §6):
+        # accept iff st >= threshold AND (st >= st_high OR jw >= jw_gate).
+        # Mid-band soft-tfidf scores must be corroborated by a whole-string
+        # Jaro-Winkler pass; measured F1 0.9906 vs 0.9890 for plain st.
+        from ..textops import softtfidf as ST
+
+        from .. import functions as RF
+
+        st_high, jw_gate = 0.80, 0.85
+        st = ST.soft_tfidf_similarity("toks_1", "idfs_1", "toks_2", "idfs_2")
+        jw = RF.jaro_winkler_similarity("text_1", "text_2")
+        if "raw_1" in df.columns:
+            jw = F.greatest(jw, RF.jaro_winkler_similarity("raw_1", "raw_2"))
+        return (
+            df.withColumn("score", st)
+            .where(F.col("score") >= threshold)
+            .withColumn("jw", jw)
+            .where((F.col("score") >= st_high) | (F.col("jw") >= jw_gate))
+            .select("doc_id_1", "doc_id_2", "score")
+        )
     if length_prefilter and metric in ("ratio", "indel", "levenshtein", "lcs_seq"):
         # 1 - |l1-l2|/(l1+l2) >= t  <=>  |l1-l2| <= (1-t)*(l1+l2)
         df = df.where(
