@@ -763,7 +763,12 @@ def damerau_batch_np(pats: list, texts: list, k=None) -> np.ndarray:
 _DL_CUBE_BUDGET = 24 * 1024 * 1024  # bytes; int16 cube sized to stay near L3
 
 _BLOCK_MAX_WORDS = 16  # vectorized path up to 1024-char patterns
-_BLOCK_CHUNK = 512  # bounds the (chunk, W, 256) u64 PM table
+# Chunk width of the blockwise kernels: bounds the (chunk, W, sigma) u64 PM
+# gather table AND sets the numpy vector width of every per-char step.
+# Swept on ~300-char doc pairs: 512 -> 2048 is +32% under 32 concurrent
+# worker processes (111.7k vs 84.6k pairs/s machine-wide jaro-winkler);
+# 8192 wins single-thread but loses under contention (cache working set).
+_BLOCK_CHUNK = 2048
 
 
 def _block_bucket(plen: int) -> int:
