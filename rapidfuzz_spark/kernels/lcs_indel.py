@@ -15,7 +15,13 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Union
 
-from .common import MetricSurface, pm_vector, remove_common_affix
+from .common import (
+    MetricSurface,
+    common_prefix_len,
+    common_suffix_len,
+    pm_vector,
+    remove_common_affix,
+)
 
 Seq = Union[str, Sequence[int]]
 
@@ -39,16 +45,10 @@ def lcs_length(s1: Seq, s2: Seq, pm: Optional[dict] = None) -> int:
 
 
 def lcs_similarity_raw(s1: Seq, s2: Seq) -> int:
-    pfx = 0
-    n = min(len(s1), len(s2))
-    while pfx < n and s1[pfx] == s2[pfx]:
-        pfx += 1
+    pfx = common_prefix_len(s1, s2)
     affix = pfx
     t1, t2 = s1[pfx:], s2[pfx:]
-    n = min(len(t1), len(t2))
-    sfx = 0
-    while sfx < n and t1[len(t1) - 1 - sfx] == t2[len(t2) - 1 - sfx]:
-        sfx += 1
+    sfx = common_suffix_len(t1, t2)
     affix += sfx
     if sfx:
         t1, t2 = t1[:-sfx], t2[:-sfx]
@@ -70,7 +70,40 @@ def _lcs_maximum(s1: Seq, s2: Seq, **_kw) -> int:
     return max(len(s1), len(s2))
 
 
-lcs_surface = MetricSurface(_lcs_dist, _lcs_maximum)
+def bounded_indel_distance(s1: Seq, s2: Seq, k: int, pm: Optional[dict] = None) -> int:
+    """Exact indel distance when <= k, else any value > k. Tiny bounds go
+    to mbleven enumeration over {delete, insert} ops — the reference's
+    LCS mbleven path for max_misses < 5 (lcs_seq.rs:113-197) reached
+    through indel's LCS wrapper (indel.rs:66-105). ``pm`` (cached pattern
+    state) is only consulted by the full-kernel fallback."""
+    if k < 0:
+        return k + 1
+    if abs(len(s1) - len(s2)) > k:
+        return k + 1
+    if k <= 4:
+        from .levenshtein import mbleven_distance
+
+        s1, s2 = remove_common_affix(s1, s2)
+        if not len(s1) or not len(s2):
+            return len(s1) + len(s2)
+        return mbleven_distance(s1, s2, k, op_kinds="di")
+    return indel_raw_distance(s1, s2, pm)
+
+
+def bounded_lcs_dist(s1: Seq, s2: Seq, k: int, pm: Optional[dict] = None) -> int:
+    """Exact LCS distance (max(len) - LCS) when <= k, else > k. Derived
+    from the indel bound: lcs_dist = (indel + |len1-len2|) / 2."""
+    len_diff = abs(len(s1) - len(s2))
+    if k < 0 or len_diff > k:
+        return k + 1
+    k_indel = 2 * k - len_diff
+    d = bounded_indel_distance(s1, s2, k_indel, pm)
+    if d > k_indel:
+        return k + 1
+    return (d + len_diff) // 2
+
+
+lcs_surface = MetricSurface(_lcs_dist, _lcs_maximum, bounded_dist_fn=bounded_lcs_dist)
 
 
 def indel_raw_distance(s1: Seq, s2: Seq, pm: Optional[dict] = None) -> int:
@@ -84,4 +117,6 @@ def _indel_maximum(s1: Seq, s2: Seq, **_kw) -> int:
     return len(s1) + len(s2)
 
 
-indel_surface = MetricSurface(indel_raw_distance, _indel_maximum)
+indel_surface = MetricSurface(
+    indel_raw_distance, _indel_maximum, bounded_dist_fn=bounded_indel_distance
+)

@@ -58,21 +58,24 @@ def myers_distance(s1: Seq, s2: Seq, pm: Optional[dict] = None) -> int:
     return dist
 
 
-def _mbleven_models(k: int, len_diff: int) -> list:
+def _mbleven_models(k: int, len_diff: int, op_kinds: str = "sdi") -> list:
     """All edit-op sequences of cost <= k whose net length change matches
     ``len_diff`` (= len(s1) - len(s2) >= 0, s1 the longer side). Ops:
     's' substitution (advance both), 'd' delete-from-s1 (advance i),
-    'i' insert-into-s1 == delete-from-s2 (advance j). Enumeration-based
-    bounded edit distance per the published mbleven algorithm; the
-    reference uses precomputed tables of the same sequences
-    (/root/reference/src/distance/levenshtein.rs:311-427)."""
+    'i' insert-into-s1 == delete-from-s2 (advance j). ``op_kinds``
+    restricts the alphabet — indel/LCS metrics use "di" (no
+    substitutions). Enumeration-based bounded edit distance per the
+    published mbleven algorithm; the reference uses precomputed tables of
+    the same sequences (/root/reference/src/distance/levenshtein.rs:
+    311-427, lcs_seq.rs:113-197)."""
+    deltas = {"s": 0, "d": 1, "i": -1}
     out = []
     seqs = [("", 0)]
     for _ in range(k):
         nxt = []
         for ops, bal in seqs:
-            for op, d in (("s", 0), ("d", 1), ("i", -1)):
-                nxt.append((ops + op, bal + d))
+            for op in op_kinds:
+                nxt.append((ops + op, bal + deltas[op]))
         seqs += nxt
     seen = set()
     for ops, bal in seqs:
@@ -85,7 +88,7 @@ def _mbleven_models(k: int, len_diff: int) -> list:
 _MBLEVEN_CACHE: dict = {}
 
 
-def mbleven_distance(s1: Seq, s2: Seq, k: int) -> int:
+def mbleven_distance(s1: Seq, s2: Seq, k: int, op_kinds: str = "sdi") -> int:
     """Bounded uniform Levenshtein for k <= 3 by edit-script enumeration.
 
     Returns the exact distance when it is <= k, else k+1 (sentinel).
@@ -100,9 +103,10 @@ def mbleven_distance(s1: Seq, s2: Seq, k: int) -> int:
     a = _codes(s1)
     b = _codes(s2)
     la, lb = len(a), len(b)
-    models = _MBLEVEN_CACHE.get((k, len_diff))
+    key = (k, len_diff, op_kinds)
+    models = _MBLEVEN_CACHE.get(key)
     if models is None:
-        models = _MBLEVEN_CACHE[(k, len_diff)] = _mbleven_models(k, len_diff)
+        models = _MBLEVEN_CACHE[key] = _mbleven_models(k, len_diff, op_kinds)
     best = k + 1
     for ops in models:
         if len(ops) >= best:

@@ -48,6 +48,13 @@ def run_pipeline(
         from ..textops import softtfidf as ST
 
         docs_t = ST.attach_token_idf(docs_t, ST.idf_table(docs_t))
+    # docs_t feeds 4 blocking passes + 2 attach_texts joins + the entity
+    # assignment: persist the derived-text projection once or every branch
+    # re-executes the upstream source (at scale: a narrow cached
+    # (doc_id, texts) projection, NOT the full doc rows with media spans)
+    from pyspark.storagelevel import StorageLevel
+
+    docs_t = docs_t.persist(StorageLevel.MEMORY_AND_DISK)
     keys = blocking.blocking_keys(docs_t, sn_window=conf.sn_window)
     pairs = blocking.candidate_pairs(
         keys, hot_cap=conf.hot_cap, drop_cap=conf.drop_cap
@@ -71,6 +78,7 @@ def run_pipeline(
     comps = cluster.connected_components(edges)
     entities = cluster.assign_entities(docs, comps)
     entities.write.mode("overwrite").parquet(os.path.join(out_dir, "entities"))
+    docs_t.unpersist()
     out = spark.read.parquet(os.path.join(out_dir, "entities"))
     return out
 

@@ -765,3 +765,47 @@ class TestNumpyAffixScan:
         big = "x" * 100000
         assert common_prefix_len(big, big) == 100000
         assert common_suffix_len(big + "a", big + "b") == 0
+
+
+class TestMblevenIndelLcs:
+    """Indel/LCS small-bound enumeration (reference lcs_seq.rs:113-197
+    via indel.rs:66-105): op alphabet {delete, insert}, no substitutions."""
+
+    def test_fuzz_parity(self):
+        import random
+
+        from rapidfuzz_spark.kernels import lcs_indel as LI
+
+        random.seed(17)
+        for _ in range(1500):
+            a = "".join(random.choices("abc", k=random.randint(0, 12)))
+            b = "".join(random.choices("abc", k=random.randint(0, 12)))
+            ti = LI.indel_raw_distance(a, b)
+            tl = max(len(a), len(b)) - LI.lcs_similarity_raw(a, b)
+            for k in range(6):
+                gi = LI.bounded_indel_distance(a, b, k)
+                gl = LI.bounded_lcs_dist(a, b, k)
+                assert (gi == ti) if ti <= k else (gi > k), (a, b, k)
+                assert (gl == tl) if tl <= k else (gl > k), (a, b, k)
+
+    def test_surface_and_comparator_cutoffs(self):
+        import rapidfuzz_spark as rf
+
+        assert rf.indel.distance("aaaa", "bbbb", score_cutoff=7) is None
+        assert rf.indel.distance("aaaa", "bbbb", score_cutoff=8) == 8
+        bc = rf.indel.BatchComparator("kitten")
+        assert bc.distance("sitting", score_cutoff=4) is None
+        assert bc.distance("sitting", score_cutoff=5) == 5
+        assert rf.fuzz.ratio("abcd", "abce", score_cutoff=0.75) == 0.75
+        assert rf.fuzz.ratio("abcd", "abcf", score_cutoff=0.76) is None
+
+    def test_long_string_tiny_bound(self):
+        from rapidfuzz_spark.kernels import lcs_indel as LI
+
+        a = "q" + "x" * 30000 + "r"
+        b = "s" + "x" * 30000 + "t"
+        # each end mismatch costs 2 indel ops (delete + insert)
+        assert LI.bounded_indel_distance(a, b, 4) == 4
+        assert LI.bounded_indel_distance(a, b, 3) > 3
+        assert LI.bounded_lcs_dist(a, b, 2) == 2
+        assert LI.bounded_lcs_dist(a, b, 1) > 1
