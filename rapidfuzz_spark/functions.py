@@ -59,6 +59,8 @@ def _raw_distance(
         return B.weighted_levenshtein_batch(a, b, w)
     if metric == "damerau_levenshtein":
         return B.damerau_batch(a, b, k=k_bound)
+    if metric == "indel":
+        return B.indel_batch(a, b, k=k_bound)
     if metric == "lcs_seq":
         return B.maximum_batch("lcs_seq", a, b) - B.lcs_similarity_batch(a, b)
     if metric == "hamming":
@@ -139,7 +141,7 @@ def _score_block(
     k_bound = None
     if (
         score_cutoff is not None
-        and metric in ("levenshtein", "damerau_levenshtein")
+        and metric in ("levenshtein", "damerau_levenshtein", "indel")
         and tuple(params.get("weights") or (1, 1, 1)) == (1, 1, 1)
         and len(a)
     ):
@@ -207,6 +209,16 @@ def _metric_fn(metric: str, variant: str):
             out[drop] = None
             return out
 
+        if score_cutoff is not None:
+            # cutoff usage is always followed by an isNotNull filter
+            # (Option semantics); a deterministic UDF referenced by both
+            # the filter and the projection gets TWO ArrowEvalPython nodes
+            # (Catalyst pushes the filter through the project and
+            # duplicates the evaluation — locked in by tests/test_plans).
+            # Nondeterministic blocks that split: one Arrow node, the
+            # filter above it. Cheap prunes (length, equality) are hoisted
+            # explicitly before scoring, so nothing useful loses pushdown.
+            _udf = _udf.asNondeterministic()
         return _udf(s1, s2)
 
     fn.__name__ = f"{metric}_{variant}"
@@ -326,6 +338,16 @@ def _jaro_fn(winkler: bool, variant: str):
             out[drop] = None
             return out
 
+        if score_cutoff is not None:
+            # cutoff usage is always followed by an isNotNull filter
+            # (Option semantics); a deterministic UDF referenced by both
+            # the filter and the projection gets TWO ArrowEvalPython nodes
+            # (Catalyst pushes the filter through the project and
+            # duplicates the evaluation — locked in by tests/test_plans).
+            # Nondeterministic blocks that split: one Arrow node, the
+            # filter above it. Cheap prunes (length, equality) are hoisted
+            # explicitly before scoring, so nothing useful loses pushdown.
+            _udf = _udf.asNondeterministic()
         return _udf(s1, s2)
 
     name = ("jaro_winkler_" if winkler else "jaro_") + variant
@@ -413,6 +435,16 @@ def _seq_metric_fn(metric: str, variant: str):
             out[drop] = None
             return out
 
+        if score_cutoff is not None:
+            # cutoff usage is always followed by an isNotNull filter
+            # (Option semantics); a deterministic UDF referenced by both
+            # the filter and the projection gets TWO ArrowEvalPython nodes
+            # (Catalyst pushes the filter through the project and
+            # duplicates the evaluation — locked in by tests/test_plans).
+            # Nondeterministic blocks that split: one Arrow node, the
+            # filter above it. Cheap prunes (length, equality) are hoisted
+            # explicitly before scoring, so nothing useful loses pushdown.
+            _udf = _udf.asNondeterministic()
         return _udf(s1, s2)
 
     fn.__name__ = f"{metric}_{variant}_seq"

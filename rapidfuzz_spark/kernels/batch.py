@@ -929,7 +929,33 @@ def lcs_similarity_batch(a_arr, b_arr) -> np.ndarray:
     return out
 
 
-def indel_batch(a_arr, b_arr) -> np.ndarray:
+def indel_batch(a_arr, b_arr, k=None) -> np.ndarray:
+    """Indel distances. ``k``: optional per-pair distance bounds; long
+    pairs with bound <= 4 route to the {delete, insert} mbleven
+    enumeration (reference lcs_seq.rs:113-197 semantics) and MAY return
+    a sentinel > k[i] instead of the exact distance — callers only
+    compare those against the bound."""
+    n = len(a_arr)
+    if k is not None and n:
+        from .lcs_indel import bounded_indel_distance
+
+        kv = np.asarray(k, dtype=np.int64)
+        route = np.fromiter(
+            (
+                kv[i] <= 4 and len(a_arr[i]) + len(b_arr[i]) > 128
+                for i in range(n)
+            ),
+            dtype=bool,
+            count=n,
+        )
+        if route.any():
+            out = np.empty(n, dtype=np.int64)
+            for i in np.nonzero(route)[0]:
+                out[i] = bounded_indel_distance(a_arr[i], b_arr[i], int(kv[i]))
+            rest = ~route
+            if rest.any():
+                out[rest] = indel_batch(a_arr[rest], b_arr[rest])
+            return out
     lens = np.fromiter(
         (len(a) + len(b) for a, b in zip(a_arr, b_arr)), dtype=np.int64, count=len(a_arr)
     )

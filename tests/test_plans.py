@@ -1,0 +1,142 @@
+"""Physical-plan regression tests: the plan properties BENCH.md §5 claims
+(column-pruned scans, broadcast joins, one Arrow exchange per scoring
+pass, no cartesian products) asserted against the actual Catalyst output,
+so a refactor that silently degrades the plan fails CI — the properties
+that carry the design to a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_scan_prunes_columns(spark, docs):
+    """A 2-column projection must not read the full table width."""
+    import rapidfuzz_spark.functions as RF
+
+    q = docs.select("doc_id", RF.token_count_col("text").alias("n")) \
+        if hasattr(RF, "token_count_col") else docs.select("doc_id", F.length("text").alias("n"))
+    p = plan_str(q)
+    assert "ReadSchema" in p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read_schema and "doc_id" in read_schema
+    assert "embedding" not in read_schema and "spans" not in read_schema
+
+
+def test_filter_pushed_to_scan(spark, docs):
+    q = docs.where(F.col("lang") == "en").select("doc_id")
+    p = plan_str(q)
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert pushed and "lang" in pushed[0], pushed
+
+
+def test_scoring_pass_single_arrow_node(spark, docs):
+    """One metric pass = exactly one ArrowEvalPython node (no per-variant
+    re-exchange, no row-at-a-time BatchEvalPython anywhere)."""
+    import rapidfuzz_spark.functions as RF
+
+    d = docs.select("doc_id", "text", "lang")
+    pairs = (
+        d.alias("a")
+        .join(
+            d.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.text").alias("t1"), F.col("b.text").alias("t2")
+        )
+    )
+    q = pairs.select(RF.jaro_winkler_similarity("t1", "t2").alias("s"))
+    p = plan_str(q, "simple")
+    assert p.count("ArrowEvalPython") == 1, p
+    assert "BatchEvalPython" not in p  # row-at-a-time Python = forbidden
+    assert "CartesianProduct" not in p  # band join must be equi-keyed
+
+
+def test_salted_pairs_broadcast_census_no_cartesian(spark, docs):
+    from rapidfuzz_spark.pipeline import blocking
+
+    d = docs.select("doc_id", F.lower("text").alias("norm_text"))
+    keys = blocking.token_keys(d)
+    pairs = blocking.candidate_pairs(keys, hot_cap=50, drop_cap=1000)
+    p = plan_str(pairs)
+    assert "BroadcastExchange" in p  # census reaches the join as broadcast
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_length_prefilter_precedes_arrow_exchange(spark, docs):
+    """The hoisted |len1-len2| prune must sit under (before) the Arrow
+    node so filtered pairs never cross into Python."""
+    from rapidfuzz_spark.pipeline import scoring
+
+    d = docs.select(
+        "doc_id",
+        F.col("text").alias("text_x"),
+    )
+    pairs = (
+        d.alias("a")
+        .join(d.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            F.col("a.text_x").alias("text_1"),
+            F.col("b.text_x").alias("text_2"),
+            F.length("a.text_x").alias("len_1"),
+            F.length("b.text_x").alias("len_2"),
+        )
+    )
+    edges = scoring.score_pairs(
+        pairs, metric="ratio", threshold=0.9, dual_pass=False
+    )
+    p = plan_str(edges, "simple")
+    arrow_pos = p.find("ArrowEvalPython")
+    assert arrow_pos != -1
+    # exactly ONE Arrow node: the cutoff isNotNull filter must not be
+    # pushed through the projection and duplicate the UDF evaluation
+    assert p.count("ArrowEvalPython") == 1, p
+    # the |len1-len2| prune sits BELOW the Arrow node — Catalyst inlines
+    # it into the join condition (simple-mode explain prints parents
+    # first, so "below" = later in the string)
+    len_filter_pos = p.find("length(text_x")
+    assert len_filter_pos > arrow_pos, p
+
+
+def test_driver_queries_no_cartesian_no_rowpython(spark):
+    """Lazy driver queries must compile without cartesian products or
+    row-at-a-time Python eval."""
+    import __spark_entry__ as E
+
+    lazy = [
+        "lev_distance", "fuzz_ratio", "jaro_winkler_similarity",
+        "topk_matches", "block_census", "salted_block_pairs",
+        "exact_dedup", "minhash_lsh_pairs", "simhash_sketch",
+        "ngram_jaccard", "embedding_neardup", "ann_bruteforce", "ann_lsh",
+        "lang_id_ngram", "quality_scores", "token_count",
+        "winnow_fingerprint", "part_name_match", "event_sessions",
+    ]
+    qs = E.queries()
+    for name in lazy:
+        df = qs[name](spark, SF_DIR)
+        p = plan_str(df, "simple")
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
