@@ -550,6 +550,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["er_pipeline_f1"] = er_pipeline_f1
 
+    def er_pipeline_hybrid_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The SHIPPED quality configuration (pipeline metric
+        ``soft_tfidf_jw``: accept iff soft-tfidf >= 0.74 AND (soft-tfidf
+        >= 0.80 OR dual-pass jaro-winkler >= 0.85); BENCH.md §6, F1
+        0.9906 at 50k entities) on the committed fixture corpus, F1 vs
+        truth. The oracle replays everything in SQL: blocking, IDF
+        attach, the gated-argmax Soft TF-IDF (token-pair indel ratios
+        via a recursive-CTE DP, restricted to co-occurring candidate
+        tokens), the jw corroboration gate, recursive-CTE closure, and
+        the F1 arithmetic."""
+        import tempfile
+
+        from rapidfuzz_spark.pipeline import metrics as M
+        from rapidfuzz_spark.pipeline import run as P
+
+        corpus = spark.read.parquet(_SYNTH_FIXTURE)
+        truth = corpus.select("doc_id", "entity_id")
+        with tempfile.TemporaryDirectory(prefix="rf_qh_") as tmp:
+            conf = P.PipelineConfig(
+                metric="soft_tfidf_jw", threshold=0.74, checkpoint=False
+            )
+            ents = P.run_pipeline(spark, corpus.drop("entity_id"), tmp, conf)
+            stats = M.cluster_pairwise_f1(
+                ents.select("doc_id", "entity_id"), truth
+            )
+        rows = [(k, float(v)) for k, v in sorted(stats.items())]
+        return spark.createDataFrame(rows, "stat string, value double")
+
+    q["er_pipeline_hybrid_f1"] = er_pipeline_hybrid_f1
+
     def part_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Fuzzy join on a second table family: top-1 most-similar other
         part name (jaro-winkler) within the same p_type block."""
@@ -1287,6 +1317,170 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL SELECT 'precision', prec FROM st
       UNION ALL SELECT 'recall', rec FROM st
       UNION ALL SELECT 'tp', tp::DOUBLE FROM st"""
+
+    # full SQL replay of the SHIPPED hybrid configuration: blocking ->
+    # soft-tfidf (gated-argmax, token-pair indel DP restricted to tokens
+    # that co-occur in candidate pairs) -> jw corroboration gate ->
+    # transitive closure -> pairwise F1. Pieces shared with
+    # er_pipeline_f1 (keys/closure/F1) and soft_tfidf_pairs (scorer).
+    o["er_pipeline_hybrid_f1"] = f"""
+      WITH RECURSIVE {_FIXTURE_TEXTS},
+      allkeys AS (
+        {_keys_sql("texts")}
+        UNION ALL
+        SELECT concat_ws(':', 'sn' || o.off, r.bucket, r.rnk) AS block_key, r.doc_id
+        FROM (SELECT doc_id, substr(replace(canon_text, ' ', ''), 1, 2) AS bucket,
+                     row_number() OVER (
+                       PARTITION BY substr(replace(canon_text, ' ', ''), 1, 2)
+                       ORDER BY replace(canon_text, ' ', ''), doc_id) AS rnk
+              FROM texts) r, (VALUES (1), (2), (3)) o(off)
+        UNION ALL
+        SELECT concat_ws(':', 'sn' || o.off, r.bucket, r.rnk - o.off), r.doc_id
+        FROM (SELECT doc_id, substr(replace(canon_text, ' ', ''), 1, 2) AS bucket,
+                     row_number() OVER (
+                       PARTITION BY substr(replace(canon_text, ' ', ''), 1, 2)
+                       ORDER BY replace(canon_text, ' ', ''), doc_id) AS rnk
+              FROM texts) r, (VALUES (1), (2), (3)) o(off)),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM allkeys a JOIN allkeys b USING (block_key)
+        WHERE a.doc_id < b.doc_id),
+      tok_occ AS (
+        SELECT doc_id, u.tok AS tok, min(u.ord) AS first_ord FROM (
+          SELECT doc_id,
+                 unnest(list_transform(string_split_regex(norm_text, '\\s+'),
+                        (x, i) -> struct_pack(tok := x, ord := i))) AS u
+          FROM texts)
+        WHERE len(u.tok) > 0
+        GROUP BY doc_id, u.tok),
+      dtoks AS (
+        SELECT doc_id, tok,
+               row_number() OVER (PARTITION BY doc_id ORDER BY first_ord) - 1
+                 AS pos
+        FROM tok_occ),
+      idf AS (
+        SELECT tok,
+               ln(1.0 + (SELECT count(*) FROM texts)::DOUBLE / count(*)) AS idf
+        FROM dtoks GROUP BY tok),
+      wtoks AS (SELECT d.doc_id, d.tok, d.pos, i.idf
+                FROM dtoks d JOIN idf i USING (tok)),
+      norms AS (SELECT doc_id, sqrt(sum(idf * idf)) AS nrm
+                FROM wtoks GROUP BY doc_id),
+      tp2 AS (
+        SELECT DISTINCT wa.tok AS s1, wb.tok AS s2
+        FROM cand c
+        JOIN wtoks wa ON wa.doc_id = c.id1
+        JOIN wtoks wb ON wb.doc_id = c.id2),
+      cells(s1, s2, i, j, v, age) AS (
+        SELECT s1, s2, 0, 0, 0, 0 FROM tp2
+        UNION ALL
+        (
+          WITH contrib AS (
+            SELECT c.s1, c.s2, c.i + 1 AS i, c.j AS j, c.v AS v
+            FROM cells c WHERE c.age = 0 AND c.i < len(c.s1)
+            UNION ALL
+            SELECT c.s1, c.s2, c.i, c.j + 1, c.v
+            FROM cells c WHERE c.age = 0 AND c.j < len(c.s2)
+            UNION ALL
+            SELECT c.s1, c.s2, c.i + 1, c.j + 1,
+                   c.v + CASE WHEN substr(c.s1, c.i + 1, 1)
+                                   = substr(c.s2, c.j + 1, 1)
+                              THEN 1 ELSE 0 END
+            FROM cells c WHERE c.age = 1 AND c.i < len(c.s1) AND c.j < len(c.s2)
+          )
+          SELECT s1, s2, i, j, max(v), 0 FROM contrib GROUP BY s1, s2, i, j
+          UNION ALL
+          SELECT c.s1, c.s2, c.i, c.j, c.v, c.age + 1
+          FROM cells c WHERE c.age = 0 AND c.i + c.j < len(c.s1) + len(c.s2)
+        )
+      ),
+      sims AS (
+        SELECT p.s1, p.s2,
+               1.0 - (len(p.s1) + len(p.s2) - 2 * coalesce(max(c.v), 0))::DOUBLE
+                     / greatest(len(p.s1) + len(p.s2), 1) AS sim
+        FROM tp2 p LEFT JOIN cells c
+          ON c.s1 = p.s1 AND c.s2 = p.s2 AND c.i = len(p.s1) AND c.j = len(p.s2)
+        GROUP BY p.s1, p.s2, len(p.s1), len(p.s2)),
+      ab AS (
+        SELECT c.id1, c.id2, wa.tok AS ta, wa.idf AS ia, wa.pos AS posa,
+               wb.tok AS tb, wb.idf AS ib, wb.pos AS posb, s.sim
+        FROM cand c
+        JOIN wtoks wa ON wa.doc_id = c.id1
+        JOIN wtoks wb ON wb.doc_id = c.id2
+        JOIN sims s ON s.s1 = wa.tok AND s.s2 = wb.tok
+        WHERE s.sim >= 0.7),
+      s_ab AS (
+        SELECT id1, id2,
+               sum((ia / na.nrm) * (ib / nb.nrm) * sim) AS s
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY id1, id2, ta ORDER BY sim DESC, posb) AS rk
+              FROM ab) x
+        JOIN norms na ON na.doc_id = id1
+        JOIN norms nb ON nb.doc_id = id2
+        WHERE rk = 1 GROUP BY id1, id2),
+      s_ba AS (
+        SELECT id1, id2,
+               sum((ia / na.nrm) * (ib / nb.nrm) * sim) AS s
+        FROM (SELECT *, row_number() OVER (
+                PARTITION BY id1, id2, tb ORDER BY sim DESC, posa) AS rk
+              FROM ab) x
+        JOIN norms na ON na.doc_id = id1
+        JOIN norms nb ON nb.doc_id = id2
+        WHERE rk = 1 GROUP BY id1, id2),
+      st_scores AS (
+        SELECT c.id1, c.id2,
+               least(greatest(coalesce(sab.s, 0.0), coalesce(sba.s, 0.0)),
+                     1.0) AS st
+        FROM cand c
+        LEFT JOIN s_ab sab ON sab.id1 = c.id1 AND sab.id2 = c.id2
+        LEFT JOIN s_ba sba ON sba.id1 = c.id1 AND sba.id2 = c.id2),
+      edges AS (
+        SELECT s.id1, s.id2
+        FROM st_scores s
+        JOIN texts t1 ON t1.doc_id = s.id1
+        JOIN texts t2 ON t2.doc_id = s.id2
+        WHERE s.st >= 0.74
+          AND (s.st >= 0.80
+               OR greatest(
+                    jaro_winkler_similarity(t1.canon_text, t2.canon_text),
+                    jaro_winkler_similarity(t1.norm_text, t2.norm_text))
+                  >= 0.85)),
+      -- transitive closure by path doubling (two recursive CTEs in one
+      -- statement crash duckdb, so the closure is unrolled: r10 covers
+      -- paths of length 2^10 = 1024 > any simple path over 881 docs —
+      -- exact, not an approximation)
+      r0 AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM edges
+             UNION SELECT id2, id1 FROM edges
+             UNION SELECT doc_id, doc_id FROM texts),
+      {" ".join(
+          f"r{i} AS MATERIALIZED (SELECT DISTINCT s.a, t.b FROM r{i-1} s "
+          f"JOIN r{i-1} t ON s.b = t.a),"
+          for i in range(1, 11)
+      ).rstrip(",")},
+      pred AS (SELECT a AS doc_id, min(b) AS entity_id FROM r10 GROUP BY a),
+      pp AS (SELECT p1.doc_id AS d1, p2.doc_id AS d2
+             FROM pred p1 JOIN pred p2 ON p1.entity_id = p2.entity_id
+             WHERE p1.doc_id < p2.doc_id),
+      tpp AS (SELECT t1.doc_id AS d1, t2.doc_id AS d2
+              FROM texts t1 JOIN texts t2 ON t1.entity_id = t2.entity_id
+              WHERE t1.doc_id < t2.doc_id),
+      counts AS (
+        SELECT (SELECT count(*) FROM pp JOIN tpp USING (d1, d2)) AS tp,
+               (SELECT count(*) FROM pp) AS np,
+               (SELECT count(*) FROM tpp) AS nt),
+      stt AS (
+        SELECT tp, np - tp AS fp, nt - tp AS fn,
+               CASE WHEN np = 0 THEN 1.0 ELSE tp::DOUBLE / np END AS prec,
+               CASE WHEN nt = 0 THEN 1.0 ELSE tp::DOUBLE / nt END AS rec
+        FROM counts)
+      SELECT 'f1' AS stat,
+             CASE WHEN prec + rec = 0 THEN 0.0
+                  ELSE 2 * prec * rec / (prec + rec) END AS value FROM stt
+      UNION ALL SELECT 'fn', fn::DOUBLE FROM stt
+      UNION ALL SELECT 'fp', fp::DOUBLE FROM stt
+      UNION ALL SELECT 'precision', prec FROM stt
+      UNION ALL SELECT 'recall', rec FROM stt
+      UNION ALL SELECT 'tp', tp::DOUBLE FROM stt"""
 
     o["soft_tfidf_pairs"] = """
       WITH RECURSIVE docs AS (
