@@ -930,11 +930,17 @@ def lcs_similarity_batch(a_arr, b_arr) -> np.ndarray:
 
 
 def indel_batch(a_arr, b_arr, k=None) -> np.ndarray:
-    """Indel distances. ``k``: optional per-pair distance bounds; long
-    pairs with bound <= 4 route to the {delete, insert} mbleven
-    enumeration (reference lcs_seq.rs:113-197 semantics) and MAY return
-    a sentinel > k[i] instead of the exact distance — callers only
-    compare those against the bound."""
+    """Indel distances. ``k``: optional per-pair distance bounds; results
+    above a pair's bound MAY be a sentinel instead of the exact distance
+    — callers only compare those against the bound. Bounded routing:
+
+    - bound <= 4 on long pairs: {delete, insert} mbleven enumeration
+      (reference lcs_seq.rs:113-197 semantics);
+    - otherwise, pairs too long for the one-word path are prefiltered by
+      the Ukkonen-banded Myers kernel at the same bound: levenshtein <=
+      indel (a substitution costs 1 vs 2), so lev > k proves indel > k
+      and only survivors pay the full-width LCS kernel.
+    """
     n = len(a_arr)
     if k is not None and n:
         from .lcs_indel import bounded_indel_distance
@@ -948,14 +954,41 @@ def indel_batch(a_arr, b_arr, k=None) -> np.ndarray:
             dtype=bool,
             count=n,
         )
-        if route.any():
-            out = np.empty(n, dtype=np.int64)
-            for i in np.nonzero(route)[0]:
-                out[i] = bounded_indel_distance(a_arr[i], b_arr[i], int(kv[i]))
-            rest = ~route
-            if rest.any():
-                out[rest] = indel_batch(a_arr[rest], b_arr[rest])
-            return out
+        out = np.empty(n, dtype=np.int64)
+        for i in np.nonzero(route)[0]:
+            out[i] = bounded_indel_distance(a_arr[i], b_arr[i], int(kv[i]))
+        rest = np.nonzero(~route)[0]
+        if len(rest):
+            ra, rb, rk = a_arr[rest], b_arr[rest], kv[rest]
+            # banded-lev prefilter for pairs beyond the one-word path
+            # whose band is narrower than the pattern
+            wide = np.fromiter(
+                (
+                    min(len(ra[i]), len(rb[i])) > 64
+                    and rk[i] + 1 < min(len(ra[i]), len(rb[i]))
+                    for i in range(len(rest))
+                ),
+                dtype=bool,
+                count=len(rest),
+            )
+            if wide.any():
+                lev = levenshtein_batch(ra[wide], rb[wide], k=rk[wide])
+                pruned = lev > rk[wide]
+                wi = np.nonzero(wide)[0]
+                out[rest[wi[pruned]]] = rk[wide][pruned] + 1
+                live = np.ones(len(rest), dtype=bool)
+                live[wi[pruned]] = False
+            else:
+                live = np.ones(len(rest), dtype=bool)
+            li = rest[live]
+            if len(li):
+                lens = np.fromiter(
+                    (len(a_arr[i]) + len(b_arr[i]) for i in li),
+                    dtype=np.int64,
+                    count=len(li),
+                )
+                out[li] = lens - 2 * lcs_similarity_batch(a_arr[li], b_arr[li])
+        return out
     lens = np.fromiter(
         (len(a) + len(b) for a, b in zip(a_arr, b_arr)), dtype=np.int64, count=len(a_arr)
     )

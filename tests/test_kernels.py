@@ -809,3 +809,40 @@ class TestMblevenIndelLcs:
         assert LI.bounded_indel_distance(a, b, 3) > 3
         assert LI.bounded_lcs_dist(a, b, 2) == 2
         assert LI.bounded_lcs_dist(a, b, 1) > 1
+
+    def test_batch_lev_prefilter_bounds(self):
+        """indel_batch with per-pair bounds: levenshtein <= indel, so the
+        banded-Myers prefilter may only prune pairs provably above the
+        bound; survivors must be exact."""
+        import random
+
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+
+        random.seed(37)
+        pairs = []
+        for _ in range(200):
+            L = random.choice([20, 100, 300])
+            base = "".join(random.choices("abcdef", k=L))
+            var = list(base)
+            for _ in range(random.randint(0, L // 3)):
+                op = random.choice("sdi")
+                p = random.randrange(max(len(var), 1))
+                if op == "s" and var:
+                    var[p] = "z"
+                elif op == "d" and var:
+                    del var[p]
+                else:
+                    var.insert(p, "q")
+            pairs.append((base, "".join(var)))
+        a = np.array([p[0] for p in pairs], dtype=object)
+        b = np.array([p[1] for p in pairs], dtype=object)
+        exact = B.indel_batch(a, b)
+        kv = np.array(
+            [random.choice([1, 3, 8, 30, 200]) for _ in pairs], dtype=np.int64
+        )
+        got = B.indel_batch(a, b, k=kv)
+        under = exact <= kv
+        assert (got[under] == exact[under]).all()
+        assert (got[~under] > kv[~under]).all()
