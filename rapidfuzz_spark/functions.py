@@ -61,6 +61,18 @@ def _raw_distance(
         return B.damerau_batch(a, b, k=k_bound)
     if metric == "indel":
         return B.indel_batch(a, b, k=k_bound)
+    if metric == "lcs_seq" and k_bound is not None:
+        # lcs_dist = (indel + |dlen|) / 2, so a bound k on lcs_dist is a
+        # bound 2k - |dlen| on indel; map the indel sentinel back to k+1
+        # explicitly (integer division of the sentinel would round DOWN
+        # to k and un-prune a pair)
+        dlen = np.abs(
+            np.fromiter((len(x) for x in a), np.int64, len(a))
+            - np.fromiter((len(x) for x in b), np.int64, len(b))
+        )
+        k_indel = 2 * k_bound - dlen
+        d = B.indel_batch(a, b, k=np.maximum(k_indel, 0))
+        return np.where(d > k_indel, k_bound + 1, (d + dlen) // 2)
     if metric == "lcs_seq":
         return B.maximum_batch("lcs_seq", a, b) - B.lcs_similarity_batch(a, b)
     if metric == "hamming":
@@ -141,7 +153,7 @@ def _score_block(
     k_bound = None
     if (
         score_cutoff is not None
-        and metric in ("levenshtein", "damerau_levenshtein", "indel")
+        and metric in ("levenshtein", "damerau_levenshtein", "indel", "lcs_seq")
         and tuple(params.get("weights") or (1, 1, 1)) == (1, 1, 1)
         and len(a)
     ):
