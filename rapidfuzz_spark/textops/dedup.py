@@ -104,6 +104,7 @@ def minhash_lsh_candidates(
     rows_per_band: int = 4,
     k: int = 5,
     bucket_cap: int | None = 5000,
+    hot_cap: int | None = None,
 ) -> DataFrame:
     """(id_1, id_2) candidate near-duplicate pairs: docs agreeing on at
     least one LSH band. The join key (band, sig) is the scale lever: more
@@ -114,10 +115,37 @@ def minhash_lsh_candidates(
     thousands of near-identical docs share a band signature) explode
     quadratically in the self-join; a census over (band, sig) drops
     buckets above the cap — the LSH analogue of blocking.py's drop_cap.
-    The census output (hot buckets only) broadcasts."""
+    The census output (hot buckets only) broadcasts.
+
+    ``hot_cap``: when set, pair generation routes through the ER
+    pipeline's salted self-join primitive (blocking.candidate_pairs):
+    buckets above ``hot_cap`` are salted — their join work spreads over G
+    partitions while every pair is still produced exactly once — and only
+    buckets above ``bucket_cap`` are dropped. This is the scale-correct
+    policy for boilerplate-heavy corpora where mid-size hot buckets are
+    real near-dup clusters the drop policy would lose. Pair sets are
+    identical to the unsalted path for any buckets below ``bucket_cap``
+    (asserted in tests/test_textops.py)."""
     bands = lsh_band_signatures(
         minhash_signatures(docs, text_col, n_hashes, k), rows_per_band
     )
+    if hot_cap is not None:
+        from ..pipeline import blocking
+
+        keys = bands.select(
+            F.concat_ws(
+                ":", F.col("band").cast("string"), F.col("sig")
+            ).alias("block_key"),
+            "doc_id",
+        )
+        pairs = blocking.candidate_pairs(
+            keys,
+            hot_cap=hot_cap,
+            drop_cap=bucket_cap if bucket_cap is not None else (1 << 31),
+        )
+        return pairs.select(
+            F.col("doc_id_1").alias("id_1"), F.col("doc_id_2").alias("id_2")
+        )
     if bucket_cap is not None:
         hot = (
             bands.groupBy("band", "sig")

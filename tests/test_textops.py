@@ -288,3 +288,40 @@ def test_lsh_bucket_cap_drops_degenerate_buckets(spark):
     assert not any(p[0].startswith("b") and p[1].startswith("b") for p in pairs)
     uncapped = dedup.minhash_lsh_candidates(docs, bucket_cap=None)
     assert uncapped.where("id_1 like 'b%' and id_2 like 'b%'").count() == 40 * 39 / 2
+
+
+def test_lsh_salted_hot_buckets_keep_pairs_exactly_once(spark):
+    """hot_cap routes LSH pair generation through the ER pipeline's salted
+    self-join: hot buckets are spread over G salt partitions but every
+    pair is still produced exactly once, and mid-size near-dup clusters
+    that the drop policy would lose are kept."""
+    from pyspark.sql import functions as F
+
+    from rapidfuzz_spark.textops import dedup
+
+    boiler = spark.range(40).select(
+        F.concat(F.lit("b"), "id").alias("doc_id"),
+        F.lit("the same boilerplate footer text repeated everywhere").alias(
+            "text"
+        ),
+    )
+    near = spark.createDataFrame(
+        [("x1", "a genuinely unique document about spark joins"),
+         ("x2", "a genuinely unique document about spark joinz")],
+        "doc_id string, text string",
+    )
+    docs = boiler.unionByName(near)
+    # salted at hot_cap=10 with no drop: identical pair set to unsalted
+    salted = dedup.minhash_lsh_candidates(
+        docs, bucket_cap=None, hot_cap=10
+    )
+    unsalted = dedup.minhash_lsh_candidates(docs, bucket_cap=None)
+    sp = {(r.id_1, r.id_2) for r in salted.collect()}
+    up = {(r.id_1, r.id_2) for r in unsalted.collect()}
+    assert sp == up  # exactly-once, nothing lost, nothing duplicated
+    assert ("x1", "x2") in sp
+    # drop still applies above bucket_cap on the salted path
+    capped = dedup.minhash_lsh_candidates(docs, bucket_cap=10, hot_cap=5)
+    cp = {(r.id_1, r.id_2) for r in capped.collect()}
+    assert ("x1", "x2") in cp
+    assert not any(p[0].startswith("b") and p[1].startswith("b") for p in cp)
