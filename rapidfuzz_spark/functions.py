@@ -325,17 +325,30 @@ def _jaro_fn(winkler: bool, variant: str):
                     sim = np.zeros(len(a), dtype=np.float64)
                     if live.any():
                         sim[live] = (
-                            B.jaro_winkler_batch(a[live], b[live], prefix_weight)
+                            B.jaro_winkler_batch(
+                                a[live], b[live], prefix_weight, k=score_cutoff
+                            )
                             if winkler
-                            else B.jaro_batch(a[live], b[live])
+                            else B.jaro_batch(a[live], b[live], k=score_cutoff)
                         )
                 else:
                     live = None
             if live is None:
+                # in-kernel early exit: similarity cutoff passes through;
+                # a distance cutoff d keeps sim >= 1-d. Dropped pairs
+                # return the -1.0 sentinel, which every keep-comparison
+                # below rejects (sim -1 < cutoff; dist 2 > cutoff).
+                ik = None
+                if score_cutoff is not None and len(a):
+                    ik = (
+                        score_cutoff
+                        if variant.endswith("similarity")
+                        else 1.0 - score_cutoff
+                    )
                 if winkler:
-                    sim = B.jaro_winkler_batch(a, b, prefix_weight)
+                    sim = B.jaro_winkler_batch(a, b, prefix_weight, k=ik)
                 else:
-                    sim = B.jaro_batch(a, b)
+                    sim = B.jaro_batch(a, b, k=ik)
             vals = sim if variant.endswith("similarity") else 1.0 - sim
             if score_cutoff is None:
                 keep = None

@@ -574,7 +574,7 @@ def osa_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
     return dist[inv]
 
 
-def jaro_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
+def jaro_batch_block(pats: list, texts: list, W: int, k=None) -> np.ndarray:
     """Vectorized-across-pairs Jaro similarity (pattern <= 64*W chars,
     any codepoints). Two phases mirroring the reference's bit-parallel flagging
     (/root/reference/src/distance/jaro.rs:147-190,286-420):
@@ -584,19 +584,28 @@ def jaro_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
        append the text char to the pair's match sequence;
     2. walk flagged pattern bits in order against the matched text chars
        to count transpositions.
+
+    ``k``: optional similarity cutoff (scalar float, shared across the
+    chunk) — the reference's in-kernel phase-2 early exit
+    (jaro.rs:300-320 common-character bound): every 32 text chars, pairs
+    whose best still-achievable similarity (m_max = matches so far + the
+    smaller of remaining text chars / unmatched pattern chars; third
+    Jaro term bounded by 1) falls below ``k`` are dropped from the scan
+    and return the -1.0 sentinel (callers only compare against the
+    cutoff). The batch compacts when enough pairs die, so survivors
+    keep full vector width.
     """
     n = len(pats)
     pcodes, plens, poffs = _encode_codes(pats)
     tcodes, tlens, toffs = _encode_codes(texts)
     pcodes, tcodes, sigma = _compact_alphabet(pcodes, tcodes)
     order = np.argsort(-tlens, kind="stable")
-    inv = np.empty(n, dtype=np.intp)
-    inv[order] = np.arange(n, dtype=np.intp)
     pm = _build_pm_block(pats, pcodes, plens, poffs, W, sigma)[order]
     plens_s = plens[order].astype(np.int64)
     tlens_s = tlens[order].astype(np.int64)
     toffs_s = toffs[:-1][order]
     poffs_s = poffs[:-1][order]
+    orig = order.copy()  # current row -> original batch row
     bound = np.maximum(np.maximum(plens_s, tlens_s) // 2 - 1, 0)
     one = np.uint64(1)
     flagged = np.zeros((n, W), dtype=np.uint64)
@@ -615,6 +624,8 @@ def jaro_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
     for j in range(max_t):
         while active > 0 and tlens_s[active - 1] <= j:
             active -= 1
+        if active == 0 and k is not None:
+            break
         a = slice(0, active)
         r = rows[:active]
         cj = tcodes[toffs_s[a] + j]
@@ -644,18 +655,47 @@ def jaro_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
         if len(hit):
             matched2[hit, cnt[hit]] = cj[hit]
             cnt[hit] += 1
+        if k is not None and active > 0 and (j & 31) == 31:
+            # best-achievable bound: each remaining text char adds at most
+            # one match, total matches <= pattern length, third term <= 1
+            rem = tlens_s[a] - (j + 1)
+            m_max = cnt[a] + np.minimum(plens_s[a] - cnt[a], rem)
+            ub = (
+                m_max / plens_s[a] + m_max / tlens_s[a] + 1.0
+            ) / 3.0
+            dead = ub < k - 1e-9
+            ndead = int(dead.sum())
+            # compact only when enough died to repay the gather cost
+            if ndead and (ndead >= 64 or ndead * 4 >= active):
+                keep = np.ones(len(orig), dtype=bool)
+                keep[:active][dead] = False
+                orig = orig[keep]
+                pm = pm[keep]
+                flagged = flagged[keep]
+                window = window[keep]
+                hi_ptr = hi_ptr[keep]
+                cnt = cnt[keep]
+                bound = bound[keep]
+                plens_s = plens_s[keep]
+                tlens_s = tlens_s[keep]
+                toffs_s = toffs_s[keep]
+                poffs_s = poffs_s[keep]
+                matched2 = matched2[keep]
+                rows = np.arange(len(orig), dtype=np.intp)
+                active -= ndead
     # phase 2: transpositions, fully vectorized — unpack flagged bits to a
     # boolean matrix; np.nonzero yields (pair, pos) in row-major order =
     # flag order per pair; compare against the matched text chars in order
-    t_cnt = np.zeros(n, dtype=np.int64)
-    if max_m:
+    cur_n = len(orig)
+    t_cnt = np.zeros(cur_n, dtype=np.int64)
+    if max_m and cur_n:
         bits = np.unpackbits(
             flagged.view(np.uint8), axis=1, bitorder="little"
         )[:, : max(max_m, 1)]
         ri, ci = np.nonzero(bits)
         if len(ri):
-            starts = np.zeros(n + 1, dtype=np.int64)
-            np.cumsum(np.bincount(ri, minlength=n), out=starts[1:])
+            starts = np.zeros(cur_n + 1, dtype=np.int64)
+            np.cumsum(np.bincount(ri, minlength=cur_n), out=starts[1:])
             seq = np.arange(len(ri)) - starts[ri]
             ch1 = pcodes[poffs_s[ri] + ci]
             ch2 = matched2[ri, seq]
@@ -672,7 +712,9 @@ def jaro_batch_block(pats: list, texts: list, W: int) -> np.ndarray:
             / 3.0,
             0.0,
         )
-    return sim[inv]
+    result = np.full(n, -1.0, dtype=np.float64)
+    result[orig] = sim
+    return result
 
 
 def _pad_codes(strs: list, sentinel: int) -> tuple[np.ndarray, np.ndarray]:
@@ -1073,7 +1115,10 @@ def damerau_batch(a_arr, b_arr, k=None) -> np.ndarray:
     return out
 
 
-def jaro_batch(a_arr, b_arr) -> np.ndarray:
+def jaro_batch(a_arr, b_arr, k=None) -> np.ndarray:
+    """``k``: optional similarity cutoff (scalar float). Pairs provably
+    below it MAY return the -1.0 sentinel instead of the exact
+    similarity — callers only compare those against the cutoff."""
     n = len(a_arr)
     out = np.zeros(n, dtype=np.float64)
     blk: dict = {}
@@ -1098,14 +1143,33 @@ def jaro_batch(a_arr, b_arr) -> np.ndarray:
             if pm is None:
                 pm = pm_cache[sa] = pm_vector(sa)
             out[i] = _jaro.jaro_similarity(sa, sb, pm)
-    _run_block_groups(blk, out, jaro_batch_block)
+    if k is None:
+        _run_block_groups(blk, out, jaro_batch_block)
+    else:
+        _run_block_groups(
+            blk, out, lambda ps, ts, W: jaro_batch_block(ps, ts, W, k=k)
+        )
     return out
 
 
-def jaro_winkler_batch(a_arr, b_arr, prefix_weight: float = 0.1) -> np.ndarray:
+def jaro_winkler_batch(
+    a_arr, b_arr, prefix_weight: float = 0.1, k=None
+) -> np.ndarray:
     """Jaro + Winkler prefix boost (jaro_winkler.rs:78-98): applied only
-    when jaro > 0.7, prefix capped at 4, result capped at 1.0."""
-    out = jaro_batch(a_arr, b_arr)
+    when jaro > 0.7, prefix capped at 4, result capped at 1.0.
+
+    ``k``: optional jaro-winkler similarity cutoff. Translated to the
+    conservative jaro-level bound jw <= jaro + 4*pw*(1-jaro) (prefix <= 4,
+    jaro_winkler.rs:85), so pairs the kernel drops (sentinel -1.0, no
+    boost applied) are provably below ``k``."""
+    jk = None
+    if k is not None:
+        denom = 1.0 - 4.0 * prefix_weight
+        if denom > 0:
+            jb = (k - 4.0 * prefix_weight) / denom
+            if jb > 0.0:
+                jk = jb
+    out = jaro_batch(a_arr, b_arr, k=jk)
     boost = np.nonzero(out > 0.7)[0]
     if len(boost):
         # vectorized common-prefix length over the first 4 chars: pad with

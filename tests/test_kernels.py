@@ -846,3 +846,78 @@ class TestMblevenIndelLcs:
         under = exact <= kv
         assert (got[under] == exact[under]).all()
         assert (got[~under] > kv[~under]).all()
+
+
+class TestJaroCutoffEarlyExit:
+    """In-kernel phase-1 early exit (jaro.rs:300-320 bound semantics):
+    pairs provably below the cutoff return the -1.0 sentinel; every
+    non-sentinel value must equal the exact similarity."""
+
+    def _pairs(self, n=300, length=300, seed=23):
+        import random
+
+        random.seed(seed)
+        words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+
+        def mk():
+            s = ""
+            while len(s) < length:
+                s += random.choice(words) + " "
+            return s[:length]
+
+        a, b = [], []
+        for i in range(n):
+            x = mk()
+            y = (
+                x[: length // 2] + random.choice(words) + x[length // 2 :][: length // 2 - 6]
+                if i % 3 == 0
+                else mk()
+            )
+            a.append(x)
+            b.append(y)
+        return a, b
+
+    def test_sentinel_only_below_cutoff(self):
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+
+        a, b = self._pairs()
+        aa = np.array(a, dtype=object)
+        bb = np.array(b, dtype=object)
+        exact = B.jaro_batch(aa, bb)
+        for k in (0.5, 0.8, 0.9, 0.95, 0.99):
+            got = B.jaro_batch(aa, bb, k=k)
+            sent = got == -1.0
+            assert np.allclose(got[~sent], exact[~sent], atol=1e-12)
+            if sent.any():
+                assert exact[sent].max() < k
+
+    def test_jw_cutoff_translates_through_boost(self):
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+
+        a, b = self._pairs(seed=29)
+        # add boost-region pairs so winkler-boosted survivors are exercised
+        a += ["martha" * 30, "prefix common words"]
+        b += ["marhta" * 30, "prefix common wrods"]
+        aa = np.array(a, dtype=object)
+        bb = np.array(b, dtype=object)
+        exact = B.jaro_winkler_batch(aa, bb)
+        for k in (0.8, 0.95):
+            got = B.jaro_winkler_batch(aa, bb, k=k)
+            sent = got == -1.0
+            assert np.allclose(got[~sent], exact[~sent], atol=1e-12)
+            if sent.any():
+                assert exact[sent].max() < k
+
+    def test_cross_alphabet_drops_most(self):
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+
+        a = np.array(["alpha bravo charlie " * 10] * 64, dtype=object)
+        b = np.array(["дельта эхо фокстрот " * 10] * 64, dtype=object)
+        got = B.jaro_batch(a, b, k=0.8)
+        assert (got == -1.0).all()  # disjoint alphabets cannot reach 0.8
