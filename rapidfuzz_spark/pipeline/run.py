@@ -76,7 +76,12 @@ def run_pipeline(
             pairs_t, metric=conf.metric, threshold=conf.threshold
         )
     comps = cluster.connected_components(edges)
-    entities = cluster.assign_entities(docs, comps)
+    # assign from the persisted projection, not the raw `docs` plan: the
+    # original columns (spans included) ride along in docs_t, so this
+    # avoids re-executing the source scan a second time (at 10^12 docs,
+    # a full extra pass over the table) purely to re-read columns we
+    # already hold
+    entities = cluster.assign_entities(docs_t.select(*docs.columns), comps)
     entities.write.mode("overwrite").parquet(os.path.join(out_dir, "entities"))
     docs_t.unpersist()
     out = spark.read.parquet(os.path.join(out_dir, "entities"))
