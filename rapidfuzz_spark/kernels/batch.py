@@ -718,15 +718,21 @@ def jaro_batch_block(pats: list, texts: list, W: int, k=None) -> np.ndarray:
 
 
 def _pad_codes(strs: list, sentinel: int) -> tuple[np.ndarray, np.ndarray]:
-    """(codes padded to max len with sentinel, lengths) as uint32/int64."""
-    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=len(strs))
-    L = int(lens.max()) if len(strs) else 0
-    out = np.full((len(strs), L), sentinel, dtype=np.uint32)
-    for i, s in enumerate(strs):
-        if s:
-            out[i, : len(s)] = np.frombuffer(
-                s.encode("utf-32-le"), dtype=np.uint32
-            )
+    """(codes padded to max len with sentinel, lengths) as uint32/int64.
+    One joined blob + one encode per batch (UTF-32 is context-free, so
+    encode(join) == concat(encodes)) — the per-string encode loop this
+    replaces was ~45% of jaro_winkler_batch wall on short-name batches."""
+    n = len(strs)
+    lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=n)
+    L = int(lens.max()) if n else 0
+    out = np.full((n, L), sentinel, dtype=np.uint32)
+    if L:
+        codes = np.frombuffer("".join(strs).encode("utf-32-le"), dtype=np.uint32)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        rows = np.repeat(np.arange(n, dtype=np.intp), lens)
+        cols = np.arange(len(codes), dtype=np.intp) - np.repeat(offs, lens)
+        out[rows, cols] = codes
     return out, lens
 
 
@@ -845,6 +851,46 @@ def _is_word_ok(s: str) -> bool:
     return len(s) <= 64
 
 
+def _short_batch_lens(a_arr, b_arr):
+    """(alens, blens) when EVERY pair is non-empty and one-word sized
+    (<= 64 chars) — the record-linkage hot shape — else None. Such batches
+    skip the per-pair routing/affix loop entirely (measured ~40% of wall
+    at ~20-char names) and go straight to one vectorized kernel call:
+    affix stripping and equal-pair short-circuits are optimizations the
+    word kernels don't need for correctness."""
+    n = len(a_arr)
+    if not n:
+        return None
+    alens = np.fromiter((len(s) for s in a_arr), dtype=np.int64, count=n)
+    blens = np.fromiter((len(s) for s in b_arr), dtype=np.int64, count=n)
+    if (
+        int(alens.min()) > 0
+        and int(blens.min()) > 0
+        and int(alens.max()) <= 64
+        and int(blens.max()) <= 64
+    ):
+        return alens, blens
+    return None
+
+
+def _short_swap(a_arr, b_arr, alens, blens) -> tuple[list, list]:
+    """(patterns, texts) with the shorter string of each pair as pattern."""
+    swap = alens > blens
+    return list(np.where(swap, b_arr, a_arr)), list(np.where(swap, a_arr, b_arr))
+
+
+def _chunked_block(kernel, ps: list, ts: list, dtype, **kw) -> np.ndarray:
+    """Run a blockwise kernel at W=1 in _BLOCK_CHUNK slices — the chunk
+    width keeps the kernel's per-char working set cache-resident (swept in
+    BENCH.md §2; one oversized call is measurably slower than chunks)."""
+    n = len(ps)
+    out = np.empty(n, dtype=dtype)
+    for lo in range(0, n, _BLOCK_CHUNK):
+        hi = lo + _BLOCK_CHUNK
+        out[lo:hi] = kernel(ps[lo:hi], ts[lo:hi], 1, **kw)
+    return out
+
+
 def levenshtein_batch(a_arr, b_arr, k=None) -> np.ndarray:
     """Uniform Levenshtein distances for paired object arrays of str.
     Routing (per pair, after affix strip): <=64-char pattern -> one-word
@@ -858,6 +904,9 @@ def levenshtein_batch(a_arr, b_arr, k=None) -> np.ndarray:
     the exact distance — callers must only compare those against the
     cutoff (the Column API's keep-mask does exactly that)."""
     n = len(a_arr)
+    short = _short_batch_lens(a_arr, b_arr)
+    if short is not None:
+        return myers_batch_word(*_short_swap(a_arr, b_arr, *short))
     out = np.zeros(n, dtype=np.int64)
     np_idx: list = []
     np_p: list = []
@@ -926,6 +975,9 @@ def levenshtein_batch(a_arr, b_arr, k=None) -> np.ndarray:
 def lcs_similarity_batch(a_arr, b_arr) -> np.ndarray:
     """LCS lengths for paired object arrays of str."""
     n = len(a_arr)
+    short = _short_batch_lens(a_arr, b_arr)
+    if short is not None:
+        return lcs_batch_word(*_short_swap(a_arr, b_arr, *short))
     out = np.zeros(n, dtype=np.int64)
     np_idx: list = []
     np_p: list = []
@@ -1039,6 +1091,11 @@ def indel_batch(a_arr, b_arr, k=None) -> np.ndarray:
 
 def osa_batch(a_arr, b_arr) -> np.ndarray:
     n = len(a_arr)
+    short = _short_batch_lens(a_arr, b_arr)
+    if short is not None:
+        return _chunked_block(
+            osa_batch_block, *_short_swap(a_arr, b_arr, *short), np.int64
+        )
     out = np.zeros(n, dtype=np.int64)
     blk: dict = {}
     pm_cache: dict = {}
@@ -1120,6 +1177,11 @@ def jaro_batch(a_arr, b_arr, k=None) -> np.ndarray:
     below it MAY return the -1.0 sentinel instead of the exact
     similarity — callers only compare those against the cutoff."""
     n = len(a_arr)
+    short = _short_batch_lens(a_arr, b_arr)
+    if short is not None:
+        return _chunked_block(
+            jaro_batch_block, *_short_swap(a_arr, b_arr, *short), np.float64, k=k
+        )
     out = np.zeros(n, dtype=np.float64)
     blk: dict = {}
     pm_cache: dict = {}
