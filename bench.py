@@ -147,11 +147,21 @@ def main() -> None:
     n_pairs = pairs(spark).count()  # warm up JVM + parquet footer cache
 
     times: dict[str, float] = {}
+    trials: dict[str, list] = {}
+    # shared-host noise on this sandbox is +/-10%..3x between identical
+    # runs (BENCH.md §1: hypervisor CPU-steal phases hit multi-process
+    # walls while single-thread kernel throughput is unchanged) — report
+    # the per-query minimum over N trials, raw trials recorded alongside
+    n_trials = max(1, int(os.environ.get("SPARK_GRAFT_TRIALS", "2")))
 
-    def timed(name, fn, *a):
-        t0 = time.perf_counter()
-        fn(spark, *a)
-        times[name] = round(time.perf_counter() - t0, 3)
+    def timed(name, fn, *a, repeats=n_trials):
+        walls = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn(spark, *a)
+            walls.append(round(time.perf_counter() - t0, 3))
+        trials[name] = walls
+        times[name] = min(walls)
 
     timed("block_salted", q_block_salted)
     timed("score_jw", q_score_jw)
@@ -161,7 +171,8 @@ def main() -> None:
     timed("jw_topk", q_jw_topk)
     tmp = tempfile.mkdtemp(prefix="rf_bench_")
     try:
-        timed("pipeline_e2e", q_pipeline_e2e, tmp)
+        # e2e is ~40% of suite wall: one trial, not N
+        timed("pipeline_e2e", q_pipeline_e2e, tmp, repeats=1)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -182,6 +193,7 @@ def main() -> None:
         "cpus": CPUS,
         "n_pairs": n_pairs,
         "scored_pairs_per_sec": pps,
+        "trials": trials,
     }
     spark.stop()
     print(json.dumps(out))
