@@ -891,6 +891,22 @@ def _chunked_block(kernel, ps: list, ts: list, dtype, **kw) -> np.ndarray:
     return out
 
 
+def _chunked_word(kernel, ps: list, ts: list) -> np.ndarray:
+    """Run a one-word kernel (myers_batch_word / lcs_batch_word) in
+    _BLOCK_CHUNK slices. The word kernels' per-batch state (PM gather
+    table + code arrays) spills L2 on full Arrow batches: chunking at
+    2048 measured +53% single-thread and +35% machine-wide under 16
+    worker processes on ~20-char name pairs (BENCH.md §2)."""
+    n = len(ps)
+    if n <= _BLOCK_CHUNK:
+        return kernel(ps, ts)
+    out = np.empty(n, dtype=np.int64)
+    for lo in range(0, n, _BLOCK_CHUNK):
+        hi = lo + _BLOCK_CHUNK
+        out[lo:hi] = kernel(ps[lo:hi], ts[lo:hi])
+    return out
+
+
 def levenshtein_batch(a_arr, b_arr, k=None) -> np.ndarray:
     """Uniform Levenshtein distances for paired object arrays of str.
     Routing (per pair, after affix strip): <=64-char pattern -> one-word
@@ -906,7 +922,7 @@ def levenshtein_batch(a_arr, b_arr, k=None) -> np.ndarray:
     n = len(a_arr)
     short = _short_batch_lens(a_arr, b_arr)
     if short is not None:
-        return myers_batch_word(*_short_swap(a_arr, b_arr, *short))
+        return _chunked_word(myers_batch_word, *_short_swap(a_arr, b_arr, *short))
     out = np.zeros(n, dtype=np.int64)
     np_idx: list = []
     np_p: list = []
@@ -961,7 +977,9 @@ def levenshtein_batch(a_arr, b_arr, k=None) -> np.ndarray:
                 pm = pm_cache[sa] = pm_vector(sa)
             out[i] = myers_distance(sa, sb, pm)
     if np_idx:
-        out[np.asarray(np_idx, dtype=np.intp)] = myers_batch_word(np_p, np_t)
+        out[np.asarray(np_idx, dtype=np.intp)] = _chunked_word(
+            myers_batch_word, np_p, np_t
+        )
     _run_block_groups(blk, out, myers_batch_block)
     for W, (idx, ps, ts, kk) in blk_banded.items():
         for lo in range(0, len(idx), _BLOCK_CHUNK):
@@ -977,7 +995,7 @@ def lcs_similarity_batch(a_arr, b_arr) -> np.ndarray:
     n = len(a_arr)
     short = _short_batch_lens(a_arr, b_arr)
     if short is not None:
-        return lcs_batch_word(*_short_swap(a_arr, b_arr, *short))
+        return _chunked_word(lcs_batch_word, *_short_swap(a_arr, b_arr, *short))
     out = np.zeros(n, dtype=np.int64)
     np_idx: list = []
     np_p: list = []
@@ -1015,7 +1033,7 @@ def lcs_similarity_batch(a_arr, b_arr) -> np.ndarray:
             out[i] = affix + lcs_length(sa, sb, pm)
     if np_idx:
         idx = np.asarray(np_idx, dtype=np.intp)
-        out[idx] = base[idx] + lcs_batch_word(np_p, np_t)
+        out[idx] = base[idx] + _chunked_word(lcs_batch_word, np_p, np_t)
     _run_block_groups(blk, out, lcs_batch_block)
     for W, (idx, _, _) in blk.items():
         ix = np.asarray(idx, dtype=np.intp)
