@@ -1156,7 +1156,7 @@ def oracle_sql() -> dict[str, str]:
                                    ROWS UNBOUNDED PRECEDING) AS session_idx
         FROM g
       )
-      SELECT user_id, session_idx, count(*) AS n_events,
+      SELECT user_id, session_idx::BIGINT AS session_idx, count(*) AS n_events,
              sum(CAST(round(value * 1000000.0) AS BIGINT))::BIGINT
                AS session_value_micro
       FROM s GROUP BY user_id, session_idx"""

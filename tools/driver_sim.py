@@ -13,15 +13,37 @@ sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as E  # noqa: E402
 
+STRICT = "--strict" in sys.argv
+if STRICT:
+    sys.argv.remove("--strict")
+
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    """Order-insensitive canonical form. Default mode coerces every
+    numeric to rounded float64 (value equality). --strict mode mimics
+    the driver's value hash more closely: it keeps int vs float
+    DISTINCT (an int64 Spark column vs a float64/HUGEINT oracle column
+    fails, as it did for hamming_distance in round 1) and compares
+    floats bit-exactly after the query's own rounding."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
+        elif STRICT:
+            dt = str(df[c].dtype)
+            if "Int" in dt:  # nullable int -> plain int64 w/ NaN check
+                df[c] = (
+                    df[c].astype("int64")
+                    if not df[c].isna().any()
+                    else df[c].astype("float64")
+                )
+            elif "int" in dt:  # int32 vs int64 width is not a value difference
+                df[c] = df[c].astype("int64")
+            elif dt == "float32":
+                df[c] = df[c].astype("float64")
         elif "float" in str(df[c].dtype):
             df[c] = df[c].round(6)
         elif "Int" in str(df[c].dtype):
