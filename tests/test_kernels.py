@@ -567,6 +567,42 @@ class TestBlockwiseBatchKernels:
             assert gp[i] == pfx(x, y)
             assert gs[i] == pfx(x[::-1], y[::-1])
 
+    def test_chunked_word_path_parity_above_block_chunk(self):
+        """All-short batches larger than _BLOCK_CHUNK run the one-word
+        kernels in cache-sized slices; the chunk seams must not change
+        results (covers the >2048-pair path the 300-case suite misses)."""
+        import random
+
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+        from rapidfuzz_spark.kernels.common import pm_vector
+        from rapidfuzz_spark.kernels.lcs_indel import lcs_length
+        from rapidfuzz_spark.kernels.levenshtein import myers_distance
+
+        random.seed(3)
+        al = "abcdefgh "
+        n = B._BLOCK_CHUNK * 2 + 37  # spans two full chunks + a remainder
+        cases = [
+            (
+                "".join(random.choice(al) for _ in range(random.randint(1, 60))),
+                "".join(random.choice(al) for _ in range(random.randint(1, 60))),
+            )
+            for _ in range(n)
+        ]
+        a = np.array([c[0] for c in cases], dtype=object)
+        b = np.array([c[1] for c in cases], dtype=object)
+        lev = B.levenshtein_batch(a, b)
+        lcs = B.lcs_similarity_batch(a, b)
+        idx = list(range(0, n, 97)) + [
+            B._BLOCK_CHUNK - 1, B._BLOCK_CHUNK, B._BLOCK_CHUNK + 1, n - 1
+        ]
+        for i in idx:
+            x, y = cases[i]
+            p, t = (x, y) if len(x) <= len(y) else (y, x)
+            assert lev[i] == myers_distance(p, t, pm_vector(p))
+            assert lcs[i] == lcs_length(p, t, pm_vector(p))
+
     def test_damerau_no_int16_overflow_on_long_dissimilar(self):
         import numpy as np
 
