@@ -907,6 +907,27 @@ def _chunked_word(kernel, ps: list, ts: list) -> np.ndarray:
     return out
 
 
+def _banded_lev_pays(pat_len: int, W: int, k: int, scale: float = 1.0) -> bool:
+    """Route a pair to myers_batch_block_banded only when the band is
+    narrow enough to beat the full blockwise kernel. The banded kernel
+    carries per-row band bookkeeping, so its breakeven band fraction
+    grows with word count (measured, best-of-3, same-length random
+    pairs): W=3 never wins (0.93x at frac 0.1), W=5 wins below ~0.5,
+    W=10 below ~0.45, W=16 below ~0.8. Thresholds below sit safely
+    under those breakevens. ``scale`` < 1 tightens them for callers that
+    additionally bet on pruning (the indel prefilter must beat
+    prune_frac * LCS cost, not just the full kernel)."""
+    if W < 4 or k >= 64 * (W - 1):
+        return False
+    if W <= 5:
+        t = 0.25
+    elif W <= 10:
+        t = 0.35
+    else:
+        t = 0.6
+    return k <= t * scale * pat_len
+
+
 def levenshtein_batch(a_arr, b_arr, k=None) -> np.ndarray:
     """Uniform Levenshtein distances for paired object arrays of str.
     Routing (per pair, after affix strip): <=64-char pattern -> one-word
@@ -958,9 +979,10 @@ def levenshtein_batch(a_arr, b_arr, k=None) -> np.ndarray:
         W = _block_bucket(len(sa))
         if W <= _BLOCK_MAX_WORDS:
             # banded pays off once whole words fall outside the |i-j|<=k
-            # diagonal band (affix stripping already happened, so k is
-            # usually small relative to the remaining core)
-            if k is not None and k[i] < 64 * (W - 1):
+            # diagonal band AND the band is narrow enough to amortize the
+            # per-row band bookkeeping (affix stripping already happened,
+            # so k is usually small relative to the remaining core)
+            if k is not None and _banded_lev_pays(len(sa), W, int(k[i])):
                 g = blk_banded.setdefault(W, ([], [], [], []))
                 g[0].append(i)
                 g[1].append(sa)
@@ -1072,14 +1094,22 @@ def indel_batch(a_arr, b_arr, k=None) -> np.ndarray:
         rest = np.nonzero(~route)[0]
         if len(rest):
             ra, rb, rk = a_arr[rest], b_arr[rest], kv[rest]
-            # banded-lev prefilter for pairs beyond the one-word path
-            # whose band is narrower than the pattern
+            # banded-lev prefilter for pairs beyond the one-word path —
+            # only where the band is narrow enough that the banded kernel
+            # costs well under the LCS it may save (scale=0.5 tightens
+            # the _banded_lev_pays thresholds: the prefilter is a bet on
+            # pruning, and at wide bands it measured 3x SLOWER than just
+            # computing the full LCS on the sf0.1 bench mix)
+            def _prefilter_pays(i: int) -> bool:
+                pl = min(len(ra[i]), len(rb[i]))
+                if pl <= 64:
+                    return False
+                return _banded_lev_pays(
+                    pl, _block_bucket(pl), int(rk[i]), scale=0.5
+                )
+
             wide = np.fromiter(
-                (
-                    min(len(ra[i]), len(rb[i])) > 64
-                    and rk[i] + 1 < min(len(ra[i]), len(rb[i]))
-                    for i in range(len(rest))
-                ),
+                (_prefilter_pays(i) for i in range(len(rest))),
                 dtype=bool,
                 count=len(rest),
             )
