@@ -158,7 +158,19 @@ def candidate_pairs(
     # pinning the full key set in executor memory, and stays lazy.
     from pyspark.storagelevel import StorageLevel
 
-    keys = keys.persist(StorageLevel.MEMORY_AND_DISK)
+    # the union of blocking passes CONCATENATES their partitions (~7x the
+    # shuffle-partition setting here), and every consumer of the cached
+    # keys then pays that task count: measured 232-task stages whose
+    # executorRunTime was ~10x the actual row work. Coalesce (no shuffle)
+    # back to the session's shuffle parallelism before caching; AQE does
+    # not coalesce InMemoryTableScan reads, so this must happen pre-persist.
+    try:
+        n_part = int(keys.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_part = keys.sparkSession.sparkContext.defaultParallelism
+    # coalesce never increases partition count, so this is a no-op when
+    # the input is already at or below the target
+    keys = keys.coalesce(n_part).persist(StorageLevel.MEMORY_AND_DISK)
     # broadcast-join the census DataFrame directly — never collected to
     # the driver (at 100 TB millions of keys can exceed hot_cap; the
     # census output is still small relative to data, but it belongs on
