@@ -113,11 +113,26 @@ def q_jw_topk(spark):
     )
 
 
-def q_pipeline_e2e(spark, tmp_dir):
-    """Full ER pipeline (synth corpus scaled to the sf's document count):
-    ingest -> blocking (salted) -> dual-pass scoring -> CC clustering."""
+def synth_corpus(spark):
+    """Materialize the synthesized interleaved corpus (scaled to the sf's
+    document count) BEFORE the pipeline clock starts — the same
+    input-outside-the-clock policy as tools/scaling_bench.py, so
+    pipeline_e2e measures the pipeline, not the test-data generator."""
+    from pyspark.storagelevel import StorageLevel
+
     n_docs = docs(spark).count()
-    corpus = synth.synth_documents(spark, n_entities=max(500, n_docs), seed=42)
+    corpus = (
+        synth.synth_documents(spark, n_entities=max(500, n_docs), seed=42)
+        .drop("entity_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    corpus.count()
+    return corpus
+
+
+def q_pipeline_e2e(spark, corpus, tmp_dir):
+    """Full ER pipeline over the pre-materialized corpus:
+    ingest -> blocking (salted) -> dual-pass scoring -> CC clustering."""
     # tested config (tests/test_pipeline.py): ratio @ 0.85; drop_cap culls
     # stopword-grade blocking tokens (shared first/last names) whose blocks
     # grow O(corpus) — the pair count stays O(docs x cluster_size) instead
@@ -125,7 +140,7 @@ def q_pipeline_e2e(spark, tmp_dir):
     conf = P.PipelineConfig(
         metric="ratio", threshold=0.85, drop_cap=500, checkpoint=False
     )
-    ents = P.run_pipeline(spark, corpus.drop("entity_id"), tmp_dir, conf)
+    ents = P.run_pipeline(spark, corpus, tmp_dir, conf)
     return ents.select(F.countDistinct("entity_id")).collect()[0][0]
 
 
@@ -170,11 +185,14 @@ def main() -> None:
     timed("lev_cutoff", q_lev_cutoff)
     timed("jw_topk", q_jw_topk)
     tmp = tempfile.mkdtemp(prefix="rf_bench_")
+    t_synth = time.perf_counter()
+    corpus = synth_corpus(spark)
+    synth_sec = round(time.perf_counter() - t_synth, 3)
     try:
-        # e2e is ~40% of suite wall: one trial, not N
-        timed("pipeline_e2e", q_pipeline_e2e, tmp, repeats=1)
+        timed("pipeline_e2e", q_pipeline_e2e, corpus, tmp)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        corpus.unpersist()
 
     score_sec = (
         times["score_jw"]
@@ -193,6 +211,7 @@ def main() -> None:
         "cpus": CPUS,
         "n_pairs": n_pairs,
         "scored_pairs_per_sec": pps,
+        "synth_sec": synth_sec,
         "trials": trials,
     }
     spark.stop()
