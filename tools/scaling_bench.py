@@ -42,7 +42,9 @@ def main() -> None:
     # the faithful sandbox proxy for "N- vs 4N-executor clusters": each
     # executor owns its heap, GC, Arrow channels, and Python workers.
     # `scaling_bench.py 1` vs `scaling_bench.py 4` is the N vs 4N pair.
-    n_exec = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    argv = [a for a in sys.argv[1:] if a != "--pipeline"]
+    pipeline_mode = "--pipeline" in sys.argv[1:]
+    n_exec = int(argv[0]) if argv else 4
     cores = int(os.environ.get("SCALING_CORES_PER_EXEC", "4"))
     mem_mb = int(os.environ.get("SCALING_EXEC_MB", "8192"))
     cpus = n_exec * cores
@@ -63,6 +65,61 @@ def main() -> None:
     # the north-rule job: the ER pipeline's pairwise-scoring stage over the
     # blocked candidate pairs of the synthesized interleaved corpus
     from rapidfuzz_spark.pipeline import blocking, ingest, scoring, synth
+
+    if pipeline_mode:
+        # --pipeline: strong-scale the ENTIRE record-linkage job
+        # (blocking -> salted pairs -> dual-pass scoring -> CC -> entity
+        # write), not just the scoring stage. The corpus is materialized
+        # (localCheckpoint) before the clock; synth is seed-deterministic
+        # and partition-independent, so both parallelism levels consume
+        # identical rows.
+        import shutil
+        import tempfile
+
+        import rapidfuzz_spark.pipeline.run as P
+
+        n_entities = int(os.environ.get("SCALING_PIPE_ENTITIES", "30000"))
+        corpus = (
+            synth.synth_documents(spark, n_entities=n_entities, seed=42)
+            .drop("entity_id")
+            .repartition(PARTS)
+            .localCheckpoint(eager=True)
+        )
+        n_docs = corpus.count()
+        conf = P.PipelineConfig(
+            metric="ratio", threshold=0.85, drop_cap=500, checkpoint=False
+        )
+        tmp = tempfile.mkdtemp(prefix="rf_scale_pipe_")
+        try:
+            # warm-up: full pipeline once so Python workers, codegen, and
+            # Arrow channels exist in both runs before the timed pass
+            P.run_pipeline(spark, corpus, tmp, conf).count()
+            t0 = time.perf_counter()
+            n_entities_out = (
+                P.run_pipeline(spark, corpus, tmp, conf)
+                .select(F.countDistinct("entity_id"))
+                .collect()[0][0]
+            )
+            wall = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        print(
+            json.dumps(
+                {
+                    "mode": "pipeline",
+                    "executors": n_exec,
+                    "cores_per_executor": cores,
+                    "cpus": cpus,
+                    "n_docs": n_docs,
+                    "n_entities_out": n_entities_out,
+                    "wall_sec": round(wall, 3),
+                    "docs_per_sec": round(n_docs / wall, 1),
+                    "partitions": PARTS,
+                }
+            )
+        )
+        spark.stop()
+        return
 
     n_entities = int(os.environ.get("SCALING_ENTITIES", "40000"))
     corpus = synth.synth_documents(spark, n_entities=n_entities, seed=42)
