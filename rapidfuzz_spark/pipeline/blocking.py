@@ -93,6 +93,37 @@ def sorted_neighborhood_keys(docs: DataFrame, window: int = 3) -> DataFrame:
     return out
 
 
+def sorted_neighborhood_pairs(docs: DataFrame, window: int = 3) -> DataFrame:
+    """Candidate pairs of the sorted-neighborhood pass, produced DIRECTLY:
+    each doc paired with its ``window`` successors in sort order inside
+    prefix-range buckets, via one window pass with ``lead``.
+
+    Exactly the pair set that ``sorted_neighborhood_keys`` yields through
+    the generic block self-join — but every sn key is a size-2 block, so
+    routing them through key materialization, the census (they can never
+    be hot), and the salted join is pure overhead: at 360k docs that is
+    2.2M key rows and ~1.1M raw join pairs avoided. Feed the result to
+    ``candidate_pairs(extra_pairs=...)`` so cross-pass dedup still applies."""
+    keyed = docs.select(
+        "doc_id", F.regexp_replace("canon_text", r"\s", "").alias("sort_key")
+    ).withColumn("bucket", F.substring("sort_key", 1, 2))
+    w = Window.partitionBy("bucket").orderBy("sort_key", "doc_id")
+    with_leads = keyed.select(
+        "doc_id",
+        F.array(
+            *[F.lead("doc_id", o).over(w) for o in range(1, window + 1)]
+        ).alias("nbrs"),
+    )
+    return (
+        with_leads.select("doc_id", F.explode("nbrs").alias("nbr"))
+        .where(F.col("nbr").isNotNull())
+        .select(
+            F.least("doc_id", "nbr").alias("doc_id_1"),
+            F.greatest("doc_id", "nbr").alias("doc_id_2"),
+        )
+    )
+
+
 def blocking_keys(
     docs: DataFrame,
     use_tokens: bool = True,
@@ -141,6 +172,7 @@ def candidate_pairs(
     hot_cap: int = 200,
     drop_cap: int = 20000,
     seed: int = 42,
+    extra_pairs: DataFrame = None,
 ) -> DataFrame:
     """Self-join blocking keys into unordered candidate pairs
     (doc_id_1 < doc_id_2), deduped across blocking passes, with explicit
@@ -193,6 +225,13 @@ def candidate_pairs(
     pairs = left.join(right, ["block_key", "salt"]).where(
         F.col("doc_id_l") < F.col("doc_id_r")
     )
-    return pairs.select(
+    out = pairs.select(
         F.col("doc_id_l").alias("doc_id_1"), F.col("doc_id_r").alias("doc_id_2")
-    ).dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+    if extra_pairs is not None:
+        # pre-formed pairs from passes that never need salting (e.g.
+        # sorted_neighborhood_pairs, whose blocks are size 2 by
+        # construction); unioned before the dedup shuffle so cross-pass
+        # duplicates still collapse exactly once
+        out = out.unionByName(extra_pairs.select("doc_id_1", "doc_id_2"))
+    return out.dropDuplicates(["doc_id_1", "doc_id_2"])

@@ -55,9 +55,14 @@ def run_pipeline(
     from pyspark.storagelevel import StorageLevel
 
     docs_t = docs_t.persist(StorageLevel.MEMORY_AND_DISK)
-    keys = blocking.blocking_keys(docs_t, sn_window=conf.sn_window)
+    # sorted-neighborhood pairs are produced directly (size-2 blocks never
+    # need the census/salted-join machinery); the remaining passes go
+    # through the salted self-join, with cross-pass dedup inside
+    # candidate_pairs
+    keys = blocking.blocking_keys(docs_t, use_sorted_neighborhood=False)
+    sn = blocking.sorted_neighborhood_pairs(docs_t, window=conf.sn_window)
     pairs = blocking.candidate_pairs(
-        keys, hot_cap=conf.hot_cap, drop_cap=conf.drop_cap
+        keys, hot_cap=conf.hot_cap, drop_cap=conf.drop_cap, extra_pairs=sn
     )
     pairs_t = scoring.attach_texts(pairs, docs_t)
     if conf.checkpoint:
