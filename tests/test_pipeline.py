@@ -61,6 +61,21 @@ def test_blocking_recall(spark, corpus):
     assert found / total >= 0.98, f"blocking recall {found}/{total}"
 
 
+def test_sorted_neighborhood_pairs_match_keyed_path(spark, corpus):
+    """The direct window-lead SN pair generator must produce exactly the
+    pair set the sn-key + generic self-join path produces (incl. unusual
+    windows), since run_pipeline now uses the direct path."""
+    docs_t = ingest.with_match_text(corpus)
+    for window in (1, 3, 5):
+        keys = blocking.sorted_neighborhood_keys(docs_t, window=window)
+        via_join = blocking.candidate_pairs(keys)
+        direct = blocking.sorted_neighborhood_pairs(docs_t, window=window).dropDuplicates(
+            ["doc_id_1", "doc_id_2"]
+        )
+        assert via_join.exceptAll(direct).isEmpty()
+        assert direct.exceptAll(via_join).isEmpty()
+
+
 def test_end_to_end_f1(spark, corpus, tmp_path):
     entities = run_pipeline(
         spark,
