@@ -28,10 +28,33 @@ array_join(
 """
 
 
-def load_documents(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet now; on a real deployment the same call reads
-    ``spark.read.format("iceberg").load(table)`` — schema identical."""
-    return spark.read.parquet(path)
+def load_documents(
+    spark: SparkSession, source: str, source_format: str = "auto"
+) -> DataFrame:
+    """Load the document table from a filesystem path OR a catalog table.
+
+    ``source_format``:
+    - ``"auto"`` (default): a source containing a path separator is read
+      as parquet; anything else is treated as a catalog table identifier
+      (``catalog.db.docs``) and read through ``spark.read.table`` — the
+      DSv2 entry point Iceberg tables are addressed by, so on a cluster
+      with the Iceberg catalog configured the same call gets snapshot
+      isolation, partition pruning, and hidden-partition pushdown with no
+      code change here.
+    - ``"parquet"`` / ``"table"``: force one side of the dispatch.
+    - anything else: passed to ``spark.read.format(...).load(source)``
+      (e.g. ``"iceberg"`` for path-addressed Iceberg tables, ``"orc"``).
+
+    Schema is identical in all cases (driver ``input_hint``):
+    ``doc_id string, spans array<struct<kind,text,media_ref,offset>>``.
+    """
+    if source_format == "parquet" or (
+        source_format == "auto" and ("/" in source or "\\" in source)
+    ):
+        return spark.read.parquet(source)
+    if source_format in ("auto", "table"):
+        return spark.read.table(source)
+    return spark.read.format(source_format).load(source)
 
 
 def with_match_text(docs: DataFrame, normalize: bool = True) -> DataFrame:

@@ -96,6 +96,12 @@ def run_pipeline(
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
+    ap.add_argument(
+        "--input-format",
+        default="auto",
+        help="auto | parquet | table (catalog identifier, e.g. Iceberg) |"
+        " any spark.read.format name",
+    )
     ap.add_argument("--out", required=True)
     ap.add_argument("--metric", default="ratio")
     ap.add_argument("--threshold", type=float, default=0.85)
@@ -108,7 +114,7 @@ def main() -> None:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .getOrCreate()
     )
-    docs = ingest.load_documents(spark, args.input)
+    docs = ingest.load_documents(spark, args.input, args.input_format)
     conf = PipelineConfig(
         metric=args.metric,
         threshold=args.threshold,

@@ -160,7 +160,14 @@ def score_with_checkpoint(
     pending = [b for b in range(n_buckets) if b not in done]
     edges_path = os.path.join(out_dir, "edges")
     ledger_path = os.path.join(out_dir, "ledger")
-    bucketed = bucketed.localCheckpoint(eager=True)  # score input once, not per bucket
+    # materialize the score input once, not per bucket-filter branch.
+    # persist (not localCheckpoint): survives executor loss by recompute,
+    # spills past memory, and behaves under dynamic allocation — the same
+    # trade chosen for the blocking-key cache
+    from pyspark.storagelevel import StorageLevel
+
+    bucketed = bucketed.persist(StorageLevel.MEMORY_AND_DISK)
+    bucketed.count()
     import threading
 
     ledger_lock = threading.Lock()
@@ -209,4 +216,5 @@ def score_with_checkpoint(
 
         with ThreadPoolExecutor(max_workers=min(4, len(pending))) as pool:
             list(pool.map(_run_bucket, pending))
+    bucketed.unpersist()
     return spark.read.parquet(edges_path).select("doc_id_1", "doc_id_2", "score")

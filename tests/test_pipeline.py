@@ -49,6 +49,21 @@ def test_match_text_projection_preserves_spans(spark, corpus):
     assert row.match_text == " ".join(texts)
 
 
+def test_load_documents_dispatch(spark, corpus, tmp_path):
+    """load_documents reads filesystem paths as parquet and bare
+    identifiers through spark.read.table (the DSv2/Iceberg entry point)."""
+    p = str(tmp_path / "docs_pq")
+    corpus.write.parquet(p)
+    by_path = ingest.load_documents(spark, p)
+    assert by_path.count() == corpus.count()
+    corpus.createOrReplaceTempView("docs_cat_tbl")
+    by_table = ingest.load_documents(spark, "docs_cat_tbl")
+    assert by_table.count() == corpus.count()
+    assert by_table.schema == corpus.schema
+    by_forced = ingest.load_documents(spark, p, source_format="parquet")
+    assert by_forced.count() == corpus.count()
+
+
 def test_blocking_recall(spark, corpus):
     """Every true duplicate pair must share >= 1 blocking key (recall gate)."""
     docs_t = ingest.with_match_text(corpus)

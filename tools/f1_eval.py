@@ -48,9 +48,12 @@ def main() -> None:
     docs_t = ST.attach_token_idf(docs_t, ST.idf_table(docs_t))
     docs_t = docs_t.persist(StorageLevel.MEMORY_AND_DISK)
     docs_t.count()
-    keys = blocking.blocking_keys(docs_t, sn_window=3)
+    keys = blocking.blocking_keys(docs_t, use_sorted_neighborhood=False)
+    sn = blocking.sorted_neighborhood_pairs(docs_t, window=3)
     drop_cap = int(os.environ.get("F1_DROP_CAP", "500"))
-    cand = blocking.candidate_pairs(keys, hot_cap=200, drop_cap=drop_cap)
+    cand = blocking.candidate_pairs(
+        keys, hot_cap=200, drop_cap=drop_cap, extra_pairs=sn
+    )
     pairs_t = scoring.attach_texts(cand, docs_t).repartition(cpus * 4)
     t0 = time.time()
     scored = pairs_t.select(

@@ -126,8 +126,9 @@ def main() -> None:
     docs_t = ingest.with_match_text(corpus.drop("entity_id")).localCheckpoint(
         eager=True
     )
-    keys = blocking.blocking_keys(docs_t, sn_window=3)
-    cand = blocking.candidate_pairs(keys, hot_cap=200, drop_cap=500)
+    keys = blocking.blocking_keys(docs_t, use_sorted_neighborhood=False)
+    sn = blocking.sorted_neighborhood_pairs(docs_t, window=3)
+    cand = blocking.candidate_pairs(keys, hot_cap=200, drop_cap=500, extra_pairs=sn)
     pairs = (
         scoring.attach_texts(cand, docs_t)
         .select(
