@@ -132,18 +132,55 @@ def blocking_keys(
     use_sorted_neighborhood: bool = True,
     sn_window: int = 3,
 ) -> DataFrame:
-    parts = []
+    """All key passes fused into ONE narrow projection + explode: the
+    per-doc key set is built with higher-order functions (transform /
+    filter over the token array) and deduped per doc with array_distinct
+    — key namespaces (t:/p:/tp:/ts:) are disjoint, so per-doc distinct
+    equals the old per-pass global dedup. vs the previous
+    one-DataFrame-per-pass union this removes the affix-key
+    dropDuplicates SHUFFLE, two redundant explode scans of the doc
+    cache, and the union's partition concatenation (the 7x-partition
+    cache problem candidate_pairs coalesces away). Per-pass outputs are
+    still exposed above (token_keys & co.) and CI asserts set equality
+    with their union."""
+    toks = F.array_distinct(F.split("norm_text", r"\s+"))
+    arrs = []
     if use_tokens:
-        parts.append(token_keys(docs))
+        arrs.append(
+            F.transform(
+                F.filter(toks, lambda t: F.length(t) >= 2),
+                lambda t: F.concat(F.lit("t:"), t),
+            )
+        )
     if use_prefix:
-        parts.append(prefix_keys(docs))
+        squashed = F.regexp_replace("canon_text", r"\s", "")
+        arrs.append(
+            F.when(
+                F.length(squashed) >= 1,
+                F.array(F.concat(F.lit("p:"), F.substring(squashed, 1, 4))),
+            ).otherwise(F.array().cast("array<string>"))
+        )
     if use_token_affixes:
-        parts.append(token_affix_keys(docs))
+        longs = F.filter(toks, lambda t: F.length(t) >= 5)
+        arrs.append(
+            F.transform(
+                longs, lambda t: F.concat(F.lit("tp:"), F.substring(t, 1, 4))
+            )
+        )
+        arrs.append(
+            F.transform(
+                longs, lambda t: F.concat(F.lit("ts:"), F.substring(t, -4, 4))
+            )
+        )
+    out = None
+    if arrs:
+        key_arr = F.array_distinct(F.concat(*arrs)) if len(arrs) > 1 else arrs[0]
+        out = docs.select(
+            F.explode(key_arr).alias("block_key"), "doc_id"
+        )
     if use_sorted_neighborhood:
-        parts.append(sorted_neighborhood_keys(docs, window=sn_window))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+        sn = sorted_neighborhood_keys(docs, window=sn_window)
+        out = sn if out is None else out.unionByName(sn)
     return out
 
 

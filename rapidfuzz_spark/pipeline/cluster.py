@@ -24,11 +24,15 @@ def _large_star(edges: DataFrame) -> DataFrame:
         edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
     )
     m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    # no trailing .distinct(): the only consumer is _small_star, whose
+    # collect_set hash-aggregate collapses duplicates map-side in its
+    # partial aggregate, so a distinct here is redundant. (Catalyst's
+    # redundant-aggregate elimination already removed it — executed plans
+    # verified identical — but the plan shouldn't depend on that rule.)
     return (
         sym.join(m, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("src"), F.col("m").alias("dst"))
-        .distinct()
     )
 
 

@@ -76,6 +76,21 @@ def test_blocking_recall(spark, corpus):
     assert found / total >= 0.98, f"blocking recall {found}/{total}"
 
 
+def test_fused_blocking_keys_match_per_pass_union(spark, corpus):
+    """blocking_keys builds all passes in one narrow projection+explode;
+    its output must equal the union of the per-pass generators exactly
+    (same multiset — all passes are per-doc distinct)."""
+    docs_t = ingest.with_match_text(corpus)
+    fused = blocking.blocking_keys(docs_t, use_sorted_neighborhood=False)
+    union = (
+        blocking.token_keys(docs_t)
+        .unionByName(blocking.prefix_keys(docs_t))
+        .unionByName(blocking.token_affix_keys(docs_t))
+    )
+    assert fused.exceptAll(union).isEmpty()
+    assert union.exceptAll(fused).isEmpty()
+
+
 def test_sorted_neighborhood_pairs_match_keyed_path(spark, corpus):
     """The direct window-lead SN pair generator must produce exactly the
     pair set the sn-key + generic self-join path produces (incl. unusual
