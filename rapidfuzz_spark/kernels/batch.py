@@ -923,6 +923,11 @@ def _banded_lev_pays(pat_len: int, W: int, k: int, scale: float = 1.0) -> bool:
         t = 0.25
     elif W <= 10:
         t = 0.35
+    elif W <= 15:
+        # breakeven measured ~0.45 at W=10 and ~0.8 at W=16 and grows
+        # with word count; between the measured endpoints stay at the
+        # W=10 figure rather than assuming the W=16 one applies
+        t = 0.45
     else:
         t = 0.6
     return k <= t * scale * pat_len

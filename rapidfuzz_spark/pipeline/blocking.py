@@ -22,8 +22,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Shared pass parameters: the fused blocking_keys projection and the
+# standalone per-pass functions (token_keys & co., kept as the reference
+# implementations CI checks the fusion against) must agree on these, so
+# they live in one place.
+TOKEN_MIN_LEN = 2
+PREFIX_N = 4
+AFFIX_N = 4
+AFFIX_MIN_LEN = 5
+SN_BUCKET_CHARS = 2
 
-def token_keys(docs: DataFrame, min_len: int = 2) -> DataFrame:
+
+def _sn_ranked(docs: DataFrame):
+    """(ranked keyed docs, window spec) shared by the sorted-neighborhood
+    key and direct-pair paths: docs keyed by whitespace-squashed canonical
+    text, bucketed by its SN_BUCKET_CHARS-char prefix (a range partition
+    of the lexicographic order, so per-bucket sorts stay bounded)."""
+    keyed = docs.select(
+        "doc_id", F.regexp_replace("canon_text", r"\s", "").alias("sort_key")
+    ).withColumn("bucket", F.substring("sort_key", 1, SN_BUCKET_CHARS))
+    w = Window.partitionBy("bucket").orderBy("sort_key", "doc_id")
+    return keyed, w
+
+
+def token_keys(docs: DataFrame, min_len: int = TOKEN_MIN_LEN) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("norm_text", r"\s+"))).alias("tok"),
@@ -31,7 +53,9 @@ def token_keys(docs: DataFrame, min_len: int = 2) -> DataFrame:
     return toks.select(F.concat(F.lit("t:"), "tok").alias("block_key"), "doc_id")
 
 
-def token_affix_keys(docs: DataFrame, n: int = 4, min_len: int = 5) -> DataFrame:
+def token_affix_keys(
+    docs: DataFrame, n: int = AFFIX_N, min_len: int = AFFIX_MIN_LEN
+) -> DataFrame:
     """Per-token prefix AND suffix keys ("tp:abcd" / "ts:defg"): a single
     in-token edit at position p keeps the prefix key when p > n and the
     suffix key when p <= len-n, so 2n >= len-1 covers every single-edit
@@ -52,7 +76,7 @@ def token_affix_keys(docs: DataFrame, n: int = 4, min_len: int = 5) -> DataFrame
     return pfx.unionByName(sfx).dropDuplicates(["block_key", "doc_id"])
 
 
-def prefix_keys(docs: DataFrame, n: int = 4) -> DataFrame:
+def prefix_keys(docs: DataFrame, n: int = PREFIX_N) -> DataFrame:
     return docs.select(
         F.concat(
             F.lit("p:"), F.substring(F.regexp_replace("canon_text", r"\s", ""), 1, n)
@@ -68,10 +92,7 @@ def sorted_neighborhood_keys(docs: DataFrame, window: int = 3) -> DataFrame:
     the per-bucket sort is bounded (scales by prefix length, not executor
     memory) and the bucketing is engine-independent (reproducible in plain
     SQL, unlike a hash-modulo bucket)."""
-    keyed = docs.select(
-        "doc_id", F.regexp_replace("canon_text", r"\s", "").alias("sort_key")
-    ).withColumn("bucket", F.substring("sort_key", 1, 2))
-    w = Window.partitionBy("bucket").orderBy("sort_key", "doc_id")
+    keyed, w = _sn_ranked(docs)
     ranked = keyed.withColumn("rank", F.row_number().over(w))
     out = None
     for off in range(1, window + 1):
@@ -104,10 +125,7 @@ def sorted_neighborhood_pairs(docs: DataFrame, window: int = 3) -> DataFrame:
     be hot), and the salted join is pure overhead: at 360k docs that is
     2.2M key rows and ~1.1M raw join pairs avoided. Feed the result to
     ``candidate_pairs(extra_pairs=...)`` so cross-pass dedup still applies."""
-    keyed = docs.select(
-        "doc_id", F.regexp_replace("canon_text", r"\s", "").alias("sort_key")
-    ).withColumn("bucket", F.substring("sort_key", 1, 2))
-    w = Window.partitionBy("bucket").orderBy("sort_key", "doc_id")
+    keyed, w = _sn_ranked(docs)
     with_leads = keyed.select(
         "doc_id",
         F.array(
@@ -116,7 +134,10 @@ def sorted_neighborhood_pairs(docs: DataFrame, window: int = 3) -> DataFrame:
     )
     return (
         with_leads.select("doc_id", F.explode("nbrs").alias("nbr"))
-        .where(F.col("nbr").isNotNull())
+        # nbr != doc_id: guards against self-pairs should the input ever
+        # carry duplicate doc_id rows — the keyed path excluded them
+        # structurally via the join's strict doc_id_l < doc_id_r
+        .where(F.col("nbr").isNotNull() & (F.col("nbr") != F.col("doc_id")))
         .select(
             F.least("doc_id", "nbr").alias("doc_id_1"),
             F.greatest("doc_id", "nbr").alias("doc_id_2"),
@@ -143,12 +164,16 @@ def blocking_keys(
     cache problem candidate_pairs coalesces away). Per-pass outputs are
     still exposed above (token_keys & co.) and CI asserts set equality
     with their union."""
+    if not (
+        use_tokens or use_prefix or use_token_affixes or use_sorted_neighborhood
+    ):
+        raise ValueError("no blocking passes enabled")
     toks = F.array_distinct(F.split("norm_text", r"\s+"))
     arrs = []
     if use_tokens:
         arrs.append(
             F.transform(
-                F.filter(toks, lambda t: F.length(t) >= 2),
+                F.filter(toks, lambda t: F.length(t) >= TOKEN_MIN_LEN),
                 lambda t: F.concat(F.lit("t:"), t),
             )
         )
@@ -157,19 +182,20 @@ def blocking_keys(
         arrs.append(
             F.when(
                 F.length(squashed) >= 1,
-                F.array(F.concat(F.lit("p:"), F.substring(squashed, 1, 4))),
+                F.array(F.concat(F.lit("p:"), F.substring(squashed, 1, PREFIX_N))),
             ).otherwise(F.array().cast("array<string>"))
         )
     if use_token_affixes:
-        longs = F.filter(toks, lambda t: F.length(t) >= 5)
+        longs = F.filter(toks, lambda t: F.length(t) >= AFFIX_MIN_LEN)
         arrs.append(
             F.transform(
-                longs, lambda t: F.concat(F.lit("tp:"), F.substring(t, 1, 4))
+                longs, lambda t: F.concat(F.lit("tp:"), F.substring(t, 1, AFFIX_N))
             )
         )
         arrs.append(
             F.transform(
-                longs, lambda t: F.concat(F.lit("ts:"), F.substring(t, -4, 4))
+                longs,
+                lambda t: F.concat(F.lit("ts:"), F.substring(t, -AFFIX_N, AFFIX_N)),
             )
         )
     out = None

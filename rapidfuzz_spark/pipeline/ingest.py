@@ -9,6 +9,8 @@ projection is JVM-side, codegen-able, and prunable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,9 +36,11 @@ def load_documents(
     """Load the document table from a filesystem path OR a catalog table.
 
     ``source_format``:
-    - ``"auto"`` (default): a source containing a path separator is read
-      as parquet; anything else is treated as a catalog table identifier
-      (``catalog.db.docs``) and read through ``spark.read.table`` — the
+    - ``"auto"`` (default): a source containing a path separator, or one
+      that exists as a local file/directory (bare relative paths like
+      ``docs_out``), is read as parquet; anything else is treated as a
+      catalog table identifier (``catalog.db.docs``) and read through
+      ``spark.read.table`` — the
       DSv2 entry point Iceberg tables are addressed by, so on a cluster
       with the Iceberg catalog configured the same call gets snapshot
       isolation, partition pruning, and hidden-partition pushdown with no
@@ -48,9 +52,16 @@ def load_documents(
     Schema is identical in all cases (driver ``input_hint``):
     ``doc_id string, spans array<struct<kind,text,media_ref,offset>>``.
     """
-    if source_format == "parquet" or (
-        source_format == "auto" and ("/" in source or "\\" in source)
-    ):
+    if source_format == "auto" and "/" not in source and "\\" not in source:
+        # bare name: a catalog identifier — unless it exists on the local
+        # filesystem (a relative parquet dir like "docs_out"), in which
+        # case absolutize it so the JVM resolves it against the caller's
+        # cwd, not the driver JVM's
+        if os.path.exists(source):
+            return spark.read.parquet(os.path.abspath(source))
+    elif source_format == "auto":
+        return spark.read.parquet(source)
+    if source_format == "parquet":
         return spark.read.parquet(source)
     if source_format in ("auto", "table"):
         return spark.read.table(source)

@@ -203,18 +203,23 @@ def score_with_checkpoint(
                 " n_pairs long, n_edges long, wall_sec double",
             ).write.mode("append").parquet(ledger_path)
 
-    if fail_after_buckets is not None:
-        # deterministic sequential order for interrupt simulation in tests
-        for b in pending[:fail_after_buckets]:
-            _run_bucket(b)
-    elif pending:
-        # concurrent job submission: bucket jobs are independent (disjoint
-        # partitions of both input and output), so overlapping them hides
-        # per-job scheduling latency — at 100x scale a sequential loop
-        # serializes 3 actions per bucket on the driver
-        from concurrent.futures import ThreadPoolExecutor
+    try:
+        if fail_after_buckets is not None:
+            # deterministic sequential order for interrupt simulation in tests
+            for b in pending[:fail_after_buckets]:
+                _run_bucket(b)
+        elif pending:
+            # concurrent job submission: bucket jobs are independent (disjoint
+            # partitions of both input and output), so overlapping them hides
+            # per-job scheduling latency — at 100x scale a sequential loop
+            # serializes 3 actions per bucket on the driver
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=min(4, len(pending))) as pool:
-            list(pool.map(_run_bucket, pending))
-    bucketed.unpersist()
+            with ThreadPoolExecutor(max_workers=min(4, len(pending))) as pool:
+                list(pool.map(_run_bucket, pending))
+    finally:
+        # unpersist even when a bucket job dies: a same-session resume
+        # re-persists its own copy, and leaking this one would pin the
+        # full scoring input for the rest of the session
+        bucketed.unpersist()
     return spark.read.parquet(edges_path).select("doc_id_1", "doc_id_2", "score")

@@ -64,6 +64,15 @@ def test_load_documents_dispatch(spark, corpus, tmp_path):
     assert by_forced.count() == corpus.count()
 
 
+def test_load_documents_bare_relative_parquet_path(spark, corpus, tmp_path, monkeypatch):
+    """A bare relative path (no separator) that exists on disk is read as
+    parquet under 'auto' — not mistaken for a catalog table identifier."""
+    monkeypatch.chdir(tmp_path)
+    corpus.write.parquet(str(tmp_path / "docs_out"))
+    got = ingest.load_documents(spark, "docs_out")
+    assert got.count() == corpus.count()
+
+
 def test_blocking_recall(spark, corpus):
     """Every true duplicate pair must share >= 1 blocking key (recall gate)."""
     docs_t = ingest.with_match_text(corpus)
@@ -104,6 +113,16 @@ def test_sorted_neighborhood_pairs_match_keyed_path(spark, corpus):
         )
         assert via_join.exceptAll(direct).isEmpty()
         assert direct.exceptAll(via_join).isEmpty()
+
+
+def test_sorted_neighborhood_pairs_no_self_pairs_on_dup_doc_ids(spark, corpus):
+    """Duplicate doc_id rows (a malformed input) must not yield self-pairs:
+    the keyed path excluded them via the join's strict doc_id_l < doc_id_r,
+    and the direct path must match."""
+    docs_t = ingest.with_match_text(corpus).limit(50)
+    dup = docs_t.unionAll(docs_t)  # every doc_id twice
+    pairs = blocking.sorted_neighborhood_pairs(dup, window=3)
+    assert pairs.where(F.col("doc_id_1") == F.col("doc_id_2")).isEmpty()
 
 
 def test_end_to_end_f1(spark, corpus, tmp_path):

@@ -51,6 +51,11 @@ def main() -> None:
     os.environ.setdefault("PYTHONPATH", "/root/repo")
     spark = (
         SparkSession.builder.master(f"local-cluster[{n_exec},{cores},{mem_mb}]")
+        # local-cluster's third field sizes the WORKER's memory budget;
+        # executor heaps still follow spark.executor.memory (default 1g —
+        # the -Xmx1024M executors OOMed the 720k-doc pipeline runs).
+        # Set the executor heap to the worker budget explicitly.
+        .config("spark.executor.memory", f"{mem_mb}m")
         .appName(f"rf-scaling-{n_exec}x{cores}")
         .config("spark.sql.shuffle.partitions", str(PARTS))
         .config("spark.driver.memory", "8g")
