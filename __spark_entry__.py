@@ -526,7 +526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         JW scoring -> connected components) on the committed interleaved-span
         corpus fixture + truth-label F1. The oracle replays the ENTIRE
         pipeline in SQL over the same parquet bytes: span->text projection,
-        all four blocking-key families, threshold edges, recursive-CTE
+        all five blocking-key families (token / prefix / affix / del<=1
+        signature / sorted-neighborhood), threshold edges, recursive-CTE
         transitive closure, and the pairwise-F1 arithmetic (salting changes
         pair distribution, never the pair set, so the unsalted SQL replay is
         exact; census drop_cap is vacuous at 881 docs)."""
@@ -1200,8 +1201,27 @@ def oracle_sql() -> dict[str, str]:
   )"""
 
     # blocking-key families over a doc set named {src} (doc_id, norm_text,
-    # canon_text): token / canon-prefix / token-affix keys
-    def _keys_sql(src: str) -> str:
+    # canon_text): token / canon-prefix / token-affix keys, plus the del<=1
+    # signature family when ``deletion_sigs`` (the run_pipeline default —
+    # blocking.token_deletion_keys; incremental_link keeps it off)
+    def _keys_sql(src: str, deletion_sigs: bool = False) -> str:
+        sig_arm = (
+            f"""
+    UNION ALL
+    SELECT DISTINCT bk AS block_key, doc_id FROM (
+      SELECT doc_id, 'e:' || tok AS bk FROM (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(norm_text, '\\s+'))) AS tok
+        FROM {src}) WHERE len(tok) BETWEEN 5 AND 16
+      UNION ALL
+      SELECT doc_id,
+             'e:' || substr(tok, 1, i - 1) || substr(tok, i + 1) AS bk
+      FROM (
+        SELECT doc_id, tok, unnest(generate_series(1, len(tok))) AS i FROM (
+          SELECT doc_id, unnest(list_distinct(string_split_regex(norm_text, '\\s+'))) AS tok
+          FROM {src}) WHERE len(tok) BETWEEN 5 AND 16))"""
+            if deletion_sigs
+            else ""
+        )
         return f"""
     SELECT 't:' || tok AS block_key, doc_id FROM (
       SELECT doc_id, unnest(list_distinct(string_split_regex(norm_text, '\\s+'))) AS tok
@@ -1217,7 +1237,7 @@ def oracle_sql() -> dict[str, str]:
       UNION ALL
       SELECT doc_id, 'ts:' || right(tok, 4) AS bk FROM (
         SELECT doc_id, unnest(list_distinct(string_split_regex(norm_text, '\\s+'))) AS tok
-        FROM {src}) WHERE len(tok) >= 5)"""
+        FROM {src}) WHERE len(tok) >= 5){sig_arm}"""
 
     o["incremental_link"] = f"""
       WITH {_FIXTURE_TEXTS},
@@ -1260,7 +1280,7 @@ def oracle_sql() -> dict[str, str]:
     o["er_pipeline_f1"] = f"""
       WITH RECURSIVE {_FIXTURE_TEXTS},
       allkeys AS (
-        {_keys_sql("texts")}
+        {_keys_sql("texts", deletion_sigs=True)}
         UNION ALL
         SELECT concat_ws(':', 'sn' || o.off, r.bucket, r.rnk) AS block_key, r.doc_id
         FROM (SELECT doc_id, substr(replace(canon_text, ' ', ''), 1, 2) AS bucket,
@@ -1326,7 +1346,7 @@ def oracle_sql() -> dict[str, str]:
     o["er_pipeline_hybrid_f1"] = f"""
       WITH RECURSIVE {_FIXTURE_TEXTS},
       allkeys AS (
-        {_keys_sql("texts")}
+        {_keys_sql("texts", deletion_sigs=True)}
         UNION ALL
         SELECT concat_ws(':', 'sn' || o.off, r.bucket, r.rnk) AS block_key, r.doc_id
         FROM (SELECT doc_id, substr(replace(canon_text, ' ', ''), 1, 2) AS bucket,

@@ -31,6 +31,9 @@ PREFIX_N = 4
 AFFIX_N = 4
 AFFIX_MIN_LEN = 5
 SN_BUCKET_CHARS = 2
+PAIR_MAX_TOKENS = 8
+DELSIG_MIN_LEN = 5
+DELSIG_MAX_LEN = 16
 
 
 def _sn_ranked(docs: DataFrame):
@@ -74,6 +77,88 @@ def token_affix_keys(
         "doc_id",
     )
     return pfx.unionByName(sfx).dropDuplicates(["block_key", "doc_id"])
+
+
+def token_pair_keys(
+    docs: DataFrame, min_len: int = TOKEN_MIN_LEN, max_tokens: int = PAIR_MAX_TOKENS
+) -> DataFrame:
+    """Conjunctive (token-pair) keys: one key ``d:tok1|tok2`` per unordered
+    pair of distinct tokens (sorted order, first ``max_tokens`` tokens).
+
+    The recall carrier for records whose DISCRIMINATIVE token is corrupted
+    independently on both sides (two edits apart — every single-token and
+    affix key breaks) while the shared tokens are individually
+    stopword-grade: a pair of common tokens ("david"+"jones") is orders of
+    magnitude rarer than either alone, so it passes under ``drop_cap``
+    where the single-token keys are census-dropped. Key count is
+    O(max_tokens^2) per doc — bounded, and hot pairs are themselves
+    salted/dropped by the census like any other key."""
+    toks = F.slice(
+        F.array_sort(
+            F.filter(
+                F.array_distinct(F.split("norm_text", r"\s+")),
+                lambda t: F.length(t) >= min_len,
+            )
+        ),
+        1,
+        max_tokens,
+    )
+    pairs = F.flatten(
+        F.transform(
+            toks,
+            lambda x, i: F.transform(
+                F.slice(toks, i + 2, F.size(toks)),
+                lambda y: F.concat(F.lit("d:"), x, F.lit("|"), y),
+            ),
+        )
+    )
+    return docs.select(F.explode(pairs).alias("block_key"), "doc_id")
+
+
+def _deletion_sig_arr(tok):
+    """Column expr: array of 'e:'-namespaced single-deletion signatures of
+    a token, PLUS the token itself — the del<=1 neighborhood. Two tokens
+    within Levenshtein distance 1 (sub/ins/del and also adjacent swap:
+    deleting one of the two swapped chars from each side meets in the
+    middle) always share at least one element."""
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(tok)),
+        lambda i: F.concat(
+            F.lit("e:"),
+            F.substring(tok, 1, i - 1),
+            F.substr(tok, i + 1),
+        ),
+    )
+    return F.concat(F.array(F.concat(F.lit("e:"), tok)), dels)
+
+
+def token_deletion_keys(
+    docs: DataFrame, min_len: int = DELSIG_MIN_LEN, max_len: int = DELSIG_MAX_LEN
+) -> DataFrame:
+    """Deletion-signature keys for discriminative tokens: for each token
+    of length [min_len, max_len], one key per del<=1 neighborhood string.
+
+    The recall carrier for a single in-token edit ANYWHERE in a rare
+    token: affix keys (tp:/ts:) only survive edits outside the affix
+    window, while a del-1 signature exists for every edit position. Each
+    entity's records sit within 1 token-edit of its canonical form, so
+    corrupted records block with the exact record and transitive
+    clustering closes the rest. Signatures of frequent tokens ("smith")
+    are hot and census-dropped like any stopword key; signatures of rare
+    tokens index O(1) docs, so the candidate-pair cost is near-linear."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("norm_text", r"\s+"))).alias("tok"),
+    ).where(F.length("tok").between(min_len, max_len))
+    # array_distinct: deleting either of two equal adjacent chars yields
+    # the same signature ("jessica" -> "jesica" twice); also collapses
+    # cross-token duplicates per doc via the final dropDuplicates
+    return toks.select(
+        F.explode(F.array_distinct(_deletion_sig_arr(F.col("tok")))).alias(
+            "block_key"
+        ),
+        "doc_id",
+    ).dropDuplicates(["block_key", "doc_id"])
 
 
 def prefix_keys(docs: DataFrame, n: int = PREFIX_N) -> DataFrame:
@@ -151,6 +236,8 @@ def blocking_keys(
     use_prefix: bool = True,
     use_token_affixes: bool = True,
     use_sorted_neighborhood: bool = True,
+    use_token_pairs: bool = False,
+    use_deletion_sigs: bool = False,
     sn_window: int = 3,
 ) -> DataFrame:
     """All key passes fused into ONE narrow projection + explode: the
@@ -165,7 +252,12 @@ def blocking_keys(
     still exposed above (token_keys & co.) and CI asserts set equality
     with their union."""
     if not (
-        use_tokens or use_prefix or use_token_affixes or use_sorted_neighborhood
+        use_tokens
+        or use_prefix
+        or use_token_affixes
+        or use_sorted_neighborhood
+        or use_token_pairs
+        or use_deletion_sigs
     ):
         raise ValueError("no blocking passes enabled")
     toks = F.array_distinct(F.split("norm_text", r"\s+"))
@@ -196,6 +288,33 @@ def blocking_keys(
             F.transform(
                 longs,
                 lambda t: F.concat(F.lit("ts:"), F.substring(t, -AFFIX_N, AFFIX_N)),
+            )
+        )
+    if use_deletion_sigs:
+        # del<=1 signature neighborhood per discriminative token (see
+        # token_deletion_keys for the recall rationale)
+        sig_toks = F.filter(
+            toks, lambda t: F.length(t).between(DELSIG_MIN_LEN, DELSIG_MAX_LEN)
+        )
+        arrs.append(F.flatten(F.transform(sig_toks, _deletion_sig_arr)))
+    if use_token_pairs:
+        # conjunctive pairs over the sorted distinct tokens (see
+        # token_pair_keys for the recall rationale); sorted order makes
+        # the unordered pair canonical without least/greatest
+        sorted_toks = F.slice(
+            F.array_sort(F.filter(toks, lambda t: F.length(t) >= TOKEN_MIN_LEN)),
+            1,
+            PAIR_MAX_TOKENS,
+        )
+        arrs.append(
+            F.flatten(
+                F.transform(
+                    sorted_toks,
+                    lambda x, i: F.transform(
+                        F.slice(sorted_toks, i + 2, F.size(sorted_toks)),
+                        lambda y: F.concat(F.lit("d:"), x, F.lit("|"), y),
+                    ),
+                )
             )
         )
     out = None

@@ -98,6 +98,21 @@ def test_fused_blocking_keys_match_per_pass_union(spark, corpus):
     )
     assert fused.exceptAll(union).isEmpty()
     assert union.exceptAll(fused).isEmpty()
+    # optional passes fuse the same way: per-pass generators == fused slice
+    fused_all = blocking.blocking_keys(
+        docs_t,
+        use_sorted_neighborhood=False,
+        use_token_pairs=True,
+        use_deletion_sigs=True,
+    )
+    for prefix, gen in (
+        ("d:", blocking.token_pair_keys),
+        ("e:", blocking.token_deletion_keys),
+    ):
+        sliced = fused_all.where(F.col("block_key").startswith(prefix))
+        alone = gen(docs_t)
+        assert sliced.exceptAll(alone).isEmpty()
+        assert alone.exceptAll(sliced).isEmpty()
 
 
 def test_sorted_neighborhood_pairs_match_keyed_path(spark, corpus):
@@ -113,6 +128,47 @@ def test_sorted_neighborhood_pairs_match_keyed_path(spark, corpus):
         )
         assert via_join.exceptAll(direct).isEmpty()
         assert direct.exceptAll(via_join).isEmpty()
+
+
+def test_deletion_sig_covers_every_single_edit(spark):
+    """Tokens within Levenshtein distance 1 — and adjacent swaps — always
+    share a del<=1 signature key, for every edit position (the property
+    token_deletion_keys' recall claim rests on)."""
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+    base = ["kxqvjwz", "hlcrzkx", "wmvbzbf", "abcdefgh"]
+    variants = []
+    for tok in base:
+        for i in range(len(tok)):
+            variants.append((tok, tok[:i] + rng.choice(alpha) + tok[i + 1 :]))  # sub
+            variants.append((tok, tok[:i] + tok[i + 1 :]))  # del
+            variants.append((tok, tok[:i] + rng.choice(alpha) + tok[i:]))  # ins
+            if i + 1 < len(tok):
+                variants.append(
+                    (tok, tok[:i] + tok[i + 1] + tok[i] + tok[i + 2 :])
+                )  # swap
+    rows = [(f"a{i}", a, f"b{i}", b) for i, (a, b) in enumerate(variants)]
+    df = spark.createDataFrame(rows, "ida string, ta string, idb string, tb string")
+    left = blocking.token_deletion_keys(
+        df.select(F.col("ida").alias("doc_id"), F.col("ta").alias("norm_text"))
+    )
+    right = blocking.token_deletion_keys(
+        df.select(F.col("idb").alias("doc_id"), F.col("tb").alias("norm_text"))
+    )
+    hit = (
+        left.withColumn("i", F.expr("substring(doc_id, 2)"))
+        .join(
+            right.withColumn("i", F.expr("substring(doc_id, 2)")),
+            ["block_key", "i"],
+            "inner",
+        )
+        .select("i")
+        .distinct()
+        .count()
+    )
+    assert hit == len(rows), f"only {hit}/{len(rows)} edit variants share a sig"
 
 
 def test_sorted_neighborhood_pairs_no_self_pairs_on_dup_doc_ids(spark, corpus):

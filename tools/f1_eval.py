@@ -48,7 +48,10 @@ def main() -> None:
     docs_t = ST.attach_token_idf(docs_t, ST.idf_table(docs_t))
     docs_t = docs_t.persist(StorageLevel.MEMORY_AND_DISK)
     docs_t.count()
-    keys = blocking.blocking_keys(docs_t, use_sorted_neighborhood=False)
+    delsig = os.environ.get("F1_DELSIG", "1") == "1"
+    keys = blocking.blocking_keys(
+        docs_t, use_sorted_neighborhood=False, use_deletion_sigs=delsig
+    )
     sn = blocking.sorted_neighborhood_pairs(docs_t, window=3)
     drop_cap = int(os.environ.get("F1_DROP_CAP", "500"))
     cand = blocking.candidate_pairs(
@@ -81,6 +84,16 @@ def main() -> None:
          ((F.col("st") >= 0.76) & (F.col("jw") >= 0.80)) | (F.col("jw") >= 0.95)),
         ("st>=0.74&(st>=0.80|jw>=0.85)",
          (F.col("st") >= 0.74) & ((F.col("st") >= 0.80) | (F.col("jw") >= 0.85))),
+        ("st>=0.75&(st>=0.80|jw>=0.85)",
+         (F.col("st") >= 0.75) & ((F.col("st") >= 0.80) | (F.col("jw") >= 0.85))),
+        ("st>=0.74&(st>=0.82|jw>=0.87)",
+         (F.col("st") >= 0.74) & ((F.col("st") >= 0.82) | (F.col("jw") >= 0.87))),
+        ("st>=0.74&(st>=0.80|jw>=0.88)",
+         (F.col("st") >= 0.74) & ((F.col("st") >= 0.80) | (F.col("jw") >= 0.88))),
+        ("st>=0.75&(st>=0.82|jw>=0.87)",
+         (F.col("st") >= 0.75) & ((F.col("st") >= 0.82) | (F.col("jw") >= 0.87))),
+        ("st>=0.76&(st>=0.82|jw>=0.87)",
+         (F.col("st") >= 0.76) & ((F.col("st") >= 0.82) | (F.col("jw") >= 0.87))),
     ]
     for name, cond in configs:
         t1 = time.time()

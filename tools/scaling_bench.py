@@ -92,7 +92,14 @@ def main() -> None:
         )
         n_docs = corpus.count()
         conf = P.PipelineConfig(
-            metric="ratio", threshold=0.85, drop_cap=500, checkpoint=False
+            metric="ratio",
+            threshold=0.85,
+            drop_cap=500,
+            checkpoint=False,
+            # keep the N-vs-4N trial series comparable across rounds: the
+            # deletion-sig pass (added later) changes the candidate set,
+            # so the scaling job pins the original blocking recipe
+            deletion_sig_blocking=False,
         )
         tmp = tempfile.mkdtemp(prefix="rf_scale_pipe_")
         try:
