@@ -553,10 +553,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def er_pipeline_hybrid_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The SHIPPED quality configuration (pipeline metric
-        ``soft_tfidf_jw``: accept iff soft-tfidf >= 0.74 AND (soft-tfidf
-        >= 0.80 OR dual-pass jaro-winkler >= 0.85); BENCH.md §6, F1
-        0.9906 at 50k entities) on the committed fixture corpus, F1 vs
-        truth. The oracle replays everything in SQL: blocking, IDF
+        ``soft_tfidf_jw``: accept iff soft-tfidf >= 0.76 AND (soft-tfidf
+        >= 0.82 OR dual-pass jaro-winkler >= 0.87); BENCH.md §6b, F1
+        0.99846 at 50k entities with deletion-sig blocking) on the
+        committed fixture corpus, F1 vs truth. The oracle replays everything in SQL: blocking, IDF
         attach, the gated-argmax Soft TF-IDF (token-pair indel ratios
         via a recursive-CTE DP, restricted to co-occurring candidate
         tokens), the jw corroboration gate, recursive-CTE closure, and
@@ -570,7 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         truth = corpus.select("doc_id", "entity_id")
         with tempfile.TemporaryDirectory(prefix="rf_qh_") as tmp:
             conf = P.PipelineConfig(
-                metric="soft_tfidf_jw", threshold=0.74, checkpoint=False
+                metric="soft_tfidf_jw", threshold=0.76, checkpoint=False
             )
             ents = P.run_pipeline(spark, corpus.drop("entity_id"), tmp, conf)
             stats = M.cluster_pairwise_f1(
@@ -1459,12 +1459,12 @@ def oracle_sql() -> dict[str, str]:
         FROM st_scores s
         JOIN texts t1 ON t1.doc_id = s.id1
         JOIN texts t2 ON t2.doc_id = s.id2
-        WHERE s.st >= 0.74
-          AND (s.st >= 0.80
+        WHERE s.st >= 0.76
+          AND (s.st >= 0.82
                OR greatest(
                     jaro_winkler_similarity(t1.canon_text, t2.canon_text),
                     jaro_winkler_similarity(t1.norm_text, t2.norm_text))
-                  >= 0.85)),
+                  >= 0.87)),
       -- transitive closure by path doubling (two recursive CTEs in one
       -- statement crash duckdb, so the closure is unrolled: r10 covers
       -- paths of length 2^10 = 1024 > any simple path over 881 docs —

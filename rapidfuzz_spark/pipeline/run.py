@@ -32,9 +32,10 @@ class PipelineConfig:
     sn_window: int = 3
     # del<=1 signature keys on discriminative tokens (blocking.
     # token_deletion_keys): closes the recall gap for records whose rare
-    # token is corrupted anywhere (cluster closure recall 0.988 -> 1.000,
-    # hybrid F1 0.9906 -> 0.9973 at 50k entities) for ~1.5x candidate
-    # pairs. On by default; turn off for recall-insensitive bulk dedup.
+    # token is corrupted anywhere (candidate recall 0.985 -> 1.000,
+    # hybrid F1 0.9906 -> 0.99846 at 50k entities after re-sweeping the
+    # gates) for ~1.5x candidate pairs. On by default; turn off for
+    # recall-insensitive bulk dedup.
     deletion_sig_blocking: bool = True
     n_buckets: int = 16
     run_id: str = "run0"

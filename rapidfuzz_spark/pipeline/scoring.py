@@ -92,12 +92,15 @@ def score_pairs(
         # precision-gated hybrid (F1-swept at 50k entities, BENCH.md §6):
         # accept iff st >= threshold AND (st >= st_high OR jw >= jw_gate).
         # Mid-band soft-tfidf scores must be corroborated by a whole-string
-        # Jaro-Winkler pass; measured F1 0.9906 vs 0.9890 for plain st.
+        # Jaro-Winkler pass. With deletion-sig blocking (recall 1.0) the
+        # sweep peak is threshold 0.76 / gates (0.82, 0.87): F1 0.99846
+        # vs 0.99732 for the previous 0.74/(0.80, 0.85) — tighter gates
+        # lose more recall than they gain precision (BENCH.md §6b).
         from ..textops import softtfidf as ST
 
         from .. import functions as RF
 
-        st_high, jw_gate = 0.80, 0.85
+        st_high, jw_gate = 0.82, 0.87
         st = ST.soft_tfidf_similarity("toks_1", "idfs_1", "toks_2", "idfs_2")
         jw = RF.jaro_winkler_similarity("text_1", "text_2")
         if "raw_1" in df.columns:

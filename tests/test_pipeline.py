@@ -267,7 +267,7 @@ def test_hybrid_soft_tfidf_jw_f1(spark, corpus, tmp_path):
         spark,
         corpus.select("doc_id", "spans"),
         str(tmp_path / "out_hybrid"),
-        PipelineConfig(metric="soft_tfidf_jw", threshold=0.74, checkpoint=False),
+        PipelineConfig(metric="soft_tfidf_jw", threshold=0.76, checkpoint=False),
     )
     truth = corpus.select("doc_id", "entity_id")
     res = metrics.cluster_pairwise_f1(

@@ -94,6 +94,16 @@ def main() -> None:
          (F.col("st") >= 0.75) & ((F.col("st") >= 0.82) | (F.col("jw") >= 0.87))),
         ("st>=0.76&(st>=0.82|jw>=0.87)",
          (F.col("st") >= 0.76) & ((F.col("st") >= 0.82) | (F.col("jw") >= 0.87))),
+        ("st>=0.77&(st>=0.82|jw>=0.87)",
+         (F.col("st") >= 0.77) & ((F.col("st") >= 0.82) | (F.col("jw") >= 0.87))),
+        ("st>=0.78&(st>=0.82|jw>=0.87)",
+         (F.col("st") >= 0.78) & ((F.col("st") >= 0.82) | (F.col("jw") >= 0.87))),
+        ("st>=0.76&(st>=0.84|jw>=0.89)",
+         (F.col("st") >= 0.76) & ((F.col("st") >= 0.84) | (F.col("jw") >= 0.89))),
+        ("st>=0.77&(st>=0.84|jw>=0.89)",
+         (F.col("st") >= 0.77) & ((F.col("st") >= 0.84) | (F.col("jw") >= 0.89))),
+        ("st>=0.78&(st>=0.84|jw>=0.89)",
+         (F.col("st") >= 0.78) & ((F.col("st") >= 0.84) | (F.col("jw") >= 0.89))),
     ]
     for name, cond in configs:
         t1 = time.time()
