@@ -133,7 +133,10 @@ def _deletion_sig_arr(tok):
 
 
 def token_deletion_keys(
-    docs: DataFrame, min_len: int = DELSIG_MIN_LEN, max_len: int = DELSIG_MAX_LEN
+    docs: DataFrame,
+    min_len: int = DELSIG_MIN_LEN,
+    max_len: int = DELSIG_MAX_LEN,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Deletion-signature keys for discriminative tokens: for each token
     of length [min_len, max_len], one key per del<=1 neighborhood string.
@@ -145,11 +148,30 @@ def token_deletion_keys(
     corrupted records block with the exact record and transitive
     clustering closes the rest. Signatures of frequent tokens ("smith")
     are hot and census-dropped like any stopword key; signatures of rare
-    tokens index O(1) docs, so the candidate-pair cost is near-linear."""
+    tokens index O(1) docs, so the candidate-pair cost is near-linear.
+
+    ``df_cap``: skip sig GENERATION for tokens whose document frequency
+    exceeds it. With ``df_cap = candidate_pairs' drop_cap`` this is
+    provably exact: every sig key of a token t appears in every doc
+    containing t, so its census count is >= df(t) > drop_cap and the
+    census drops it anyway — the final pair set is identical (locked by
+    ``test_deletion_sig_df_cap_exact``). What changes is WHERE the cull
+    happens: without the cap, a stopword-grade token emits len(tok)+1
+    sig keys per occurrence (~10-18x the single-token key volume)
+    through the explode and the census shuffle before dying; with it,
+    the ~len+1 amplification applies only to sub-drop_cap tokens. At
+    10^12 docs the census shuffle on a token is O(df) small rows while
+    the sig explode is O(df * len) — filtering first is the difference
+    between shuffling the corpus' stopword mass 18x or once."""
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("norm_text", r"\s+"))).alias("tok"),
     ).where(F.length("tok").between(min_len, max_len))
+    if df_cap is not None:
+        # tokens are distinct per doc, so count == document frequency;
+        # the hot-token set is stopword-grade small -> broadcast anti-join
+        hot = toks.groupBy("tok").count().where(F.col("count") > df_cap)
+        toks = toks.join(F.broadcast(hot.select("tok")), "tok", "left_anti")
     # array_distinct: deleting either of two equal adjacent chars yields
     # the same signature ("jessica" -> "jesica" twice); also collapses
     # cross-token duplicates per doc via the final dropDuplicates

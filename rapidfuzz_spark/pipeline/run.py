@@ -66,11 +66,15 @@ def run_pipeline(
     # need the census/salted-join machinery); the remaining passes go
     # through the salted self-join, with cross-pass dedup inside
     # candidate_pairs
-    keys = blocking.blocking_keys(
-        docs_t,
-        use_sorted_neighborhood=False,
-        use_deletion_sigs=conf.deletion_sig_blocking,
-    )
+    keys = blocking.blocking_keys(docs_t, use_sorted_neighborhood=False)
+    if conf.deletion_sig_blocking:
+        # standalone (not fused) so sig generation can be DF-prefiltered:
+        # tokens hotter than drop_cap never explode into sig keys — the
+        # census would drop every one of them anyway (see
+        # token_deletion_keys docstring for the exactness proof)
+        keys = keys.unionByName(
+            blocking.token_deletion_keys(docs_t, df_cap=conf.drop_cap)
+        )
     sn = blocking.sorted_neighborhood_pairs(docs_t, window=conf.sn_window)
     pairs = blocking.candidate_pairs(
         keys, hot_cap=conf.hot_cap, drop_cap=conf.drop_cap, extra_pairs=sn

@@ -171,6 +171,35 @@ def test_deletion_sig_covers_every_single_edit(spark):
     assert hit == len(rows), f"only {hit}/{len(rows)} edit variants share a sig"
 
 
+def test_deletion_sig_df_cap_exact(spark):
+    """DF-prefiltered sig generation (df_cap = drop_cap) yields the SAME
+    candidate-pair set as generating every sig and letting the census
+    drop the hot ones: any sig of a token with df > drop_cap occurs in
+    >= df docs, so the census kills it either way. The corpus makes the
+    cap bind: 'commontok' spans 12 docs > drop_cap 5."""
+    rows = [(f"d{i:02d}", f"commontok rare{i:02d}xx") for i in range(12)]
+    rows += [("x1", "commontok jessica"), ("x2", "commontok jesicca")]
+    docs = spark.createDataFrame(rows, "doc_id string, norm_text string")
+    docs = docs.withColumn("canon_text", F.col("norm_text"))
+    base = blocking.blocking_keys(docs, use_sorted_neighborhood=False)
+    full = base.unionByName(blocking.token_deletion_keys(docs))
+    filt = base.unionByName(blocking.token_deletion_keys(docs, df_cap=5))
+    # the cap must actually remove generation work...
+    assert filt.count() < full.count()
+    pairs_full = blocking.candidate_pairs(full, hot_cap=3, drop_cap=5)
+    pairs_filt = blocking.candidate_pairs(filt, hot_cap=3, drop_cap=5)
+    # ...while the pair set stays identical
+    assert pairs_full.exceptAll(pairs_filt).isEmpty()
+    assert pairs_filt.exceptAll(pairs_full).isEmpty()
+    # and the del<=1 recall carrier still works through the filtered path
+    assert (
+        pairs_filt.where(
+            (F.col("doc_id_1") == "x1") & (F.col("doc_id_2") == "x2")
+        ).count()
+        == 1
+    )
+
+
 def test_sorted_neighborhood_pairs_no_self_pairs_on_dup_doc_ids(spark, corpus):
     """Duplicate doc_id rows (a malformed input) must not yield self-pairs:
     the keyed path excluded them via the join's strict doc_id_l < doc_id_r,

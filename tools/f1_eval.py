@@ -49,11 +49,15 @@ def main() -> None:
     docs_t = docs_t.persist(StorageLevel.MEMORY_AND_DISK)
     docs_t.count()
     delsig = os.environ.get("F1_DELSIG", "1") == "1"
-    keys = blocking.blocking_keys(
-        docs_t, use_sorted_neighborhood=False, use_deletion_sigs=delsig
-    )
-    sn = blocking.sorted_neighborhood_pairs(docs_t, window=3)
     drop_cap = int(os.environ.get("F1_DROP_CAP", "500"))
+    keys = blocking.blocking_keys(docs_t, use_sorted_neighborhood=False)
+    if delsig:
+        # same recipe as run_pipeline: DF-prefiltered sig generation
+        # (exact vs the unfiltered pass at this drop_cap)
+        keys = keys.unionByName(
+            blocking.token_deletion_keys(docs_t, df_cap=drop_cap)
+        )
+    sn = blocking.sorted_neighborhood_pairs(docs_t, window=3)
     cand = blocking.candidate_pairs(
         keys, hot_cap=200, drop_cap=drop_cap, extra_pairs=sn
     )
