@@ -354,6 +354,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["block_census"] = block_census
 
+    def media_ref_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Media-ref blocking keys over the interleaved fixture corpus
+        (blocking.media_ref_keys): 'mr:'-namespaced key per distinct
+        non-text span ref per doc — the candidate signal for duplicates
+        whose text drifted past every text key. Oracle unnests the same
+        span structs in SQL."""
+        from rapidfuzz_spark.pipeline import blocking
+
+        docs = spark.read.parquet(_SYNTH_FIXTURE)
+        return blocking.media_ref_keys(docs)
+
+    q["media_ref_block"] = media_ref_block
+
     def salted_block_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Token-blocked pair generation WITH forced hot-key salting; the
         oracle is the naive unsalted SQL self-join — proving salting
@@ -526,8 +539,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         JW scoring -> connected components) on the committed interleaved-span
         corpus fixture + truth-label F1. The oracle replays the ENTIRE
         pipeline in SQL over the same parquet bytes: span->text projection,
-        all five blocking-key families (token / prefix / affix / del<=1
-        signature / sorted-neighborhood), threshold edges, recursive-CTE
+        all six blocking-key families (token / prefix / affix / del<=1
+        signature / media-ref / sorted-neighborhood), threshold edges,
+        recursive-CTE
         transitive closure, and the pairwise-F1 arithmetic (salting changes
         pair distribution, never the pair set, so the unsalted SQL replay is
         exact; census drop_cap is vacuous at 881 docs)."""
@@ -882,6 +896,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents)
       WHERE len(tok) >= 2
       GROUP BY tok"""
+    o["media_ref_block"] = f"""
+      SELECT DISTINCT 'mr:' || s.media_ref AS block_key, doc_id
+      FROM (SELECT doc_id, unnest(spans) AS s
+            FROM read_parquet('{_SYNTH_FIXTURE}'))
+      WHERE s.kind <> 'text' AND s.media_ref IS NOT NULL"""
     o["salted_block_pairs"] = """
       WITH toks AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -1294,7 +1313,12 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (
                        PARTITION BY substr(replace(canon_text, ' ', ''), 1, 2)
                        ORDER BY replace(canon_text, ' ', ''), doc_id) AS rnk
-              FROM texts) r, (VALUES (1), (2), (3)) o(off)),
+              FROM texts) r, (VALUES (1), (2), (3)) o(off)
+        UNION ALL
+        SELECT DISTINCT 'mr:' || s.media_ref AS block_key, doc_id
+        FROM (SELECT doc_id, unnest(spans) AS s
+              FROM read_parquet('/root/repo/tests/fixtures/synth300.parquet'))
+        WHERE s.kind <> 'text' AND s.media_ref IS NOT NULL),
       cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         FROM allkeys a JOIN allkeys b USING (block_key)
@@ -1360,7 +1384,12 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (
                        PARTITION BY substr(replace(canon_text, ' ', ''), 1, 2)
                        ORDER BY replace(canon_text, ' ', ''), doc_id) AS rnk
-              FROM texts) r, (VALUES (1), (2), (3)) o(off)),
+              FROM texts) r, (VALUES (1), (2), (3)) o(off)
+        UNION ALL
+        SELECT DISTINCT 'mr:' || s.media_ref AS block_key, doc_id
+        FROM (SELECT doc_id, unnest(spans) AS s
+              FROM read_parquet('/root/repo/tests/fixtures/synth300.parquet'))
+        WHERE s.kind <> 'text' AND s.media_ref IS NOT NULL),
       cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         FROM allkeys a JOIN allkeys b USING (block_key)

@@ -183,6 +183,31 @@ def token_deletion_keys(
     ).dropDuplicates(["block_key", "doc_id"])
 
 
+def media_ref_keys(docs: DataFrame) -> DataFrame:
+    """'mr:'-namespaced blocking keys from the NON-text spans of an
+    interleaved document: two docs that embed the same media object
+    (identical ``media_ref``) are candidate duplicates no matter how far
+    their text has drifted — the one signal the text passes cannot see.
+
+    Needs the raw ``spans`` column (kind/text/media_ref/offset per the
+    driver input_hint), which ``ingest.with_match_text`` preserves. Keys
+    are distinct per doc; a boilerplate asset shared corpus-wide (site
+    logo) becomes a hot key and is salted or drop-capped by the census
+    exactly like a stopword token. Scoring still gates every candidate
+    pair by text similarity, so media co-occurrence proposes pairs but
+    never creates edges by itself."""
+    arr = F.transform(
+        F.filter(
+            "spans",
+            lambda s: (s["kind"] != F.lit("text")) & s["media_ref"].isNotNull(),
+        ),
+        lambda s: F.concat(F.lit("mr:"), s["media_ref"]),
+    )
+    return docs.select(
+        F.explode(F.array_distinct(arr)).alias("block_key"), "doc_id"
+    )
+
+
 def prefix_keys(docs: DataFrame, n: int = PREFIX_N) -> DataFrame:
     return docs.select(
         F.concat(

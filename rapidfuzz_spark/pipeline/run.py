@@ -37,6 +37,12 @@ class PipelineConfig:
     # gates) for ~1.5x candidate pairs. On by default; turn off for
     # recall-insensitive bulk dedup.
     deletion_sig_blocking: bool = True
+    # 'mr:' keys from non-text spans (blocking.media_ref_keys): docs
+    # embedding the same media object become candidates even when their
+    # text diverges past every text key. Pure candidate generation —
+    # scoring still gates edges by text similarity. Cheap (0-3 media
+    # spans/doc), census-guarded against boilerplate assets.
+    media_ref_blocking: bool = True
     n_buckets: int = 16
     run_id: str = "run0"
     checkpoint: bool = True
@@ -75,6 +81,8 @@ def run_pipeline(
         keys = keys.unionByName(
             blocking.token_deletion_keys(docs_t, df_cap=conf.drop_cap)
         )
+    if conf.media_ref_blocking and "spans" in docs_t.columns:
+        keys = keys.unionByName(blocking.media_ref_keys(docs_t))
     sn = blocking.sorted_neighborhood_pairs(docs_t, window=conf.sn_window)
     pairs = blocking.candidate_pairs(
         keys, hot_cap=conf.hot_cap, drop_cap=conf.drop_cap, extra_pairs=sn

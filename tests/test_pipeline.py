@@ -200,6 +200,28 @@ def test_deletion_sig_df_cap_exact(spark):
     )
 
 
+def test_media_ref_keys_propose_pairs(spark):
+    """Docs embedding the same media object become candidates via 'mr:'
+    keys; text-only docs and null media_refs contribute nothing; scoring
+    still gates the edge (media co-occurrence alone never merges)."""
+    spans_schema = (
+        "doc_id string, spans array<struct"
+        "<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    rows = [
+        ("a", [("text", "alpha beta", None, 0), ("image", None, "m://X", 1)]),
+        ("b", [("image", None, "m://X", 0), ("text", "totally different", None, 1)]),
+        ("c", [("text", "no media here", None, 0)]),
+        ("d", [("audio", None, None, 0), ("text", "null ref", None, 1)]),
+    ]
+    docs = spark.createDataFrame(rows, spans_schema)
+    keys = blocking.media_ref_keys(docs)
+    got = {(r.block_key, r.doc_id) for r in keys.collect()}
+    assert got == {("mr:m://X", "a"), ("mr:m://X", "b")}
+    pairs = blocking.candidate_pairs(keys, hot_cap=10, drop_cap=100)
+    assert [(r.doc_id_1, r.doc_id_2) for r in pairs.collect()] == [("a", "b")]
+
+
 def test_sorted_neighborhood_pairs_no_self_pairs_on_dup_doc_ids(spark, corpus):
     """Duplicate doc_id rows (a malformed input) must not yield self-pairs:
     the keyed path excluded them via the join's strict doc_id_l < doc_id_r,
