@@ -130,6 +130,17 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.85)
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--no-checkpoint", action="store_true")
+    ap.add_argument(
+        "--no-deletion-sig-blocking",
+        action="store_true",
+        help="skip del<=1 signature keys (recall carrier for in-token "
+        "edits; ~1.5x candidate pairs)",
+    )
+    ap.add_argument(
+        "--no-media-ref-blocking",
+        action="store_true",
+        help="skip 'mr:' keys from shared non-text spans",
+    )
     args = ap.parse_args()
     spark = (
         SparkSession.builder.appName("rapidfuzz-spark-pipeline")
@@ -143,6 +154,8 @@ def main() -> None:
         threshold=args.threshold,
         run_id=args.run_id,
         checkpoint=not args.no_checkpoint,
+        deletion_sig_blocking=not args.no_deletion_sig_blocking,
+        media_ref_blocking=not args.no_media_ref_blocking,
     )
     entities = run_pipeline(spark, docs, args.out, conf)
     n = entities.select(F.countDistinct("entity_id")).collect()[0][0]
