@@ -84,6 +84,40 @@ def test_salted_pairs_broadcast_census_no_cartesian(spark, docs):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_deletion_sig_prefilter_broadcast_anti_join(spark, docs):
+    """The DF-prefiltered sig path must realize its hot-token exclusion
+    as a broadcast (hash) anti-join — a shuffled or nested-loop anti-join
+    on the full token stream would defeat the point at scale — and the
+    whole pair plan must stay cartesian-free."""
+    from rapidfuzz_spark.pipeline import blocking
+
+    d = docs.select("doc_id", F.lower("text").alias("norm_text"))
+    keys = blocking.token_keys(d).unionByName(
+        blocking.token_deletion_keys(d, df_cap=50)
+    )
+    pairs = blocking.candidate_pairs(keys, hot_cap=50, drop_cap=50)
+    p = plan_str(pairs)
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p  # key generation is pure Catalyst
+
+
+def test_media_ref_keys_narrow_plan(spark):
+    """Media-ref key generation is a single narrow projection over the
+    span structs: no shuffle, no Python, and the scan reads only
+    (doc_id, spans)."""
+    from rapidfuzz_spark.pipeline import blocking
+
+    fixture = spark.read.parquet("tests/fixtures/synth300.parquet")
+    keys = blocking.media_ref_keys(fixture)
+    p = plan_str(keys)
+    assert "Exchange" not in p, p  # narrow: explode + project only
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "spans" in read_schema and "entity_id" not in read_schema
+
+
 def test_length_prefilter_precedes_arrow_exchange(spark, docs):
     """The hoisted |len1-len2| prune must sit under (before) the Arrow
     node so filtered pairs never cross into Python."""
