@@ -1317,7 +1317,7 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT DISTINCT 'mr:' || s.media_ref AS block_key, doc_id
         FROM (SELECT doc_id, unnest(spans) AS s
-              FROM read_parquet('/root/repo/tests/fixtures/synth300.parquet'))
+              FROM read_parquet('{_SYNTH_FIXTURE}'))
         WHERE s.kind <> 'text' AND s.media_ref IS NOT NULL),
       cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
@@ -1388,7 +1388,7 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT DISTINCT 'mr:' || s.media_ref AS block_key, doc_id
         FROM (SELECT doc_id, unnest(spans) AS s
-              FROM read_parquet('/root/repo/tests/fixtures/synth300.parquet'))
+              FROM read_parquet('{_SYNTH_FIXTURE}'))
         WHERE s.kind <> 'text' AND s.media_ref IS NOT NULL),
       cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2

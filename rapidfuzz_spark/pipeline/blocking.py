@@ -151,18 +151,31 @@ def token_deletion_keys(
     tokens index O(1) docs, so the candidate-pair cost is near-linear.
 
     ``df_cap``: skip sig GENERATION for tokens whose document frequency
-    exceeds it. With ``df_cap = candidate_pairs' drop_cap`` this is
-    provably exact: every sig key of a token t appears in every doc
-    containing t, so its census count is >= df(t) > drop_cap and the
-    census drops it anyway — the final pair set is identical (locked by
-    ``test_deletion_sig_df_cap_exact``). What changes is WHERE the cull
-    happens: without the cap, a stopword-grade token emits len(tok)+1
-    sig keys per occurrence (~10-18x the single-token key volume)
-    through the explode and the census shuffle before dying; with it,
-    the ~len+1 amplification applies only to sub-drop_cap tokens. At
-    10^12 docs the census shuffle on a token is O(df) small rows while
-    the sig explode is O(df * len) — filtering first is the difference
-    between shuffling the corpus' stopword mass 18x or once."""
+    exceeds it. With ``df_cap = candidate_pairs' drop_cap`` the result is
+    provably a SUPERSET of the unfiltered pair set, never a subset:
+
+    - nothing is lost: a (key, doc) row removed by the filter belongs to
+      a key whose unfiltered census count is >= df(hot token) > drop_cap,
+      so the unfiltered path drops that whole key anyway;
+    - pairs can be GAINED where a rare token's del<=1 neighborhood
+      collides with a hot token's signature (hot ``smith`` vs rare
+      ``smiths``/``smitha`` all emit ``e:smith``): unfiltered, the hot
+      token inflates that key past drop_cap and destroys the rare
+      neighborhood; filtered, the key's count is its sub-cap-token
+      support only, so the rare docs still pair. Those extra candidates
+      are exactly the ones a stopword collision used to censor — and
+      scoring still gates every pair, so recall is monotone and
+      precision is unchanged by construction.
+
+    Both directions are locked by ``test_deletion_sig_df_cap_monotone``.
+    What changes operationally is WHERE the stopword cull happens:
+    without the cap, a stopword-grade token emits len(tok)+1 sig keys
+    per occurrence (~10-18x the single-token key volume) through the
+    explode and the census shuffle before dying; with it, the ~len+1
+    amplification applies only to sub-drop_cap tokens. At 10^12 docs the
+    census shuffle on a token is O(df) small rows while the sig explode
+    is O(df * len) — filtering first is the difference between shuffling
+    the corpus' stopword mass 18x or once."""
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("norm_text", r"\s+"))).alias("tok"),
@@ -366,7 +379,14 @@ def blocking_keys(
         )
     out = None
     if arrs:
-        key_arr = F.array_distinct(F.concat(*arrs)) if len(arrs) > 1 else arrs[0]
+        # distinct even for a single arm: the deletion-sig generator emits
+        # in-array duplicates (doubled letters), and duplicate (key, doc)
+        # rows would inflate the hot-key census counts
+        key_arr = (
+            F.array_distinct(F.concat(*arrs))
+            if len(arrs) > 1
+            else F.array_distinct(arrs[0])
+        )
         out = docs.select(
             F.explode(key_arr).alias("block_key"), "doc_id"
         )

@@ -76,8 +76,9 @@ def run_pipeline(
     if conf.deletion_sig_blocking:
         # standalone (not fused) so sig generation can be DF-prefiltered:
         # tokens hotter than drop_cap never explode into sig keys — the
-        # census would drop every one of them anyway (see
-        # token_deletion_keys docstring for the exactness proof)
+        # census would drop every key they emit anyway, and rare-token
+        # neighborhoods colliding with a hot signature now survive (see
+        # token_deletion_keys for the superset/monotonicity proof)
         keys = keys.unionByName(
             blocking.token_deletion_keys(docs_t, df_cap=conf.drop_cap)
         )

@@ -141,6 +141,7 @@ def test_deletion_sig_covers_every_single_edit(spark):
     base = ["kxqvjwz", "hlcrzkx", "wmvbzbf", "abcdefgh"]
     variants = []
     for tok in base:
+        variants.append((tok, tok + rng.choice(alpha)))  # append (ins at end)
         for i in range(len(tok)):
             variants.append((tok, tok[:i] + rng.choice(alpha) + tok[i + 1 :]))  # sub
             variants.append((tok, tok[:i] + tok[i + 1 :]))  # del
@@ -171,14 +172,23 @@ def test_deletion_sig_covers_every_single_edit(spark):
     assert hit == len(rows), f"only {hit}/{len(rows)} edit variants share a sig"
 
 
-def test_deletion_sig_df_cap_exact(spark):
-    """DF-prefiltered sig generation (df_cap = drop_cap) yields the SAME
-    candidate-pair set as generating every sig and letting the census
-    drop the hot ones: any sig of a token with df > drop_cap occurs in
-    >= df docs, so the census kills it either way. The corpus makes the
-    cap bind: 'commontok' spans 12 docs > drop_cap 5."""
-    rows = [(f"d{i:02d}", f"commontok rare{i:02d}xx") for i in range(12)]
-    rows += [("x1", "commontok jessica"), ("x2", "commontok jesicca")]
+def test_deletion_sig_df_cap_monotone(spark):
+    """DF-prefiltered sig generation (df_cap = drop_cap) yields a
+    SUPERSET of the unfiltered pair set (see token_deletion_keys):
+    nothing is lost (rows removed by the filter belong to keys the
+    census drops anyway), and pairs are gained exactly where a rare
+    token's del<=1 neighborhood collides with a hot token's signature.
+    'commontok' (12 docs > drop_cap 5) binds the cap; hot 'smith' vs
+    rare 'smiths'/'smitha' is the collision: all three emit 'e:smith',
+    so unfiltered the key counts 14 > 5 and dies, filtered it counts 2
+    and pairs y1-y2."""
+    rows = [(f"d{i:02d}", f"commontok rare{i:02d}xx smith") for i in range(12)]
+    rows += [
+        ("x1", "commontok jessica"),
+        ("x2", "commontok jesicca"),
+        ("y1", "aaaa smiths"),
+        ("y2", "bbbb smitha"),
+    ]
     docs = spark.createDataFrame(rows, "doc_id string, norm_text string")
     docs = docs.withColumn("canon_text", F.col("norm_text"))
     base = blocking.blocking_keys(docs, use_sorted_neighborhood=False)
@@ -188,16 +198,22 @@ def test_deletion_sig_df_cap_exact(spark):
     assert filt.count() < full.count()
     pairs_full = blocking.candidate_pairs(full, hot_cap=3, drop_cap=5)
     pairs_filt = blocking.candidate_pairs(filt, hot_cap=3, drop_cap=5)
-    # ...while the pair set stays identical
+    # ...never losing a pair (superset direction)
     assert pairs_full.exceptAll(pairs_filt).isEmpty()
-    assert pairs_filt.exceptAll(pairs_full).isEmpty()
-    # and the del<=1 recall carrier still works through the filtered path
+    # the del<=1 recall carrier still works through the filtered path
     assert (
         pairs_filt.where(
             (F.col("doc_id_1") == "x1") & (F.col("doc_id_2") == "x2")
         ).count()
         == 1
     )
+    # and the gained pairs are exactly the hot-collision neighborhood:
+    # y1-y2 share only 'e:smith', censored unfiltered, alive filtered
+    extra = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in pairs_filt.exceptAll(pairs_full).collect()
+    }
+    assert extra == {("y1", "y2")}, extra
 
 
 def test_media_ref_keys_propose_pairs(spark):

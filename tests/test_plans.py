@@ -109,7 +109,7 @@ def test_media_ref_keys_narrow_plan(spark):
     (doc_id, spans)."""
     from rapidfuzz_spark.pipeline import blocking
 
-    fixture = spark.read.parquet("tests/fixtures/synth300.parquet")
+    fixture = spark.read.parquet("/root/repo/tests/fixtures/synth300.parquet")
     keys = blocking.media_ref_keys(fixture)
     p = plan_str(keys)
     assert "Exchange" not in p, p  # narrow: explode + project only

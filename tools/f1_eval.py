@@ -53,7 +53,8 @@ def main() -> None:
     keys = blocking.blocking_keys(docs_t, use_sorted_neighborhood=False)
     if delsig:
         # same recipe as run_pipeline: DF-prefiltered sig generation
-        # (exact vs the unfiltered pass at this drop_cap)
+        # (pair-set-monotone superset of the unfiltered pass at this
+        # drop_cap — see token_deletion_keys)
         keys = keys.unionByName(
             blocking.token_deletion_keys(docs_t, df_cap=drop_cap)
         )

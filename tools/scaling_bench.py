@@ -97,9 +97,11 @@ def main() -> None:
             drop_cap=500,
             checkpoint=False,
             # keep the N-vs-4N trial series comparable across rounds: the
-            # deletion-sig pass (added later) changes the candidate set,
-            # so the scaling job pins the original blocking recipe
+            # deletion-sig and media-ref passes (added later) change the
+            # candidate set / timed work, so the scaling job pins the
+            # original blocking recipe
             deletion_sig_blocking=False,
+            media_ref_blocking=False,
         )
         tmp = tempfile.mkdtemp(prefix="rf_scale_pipe_")
         try:
