@@ -569,7 +569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """The SHIPPED quality configuration (pipeline metric
         ``soft_tfidf_jw``: accept iff soft-tfidf >= 0.76 AND (soft-tfidf
         >= 0.82 OR dual-pass jaro-winkler >= 0.87); BENCH.md §6b, F1
-        0.99846 at 50k entities with deletion-sig blocking) on the
+        0.99837 at 50k entities with shipped deletion-sig blocking) on the
         committed fixture corpus, F1 vs truth. The oracle replays everything in SQL: blocking, IDF
         attach, the gated-argmax Soft TF-IDF (token-pair indel ratios
         via a recursive-CTE DP, restricted to co-occurring candidate

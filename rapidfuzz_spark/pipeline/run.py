@@ -33,7 +33,7 @@ class PipelineConfig:
     # del<=1 signature keys on discriminative tokens (blocking.
     # token_deletion_keys): closes the recall gap for records whose rare
     # token is corrupted anywhere (candidate recall 0.985 -> 1.000,
-    # hybrid F1 0.9906 -> 0.99846 at 50k entities after re-sweeping the
+    # hybrid F1 0.9906 -> 0.99837 at 50k entities after re-sweeping the
     # gates) for ~1.5x candidate pairs. On by default; turn off for
     # recall-insensitive bulk dedup.
     deletion_sig_blocking: bool = True

@@ -93,7 +93,8 @@ def score_pairs(
         # accept iff st >= threshold AND (st >= st_high OR jw >= jw_gate).
         # Mid-band soft-tfidf scores must be corroborated by a whole-string
         # Jaro-Winkler pass. With deletion-sig blocking (recall 1.0) the
-        # sweep peak is threshold 0.76 / gates (0.82, 0.87): F1 0.99846
+        # sweep peak is threshold 0.76 / gates (0.82, 0.87): F1 0.99837
+        # on the shipped DF-prefiltered candidates (0.99846 unfiltered)
         # vs 0.99732 for the previous 0.74/(0.80, 0.85) — tighter gates
         # lose more recall than they gain precision (BENCH.md §6b).
         from ..textops import softtfidf as ST
