@@ -91,17 +91,19 @@ def main() -> None:
             .localCheckpoint(eager=True)
         )
         n_docs = corpus.count()
+        # default: pin the original blocking recipe so the N-vs-4N trial
+        # series stays comparable across rounds (the deletion-sig and
+        # media-ref passes, added later, change the candidate set / timed
+        # work). SCALING_SHIPPED=1 runs the SHIPPED defaults instead —
+        # supplementary evidence that the as-shipped recipe also scales.
+        shipped = os.environ.get("SCALING_SHIPPED", "0") == "1"
         conf = P.PipelineConfig(
             metric="ratio",
             threshold=0.85,
             drop_cap=500,
             checkpoint=False,
-            # keep the N-vs-4N trial series comparable across rounds: the
-            # deletion-sig and media-ref passes (added later) change the
-            # candidate set / timed work, so the scaling job pins the
-            # original blocking recipe
-            deletion_sig_blocking=False,
-            media_ref_blocking=False,
+            deletion_sig_blocking=shipped,
+            media_ref_blocking=shipped,
         )
         tmp = tempfile.mkdtemp(prefix="rf_scale_pipe_")
         try:
@@ -121,6 +123,7 @@ def main() -> None:
             json.dumps(
                 {
                     "mode": "pipeline",
+                    "recipe": "shipped" if shipped else "pinned-r1",
                     "executors": n_exec,
                     "cores_per_executor": cores,
                     "cpus": cpus,
