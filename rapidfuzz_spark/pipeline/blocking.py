@@ -185,15 +185,19 @@ def token_deletion_keys(
         # the hot-token set is stopword-grade small -> broadcast anti-join
         hot = toks.groupBy("tok").count().where(F.col("count") > df_cap)
         toks = toks.join(F.broadcast(hot.select("tok")), "tok", "left_anti")
-    # array_distinct: deleting either of two equal adjacent chars yields
-    # the same signature ("jessica" -> "jesica" twice); also collapses
-    # cross-token duplicates per doc via the final dropDuplicates
-    return toks.select(
-        F.explode(F.array_distinct(_deletion_sig_arr(F.col("tok")))).alias(
-            "block_key"
-        ),
-        "doc_id",
-    ).dropDuplicates(["block_key", "doc_id"])
+    # per-doc dedup BEFORE the ~(len+1)x sig explode: regrouping the
+    # surviving (doc, tok) rows (map-side-combinable collect_set, ~1 row
+    # per token) and array_distinct-ing the flattened sig arrays yields
+    # exactly dropDuplicates(block_key, doc_id) — deleting either of two
+    # doubled letters gives the same signature ("jessica" -> "jesica"
+    # twice), and cross-token collisions within a doc collapse too — at
+    # ~1/(len+1) of the shuffle volume a post-explode dropDuplicates
+    # would move
+    toks_arr = toks.groupBy("doc_id").agg(F.collect_set("tok").alias("toks"))
+    sigs = F.array_distinct(
+        F.flatten(F.transform(F.col("toks"), _deletion_sig_arr))
+    )
+    return toks_arr.select(F.explode(sigs).alias("block_key"), "doc_id")
 
 
 def media_ref_keys(docs: DataFrame) -> DataFrame:
