@@ -662,9 +662,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Incremental ER: link the duplicate docs of the committed corpus
         fixture against a base catalog of one doc per entity. Full value
-        oracle: the SQL replays blocking (token/prefix/affix keys + census
-        drop), dual-pass jaro-winkler scoring at 0.85, and best-match
-        adoption over the same parquet bytes."""
+        oracle: the SQL replays blocking (token/prefix/affix/del<=1-sig
+        keys + census drop; media-ref keys are vacuously empty across the
+        base/inc split — refs are per-doc unique in the fixture — so the
+        oracle omitting them is a STRICTER check), dual-pass jaro-winkler
+        scoring at 0.85, and best-match adoption over the same parquet
+        bytes."""
         from rapidfuzz_spark.pipeline import incremental, ingest
         from rapidfuzz_spark.pipeline.run import PipelineConfig
 
@@ -900,7 +903,7 @@ def oracle_sql() -> dict[str, str]:
       SELECT DISTINCT 'mr:' || s.media_ref AS block_key, doc_id
       FROM (SELECT doc_id, unnest(spans) AS s
             FROM read_parquet('{_SYNTH_FIXTURE}'))
-      WHERE s.kind <> 'text' AND s.media_ref IS NOT NULL"""
+      WHERE (s.kind IS NULL OR s.kind <> 'text') AND s.media_ref IS NOT NULL"""
     o["salted_block_pairs"] = """
       WITH toks AS (
         SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
@@ -1222,7 +1225,7 @@ def oracle_sql() -> dict[str, str]:
     # blocking-key families over a doc set named {src} (doc_id, norm_text,
     # canon_text): token / canon-prefix / token-affix keys, plus the del<=1
     # signature family when ``deletion_sigs`` (the run_pipeline default —
-    # blocking.token_deletion_keys; incremental_link keeps it off)
+    # blocking.token_deletion_keys; incremental_link replays it too)
     def _keys_sql(src: str, deletion_sigs: bool = False) -> str:
         sig_arm = (
             f"""
@@ -1265,8 +1268,8 @@ def oracle_sql() -> dict[str, str]:
         FROM texts),
       base AS (SELECT doc_id, norm_text, canon_text FROM ranked WHERE rn = 1),
       inc  AS (SELECT doc_id, norm_text, canon_text FROM ranked WHERE rn > 1),
-      base_keys AS ({_keys_sql("base")}),
-      inc_keys AS ({_keys_sql("inc")}),
+      base_keys AS ({_keys_sql("base", deletion_sigs=True)}),
+      inc_keys AS ({_keys_sql("inc", deletion_sigs=True)}),
       cand AS (
         SELECT DISTINCT i.doc_id AS new_id, b.doc_id AS base_id
         FROM inc_keys i JOIN base_keys b USING (block_key)),
@@ -1318,7 +1321,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT 'mr:' || s.media_ref AS block_key, doc_id
         FROM (SELECT doc_id, unnest(spans) AS s
               FROM read_parquet('{_SYNTH_FIXTURE}'))
-        WHERE s.kind <> 'text' AND s.media_ref IS NOT NULL),
+        WHERE (s.kind IS NULL OR s.kind <> 'text') AND s.media_ref IS NOT NULL),
       cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         FROM allkeys a JOIN allkeys b USING (block_key)
@@ -1389,7 +1392,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT 'mr:' || s.media_ref AS block_key, doc_id
         FROM (SELECT doc_id, unnest(spans) AS s
               FROM read_parquet('{_SYNTH_FIXTURE}'))
-        WHERE s.kind <> 'text' AND s.media_ref IS NOT NULL),
+        WHERE (s.kind IS NULL OR s.kind <> 'text') AND s.media_ref IS NOT NULL),
       cand AS (
         SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         FROM allkeys a JOIN allkeys b USING (block_key)

@@ -216,7 +216,11 @@ def media_ref_keys(docs: DataFrame) -> DataFrame:
     arr = F.transform(
         F.filter(
             "spans",
-            lambda s: (s["kind"] != F.lit("text")) & s["media_ref"].isNotNull(),
+            # null-safe kind test: a span with kind NULL but a media_ref
+            # set must still key (plain != returns NULL for NULL kind and
+            # F.filter treats NULL as false)
+            lambda s: ~s["kind"].eqNullSafe(F.lit("text"))
+            & s["media_ref"].isNotNull(),
         ),
         lambda s: F.concat(F.lit("mr:"), s["media_ref"]),
     )
@@ -426,6 +430,7 @@ def candidate_pairs(
     drop_cap: int = 20000,
     seed: int = 42,
     extra_pairs: DataFrame = None,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """Self-join blocking keys into unordered candidate pairs
     (doc_id_1 < doc_id_2), deduped across blocking passes, with explicit
@@ -435,6 +440,12 @@ def candidate_pairs(
     per SURVEY §7.3); right row is replicated G ways. Join key is
     (block_key, salt): every (x, y) pair in a hot block is produced exactly
     once, spread over G partitions instead of one.
+
+    ``cache_out``: the persisted key cache is appended here so the caller
+    can ``unpersist()`` it once the pairs have been consumed — without
+    this, every invocation in a long-lived session leaks a full
+    (block_key, doc_id) cache until eviction (run_pipeline releases it
+    after the entity write).
     """
     # materialize keys once: the census aggregation and the pair self-join
     # both consume them (recomputing the explode+window passes twice costs
@@ -456,6 +467,8 @@ def candidate_pairs(
     # coalesce never increases partition count, so this is a no-op when
     # the input is already at or below the target
     keys = keys.coalesce(n_part).persist(StorageLevel.MEMORY_AND_DISK)
+    if cache_out is not None:
+        cache_out.append(keys)
     # broadcast-join the census DataFrame directly — never collected to
     # the driver (at 100 TB millions of keys can exceed hot_cap; the
     # census output is still small relative to data, but it belongs on
@@ -468,7 +481,9 @@ def candidate_pairs(
     left = keyed.select(
         "block_key",
         F.col("doc_id").alias("doc_id_l"),
-        (F.abs(F.xxhash64("doc_id", F.lit(seed))) % g).cast("int").alias("salt"),
+        # pmod, not abs % g: abs(Long.MIN_VALUE) stays negative in Spark
+        # SQL, and a negative salt matches no replicated right-side row
+        F.pmod(F.xxhash64("doc_id", F.lit(seed)), g).cast("int").alias("salt"),
     )
     right = keyed.select(
         "block_key",

@@ -47,8 +47,35 @@ def link_increment(
     through untouched (span-sequence invariant).
     """
     new_t = ingest.with_match_text(new_docs)
-    keys_new = blocking.blocking_keys(new_t, use_sorted_neighborhood=False)
-    keys_base = blocking.blocking_keys(base_docs_t, use_sorted_neighborhood=False)
+    if conf.metric in ("soft_tfidf", "soft_tfidf_jw"):
+        # the batch pipeline attaches toks/idfs in run_pipeline; the
+        # incremental path must too or score_pairs' soft-tfidf branch has
+        # no toks_N/idfs_N columns. IDF is trained on the BASE catalog
+        # (the stable corpus statistic); the increment is scored against
+        # it rather than shifting it per micro-batch.
+        from ..textops import softtfidf as ST
+
+        idf = ST.idf_table(base_docs_t)
+        new_t = ST.attach_token_idf(new_t, idf)
+        if "toks" not in base_docs_t.columns:
+            base_docs_t = ST.attach_token_idf(base_docs_t, idf)
+
+    def _keys(docs_t: DataFrame) -> DataFrame:
+        # same key families as run_pipeline so the increment finds every
+        # match the batch pipeline would (minus sorted-neighborhood,
+        # which needs a global order over base+new and is a batch-rerun
+        # concern, not an increment one)
+        k = blocking.blocking_keys(docs_t, use_sorted_neighborhood=False)
+        if conf.deletion_sig_blocking:
+            k = k.unionByName(
+                blocking.token_deletion_keys(docs_t, df_cap=conf.drop_cap)
+            )
+        if conf.media_ref_blocking and "spans" in docs_t.columns:
+            k = k.unionByName(blocking.media_ref_keys(docs_t))
+        return k
+
+    keys_new = _keys(new_t)
+    keys_base = _keys(base_docs_t)
     # census over the BASE keys: hot/stopword keys are dropped exactly as
     # in batch blocking (the increment inherits the same skew policy)
     census = blocking.hot_key_census(keys_base, conf.hot_cap, conf.drop_cap)
@@ -66,15 +93,18 @@ def link_increment(
     pairs = cand.select(
         F.col("new_id").alias("doc_id_1"), F.col("base_id").alias("doc_id_2")
     )
+    extra = [c for c in ("toks", "idfs") if c in new_t.columns]
     t_new = new_t.select(
         F.col("doc_id").alias("doc_id_1"),
         F.col("canon_text").alias("text_1"),
         F.col("norm_text").alias("raw_1"),
+        *[F.col(c).alias(f"{c}_1") for c in extra],
     )
     t_base = base_docs_t.select(
         F.col("doc_id").alias("doc_id_2"),
         F.col("canon_text").alias("text_2"),
         F.col("norm_text").alias("raw_2"),
+        *[F.col(c).alias(f"{c}_2") for c in extra],
     )
     pairs_t = (
         pairs.join(F.broadcast(t_new), "doc_id_1")

@@ -85,8 +85,13 @@ def run_pipeline(
     if conf.media_ref_blocking and "spans" in docs_t.columns:
         keys = keys.unionByName(blocking.media_ref_keys(docs_t))
     sn = blocking.sorted_neighborhood_pairs(docs_t, window=conf.sn_window)
+    caches: list = []
     pairs = blocking.candidate_pairs(
-        keys, hot_cap=conf.hot_cap, drop_cap=conf.drop_cap, extra_pairs=sn
+        keys,
+        hot_cap=conf.hot_cap,
+        drop_cap=conf.drop_cap,
+        extra_pairs=sn,
+        cache_out=caches,
     )
     pairs_t = scoring.attach_texts(pairs, docs_t)
     if conf.checkpoint:
@@ -113,6 +118,8 @@ def run_pipeline(
     entities = cluster.assign_entities(docs_t.select(*docs.columns), comps)
     entities.write.mode("overwrite").parquet(os.path.join(out_dir, "entities"))
     docs_t.unpersist()
+    for c in caches:  # release the blocking-key cache (see candidate_pairs)
+        c.unpersist()
     out = spark.read.parquet(os.path.join(out_dir, "entities"))
     return out
 

@@ -77,6 +77,13 @@ def score_pairs(
     metric on unsorted normalized text) — catches token reorders (canon
     pass) and token-resorting first-char typos (raw pass)."""
     df = pairs_with_text
+    if "len_1" in df.columns and "len_2" in df.columns:
+        # no text evidence -> no text-similarity edge: ratio("","") is 1.0
+        # by kernel definition (both-empty = identical), so without this
+        # guard every pair of text-less docs (media-only spans,
+        # punctuation-only text) scores 1.0 and transitive clustering
+        # collapses ALL of them into one entity
+        df = df.where((F.col("len_1") > 0) | (F.col("len_2") > 0))
     if metric == "soft_tfidf":
         # IDF-weighted fuzzy-token cosine (textops.softtfidf): token-set
         # based, so reorders need no canon pass and no length prefilter
@@ -98,8 +105,6 @@ def score_pairs(
         # vs 0.99732 for the previous 0.74/(0.80, 0.85) — tighter gates
         # lose more recall than they gain precision (BENCH.md §6b).
         from ..textops import softtfidf as ST
-
-        from .. import functions as RF
 
         st_high, jw_gate = 0.82, 0.87
         st = ST.soft_tfidf_similarity("toks_1", "idfs_1", "toks_2", "idfs_2")
@@ -132,15 +137,40 @@ def score_pairs(
     )
 
 
-def _done_buckets(spark: SparkSession, out_dir: str) -> set:
+def _done_buckets(
+    spark: SparkSession, out_dir: str, metric: str, threshold: float
+) -> set:
+    """Buckets already manifested FOR THIS CONFIGURATION. run_id is
+    provenance (resuming an interrupted run under a new run_id is the
+    intended flow), but a ledger row with a different metric or
+    threshold means the out_dir holds a DIFFERENT JOB's edges — treating
+    its buckets as done would silently return (or mix in) that job's
+    results, so fail loudly instead."""
     ledger_path = os.path.join(out_dir, "ledger")
     try:
-        return {
-            r.bucket
-            for r in spark.read.parquet(ledger_path).select("bucket").distinct().collect()
-        }
+        rows = (
+            spark.read.parquet(ledger_path)
+            .select("bucket", "metric", "threshold")
+            .distinct()
+            .collect()
+        )
     except Exception:
         return set()
+    stale = [
+        r
+        for r in rows
+        if r.metric != metric or abs(r.threshold - threshold) > 1e-12
+    ]
+    if stale:
+        s = stale[0]
+        raise ValueError(
+            f"checkpoint ledger at {ledger_path} was written by a different "
+            f"job (metric={s.metric!r}, threshold={s.threshold}) than the "
+            f"current one (metric={metric!r}, threshold={threshold}); "
+            "resume only continues an interrupted run of the SAME job — "
+            "use a fresh out_dir (or the matching parameters)"
+        )
+    return {r.bucket for r in rows}
 
 
 def score_with_checkpoint(
@@ -158,9 +188,13 @@ def score_with_checkpoint(
     ``fail_after_buckets`` simulates an interrupt after N buckets (tests).
     """
     bucketed = pairs_with_text.withColumn(
-        "bucket", (F.abs(F.xxhash64("doc_id_1", "doc_id_2")) % n_buckets).cast("int")
+        # pmod, not abs(x) % n: abs(Long.MIN_VALUE) overflows negative in
+        # Spark SQL and % keeps the dividend's sign — a 2^-64 pair would
+        # land in a bucket no one scores
+        "bucket",
+        F.pmod(F.xxhash64("doc_id_1", "doc_id_2"), F.lit(n_buckets)).cast("int"),
     )
-    done = _done_buckets(spark, out_dir)
+    done = _done_buckets(spark, out_dir, metric, threshold)
     pending = [b for b in range(n_buckets) if b not in done]
     edges_path = os.path.join(out_dir, "edges")
     ledger_path = os.path.join(out_dir, "ledger")

@@ -229,11 +229,13 @@ def test_media_ref_keys_propose_pairs(spark):
         ("b", [("image", None, "m://X", 0), ("text", "totally different", None, 1)]),
         ("c", [("text", "no media here", None, 0)]),
         ("d", [("audio", None, None, 0), ("text", "null ref", None, 1)]),
+        # kind NULL with a ref set must still key (null-safe kind test)
+        ("e", [(None, None, "m://Y", 0), ("text", "null kind", None, 1)]),
     ]
     docs = spark.createDataFrame(rows, spans_schema)
     keys = blocking.media_ref_keys(docs)
     got = {(r.block_key, r.doc_id) for r in keys.collect()}
-    assert got == {("mr:m://X", "a"), ("mr:m://X", "b")}
+    assert got == {("mr:m://X", "a"), ("mr:m://X", "b"), ("mr:m://Y", "e")}
     pairs = blocking.candidate_pairs(keys, hot_cap=10, drop_cap=100)
     assert [(r.doc_id_1, r.doc_id_2) for r in pairs.collect()] == [("a", "b")]
 
@@ -314,6 +316,88 @@ def test_resume_after_interrupt(spark, corpus, tmp_path):
         ent_clean.select("doc_id", "entity_id")
     )
     assert d.isEmpty()
+
+
+def test_resume_rejects_mismatched_job_config(spark, corpus, tmp_path):
+    """Reusing an out_dir whose ledger was written with a different
+    metric/threshold must fail loudly, not silently return the old
+    run's edges as 'done'."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "mismatch")
+    docs = corpus.select("doc_id", "spans")
+    run_pipeline(
+        spark, docs, out,
+        PipelineConfig(threshold=0.85, n_buckets=4, checkpoint=True),
+        fail_after_buckets=2,
+    )
+    with _pytest.raises(ValueError, match="different"):
+        run_pipeline(
+            spark, docs, out,
+            PipelineConfig(threshold=0.70, n_buckets=4, checkpoint=True),
+        )
+
+
+def test_textless_docs_do_not_merge(spark, tmp_path):
+    """Docs with no text evidence (media-only spans) must not cluster
+    with each other: ratio('','') is 1.0 by kernel definition, so the
+    empty-text guard in score_pairs has to drop those pairs before they
+    become edges."""
+    spans_schema = (
+        "doc_id string, spans array<struct"
+        "<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    rows = [
+        ("m1", [("image", None, "m://A", 0)]),
+        ("m2", [("image", None, "m://B", 0)]),
+        ("m3", [("audio", None, "m://C", 0)]),
+        ("t1", [("text", "unrelated words here", None, 0)]),
+    ]
+    docs = spark.createDataFrame(rows, spans_schema)
+    ents = run_pipeline(
+        spark,
+        docs,
+        str(tmp_path / "textless"),
+        PipelineConfig(threshold=0.85, checkpoint=False),
+    )
+    got = {r.doc_id: r.entity_id for r in ents.collect()}
+    assert len(set(got.values())) == 4, got  # nobody merged
+
+
+def test_incremental_link_soft_tfidf_jw(spark, corpus):
+    """The shipped hybrid metric must work on the incremental path too:
+    toks/idfs are attached from the base-catalog IDF, and exact
+    duplicates link to their base record."""
+    from rapidfuzz_spark.pipeline import incremental
+
+    docs_t = ingest.with_match_text(corpus)
+    base = docs_t.limit(50)
+    base_ents = base.select("doc_id", F.col("doc_id").alias("entity_id"))
+    # increment = copies of 5 base docs under new ids (exact text dups)
+    inc = (
+        corpus.join(base.select("doc_id"), "doc_id")
+        .limit(5)
+        .select(F.concat(F.lit("new_"), "doc_id").alias("doc_id"), "spans")
+    )
+    out = incremental.link_increment(
+        inc,
+        base,
+        base_ents,
+        PipelineConfig(metric="soft_tfidf_jw", threshold=0.76),
+    )
+    rows = out.collect()
+    assert len(rows) == 5
+    linked = [r for r in rows if r.matched_doc_id is not None]
+    assert len(linked) == 5, rows
+    # every exact duplicate links to a base record with IDENTICAL text
+    # (ties between textually-equal base docs break on doc_id, so the
+    # match may be a different doc than the copied one)
+    canon = {
+        r.doc_id: r.canon_text
+        for r in docs_t.select("doc_id", "canon_text").collect()
+    }
+    for r in linked:
+        assert canon[r.matched_doc_id] == canon[r.doc_id[len("new_"):]], r
 
 
 def test_connected_components_basic(spark):
