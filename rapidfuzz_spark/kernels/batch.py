@@ -1241,7 +1241,7 @@ def jaro_batch(a_arr, b_arr, k=None) -> np.ndarray:
     for i in range(n):
         a, b = a_arr[i], b_arr[i]
         if a == b:
-            out[i] = 1.0 if a else 1.0  # both empty -> 1.0 (reference)
+            out[i] = 1.0  # equal strings (incl. both empty) -> 1.0 (reference)
             continue
         if not a or not b:
             out[i] = 0.0
@@ -1366,14 +1366,6 @@ def weighted_levenshtein_batch(a_arr, b_arr, weights=(1, 1, 1)) -> np.ndarray:
     for i in range(n):
         out[i] = wagner_fischer_weighted(a_arr[i], b_arr[i], ins, dele, sub)
     return out
-
-
-RAW_DISTANCE = {
-    "levenshtein": levenshtein_batch,
-    "indel": indel_batch,
-    "osa": osa_batch,
-    "damerau_levenshtein": damerau_batch,
-}
 
 
 def maximum_batch(metric: str, a_arr, b_arr, weights=(1, 1, 1)) -> np.ndarray:

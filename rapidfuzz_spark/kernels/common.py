@@ -27,7 +27,12 @@ NORM_SIM_SLACK = 1e-5
 
 
 def norm_sim_to_norm_dist(score_cutoff: float) -> float:
-    """Reference /root/reference/src/details/common.rs:4-7."""
+    """Reference /root/reference/src/details/common.rs:4-7.
+
+    DOCUMENTATION-ONLY parity helper: the package implements the
+    externally observable cutoff filter exactly (see module docstring)
+    and never calls this — using it would introduce the reference's 1e-5
+    internal slack into results."""
     return min(1.0, 1.0 - score_cutoff + NORM_SIM_SLACK)
 
 

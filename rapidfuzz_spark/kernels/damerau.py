@@ -94,13 +94,10 @@ def damerau_distance_np(s1: Seq, s2: Seq) -> int:
         l_vec[1:] = run[:-1]
         k_vec = da[inv]
         prev = m[i]
-        diag = prev[:-2] + cost          # m[i][j] + cost  (cols 1..lb)
-        up = prev[1:-1] + 1              # wait: see note below
-        # note: prev[c] with c = j maps to m[i][j]; for cell (i,j) at col j+1:
-        #   diag  = m[i][j]     = prev[j]      -> prev[1:lb+1] shifted
-        # recompute slices explicitly:
-        diag = prev[1:lb + 1] + cost     # m[i][(j-1)+1] = m[i][j]
-        up = prev[2:lb + 2] + 1          # m[i][j+1]
+        # prev is offset by 2 sentinel cols: for cell (i, j) at col j+2,
+        # diag = m[i][j] lives at prev[j+1], up = m[i][j+1] at prev[j+2]
+        diag = prev[1:lb + 1] + cost
+        up = prev[2:lb + 2] + 1
         trans = m[k_vec, l_vec] + (i - k_vec - 1) + 1 + (j_idx - l_vec - 1)
         cand = np.minimum(np.minimum(diag, up), trans)
         # left insert chain: row[c] = min(cand[c], min_{c'<c} row[c'] + (c-c'))

@@ -280,7 +280,9 @@ class BatchComparator:
     def __init__(self, s1: Seq, weights=(1, 1, 1)) -> None:
         self.s1 = s1
         self.weights = weights
-        self._pm = pm_vector(s1)
+        # weighted routing never reads the PM mask — skip the O(len(s1))
+        # build it would pay for nothing
+        self._pm = pm_vector(s1) if weights == (1, 1, 1) else None
 
     def _raw(self, s2: Seq) -> int:
         if self.weights == (1, 1, 1):
