@@ -1052,30 +1052,34 @@ def oracle_sql() -> dict[str, str]:
       WITH f AS (
         SELECT doc_id,
                len(text) AS n_chars_m,
-               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '')) AS n_tokens,
                len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
                len(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
                len(regexp_replace(text, '[^ ]', '', 'g')) AS n_space
         FROM documents),
       g AS (
         SELECT doc_id, n_chars_m, n_tokens,
-               (n_chars_m - n_space)::DOUBLE / n_tokens AS mean_tok,
-               n_alpha::DOUBLE / n_chars_m AS alpha_r,
-               n_digit::DOUBLE / n_chars_m AS digit_r,
+               coalesce((n_chars_m - n_space)::DOUBLE / nullif(n_tokens, 0),
+                        0.0) AS mean_tok,
+               coalesce(n_alpha::DOUBLE / nullif(n_chars_m, 0), 0.0) AS alpha_r,
+               coalesce(n_digit::DOUBLE / nullif(n_chars_m, 0), 0.0) AS digit_r,
                least(n_chars_m::DOUBLE / 200.0, 1.0) AS len_f
         FROM f)
       SELECT doc_id, n_chars_m, n_tokens,
              round(mean_tok, 6) AS mean_tok_len,
              round(alpha_r, 6) AS alpha_ratio,
              round(digit_r, 6) AS digit_ratio,
-             round(0.4 * len_f + 0.3 * alpha_r
+             round(greatest(0.0,
+                   0.4 * len_f + 0.3 * alpha_r
                    + 0.3 * (CASE WHEN mean_tok >= 3.0 AND mean_tok <= 10.0
                                  THEN 1.0 ELSE 0.5 END)
-                   - 0.2 * digit_r, 6) AS quality
+                   - 0.2 * digit_r), 6) AS quality
       FROM g"""
     o["token_count"] = r"""
       SELECT doc_id,
-             len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> x <> '')) AS ws_tokens,
              len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
                AS bpe_tokens
       FROM documents"""

@@ -43,7 +43,11 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     md5 shuffle key is 32 bytes/doc regardless of document size."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(F.md5(text_col))
+    # NULL text must not form one giant "duplicate" cluster (md5(NULL) is
+    # NULL and NULLs partition together): a text-less doc is its own group
+    w = Window.partitionBy(
+        F.coalesce(F.md5(text_col), F.concat(F.lit("null:"), F.col("doc_id")))
+    )
     return docs.select(
         "doc_id",
         F.min("doc_id").over(w).alias("canonical_id"),
@@ -105,6 +109,7 @@ def minhash_lsh_candidates(
     k: int = 5,
     bucket_cap: int | None = 5000,
     hot_cap: int | None = None,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """(id_1, id_2) candidate near-duplicate pairs: docs agreeing on at
     least one LSH band. The join key (band, sig) is the scale lever: more
@@ -130,6 +135,15 @@ def minhash_lsh_candidates(
         minhash_signatures(docs, text_col, n_hashes, k), rows_per_band
     )
     if hot_cap is not None:
+        if bucket_cap is not None and hot_cap >= bucket_cap:
+            # the census only sees buckets above hot_cap, so with
+            # hot_cap >= bucket_cap the sizes in (bucket_cap, hot_cap]
+            # would be neither dropped (docstring contract) nor salted
+            raise ValueError(
+                f"hot_cap ({hot_cap}) must be < bucket_cap ({bucket_cap}): "
+                "buckets are salted above hot_cap and dropped above "
+                "bucket_cap"
+            )
         from ..pipeline import blocking
 
         keys = bands.select(
@@ -142,6 +156,7 @@ def minhash_lsh_candidates(
             keys,
             hot_cap=hot_cap,
             drop_cap=bucket_cap if bucket_cap is not None else (1 << 31),
+            cache_out=cache_out,
         )
         return pairs.select(
             F.col("doc_id_1").alias("id_1"), F.col("doc_id_2").alias("id_2")
@@ -167,9 +182,18 @@ def minhash_lsh_candidates(
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """(doc_id, simhash): ``bits``-bit SimHash as a bitstring. Token bit j
-    = high bit of hex nibble j of md5(token); document bit j = majority
-    vote (sum of +-1 > 0). Bitstring (not bigint) keeps it portable and
-    makes Hamming-distance banding a substring groupBy."""
+    = high bit of hex nibble j of the token's hash material; document bit
+    j = majority vote (sum of +-1 > 0). Bitstring (not bigint) keeps it
+    portable and makes Hamming-distance banding a substring groupBy.
+
+    One md5 supplies 32 nibbles; for bits > 32 the hash material is
+    extended with independent blocks md5('<i>:' || token) — without this,
+    positions 33+ would read substring('') and every doc's tail bits
+    would silently vote to constant 0."""
+    n_blocks = (bits + 31) // 32
+    hexpr = "md5(tok)"
+    for i in range(1, n_blocks):
+        hexpr = f"concat({hexpr}, md5(concat('{i}:', tok)))"
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -182,7 +206,7 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
             "doc_id",
             "pos",
             F.when(
-                F.expr("substring(md5(tok), pos, 1)").isin(*list("89abcdef")), 1
+                F.expr(f"substring({hexpr}, pos, 1)").isin(*list("89abcdef")), 1
             )
             .otherwise(-1)
             .alias("v"),
@@ -237,7 +261,11 @@ def cosine_similarity(e1: Column | str, e2: Column | str) -> Column:
             F.zip_with(u, v, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
         )
 
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    # zero-norm guard: an all-zero embedding (failed encoder, padding) has
+    # no direction — define its similarity as 0.0 instead of aborting the
+    # job under ANSI-mode division (Spark 4 default)
+    denom = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+    return F.coalesce(dot(a, b) / F.nullif(denom, F.lit(0.0)), F.lit(0.0))
 
 
 def embedding_near_duplicates(

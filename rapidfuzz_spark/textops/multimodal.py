@@ -83,10 +83,22 @@ def decode_media(media: DataFrame, batch_size_hint: int = 0) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            raw = np.frombuffer(
-                b"".join(pdf["payload"]), dtype=np.uint8
-            ).reshape(len(pdf), -1)
-            b = raw.astype(np.int64)
+            # per-row views, NOT a (n, -1) reshape of the concatenated
+            # bytes: real payloads are variable-length, and a reshape
+            # either throws or silently re-slices bytes across rows
+            payloads = [
+                np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]
+            ]
+            n_bytes = np.fromiter(
+                (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
+            )
+            # first 6 bytes drive the stub formulas (payloads shorter than
+            # 6 bytes are zero-padded)
+            head = np.zeros((len(payloads), 6), dtype=np.int64)
+            for i, p in enumerate(payloads):
+                k = min(6, len(p))
+                head[i, :k] = p[:k]
+            b = head
             width = 16 + (b[:, 0] * 256 + b[:, 1]) % 1920
             height = 16 + (b[:, 2] * 256 + b[:, 3]) % 1080
             frames = 1 + (b[:, 4] * 256 + b[:, 5]) % 300
@@ -97,7 +109,7 @@ def decode_media(media: DataFrame, batch_size_hint: int = 0) -> DataFrame:
                     "doc_id": pdf["doc_id"],
                     "media_ref": pdf["media_ref"],
                     "kind": pdf["kind"],
-                    "n_bytes": raw.shape[1],
+                    "n_bytes": n_bytes,
                     "width": width,
                     "height": height,
                     "n_frames": frames,
@@ -126,13 +138,25 @@ def byte_histogram_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            raw = np.frombuffer(
-                b"".join(pdf["payload"]), dtype=np.uint8
-            ).reshape(len(pdf), -1)
+            # per-row views (variable-length payloads; see decode_media),
+            # and clip the bin index: when n_bins does not divide 256 the
+            # top byte values would overflow into an (n_bins+1)-th bin
+            width = max(1, 256 // n_bins)
             hist = np.stack(
-                [np.bincount(r // (256 // n_bins), minlength=n_bins) for r in raw]
+                [
+                    np.bincount(
+                        np.minimum(
+                            np.frombuffer(p, dtype=np.uint8) // width,
+                            n_bins - 1,
+                        ),
+                        minlength=n_bins,
+                    )
+                    for p in pdf["payload"]
+                ]
             ).astype(np.float64)
-            hist /= hist.sum(axis=1, keepdims=True)
+            # zero-length payloads: keep an all-zero feature, not NaN
+            sums = hist.sum(axis=1, keepdims=True)
+            hist /= np.where(sums == 0, 1.0, sums)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

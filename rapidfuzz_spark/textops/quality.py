@@ -59,13 +59,23 @@ def language_id(
         .agg(F.count("*").alias("score"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "lang")
-    return (
+    best = (
         hits.withColumn("r", F.row_number().over(w))
         .where(F.col("r") == 1)
+        .select("doc_id", "lang")
+    )
+    # left join back to the full doc set: a doc sharing zero profile
+    # trigrams (numeric-only text, unseen language) must not vanish from
+    # the output — it gets the explicit 'und' (undetermined) label
+    return (
+        docs.select("doc_id", F.col(lang_col).alias("true_lang"))
+        .join(best, "doc_id", "left")
         .select(
             "doc_id",
-            F.col("lang").alias("pred_lang"),
-            (F.col("lang") == F.col("true_lang")).alias("is_correct"),
+            F.coalesce(F.col("lang"), F.lit("und")).alias("pred_lang"),
+            F.coalesce(
+                F.col("lang") == F.col("true_lang"), F.lit(False)
+            ).alias("is_correct"),
         )
     )
 
@@ -76,22 +86,43 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     density), all as codegen'd arithmetic."""
     t = F.col(text_col)
     n_chars = F.length(t)
-    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    # filter the [''] artifact: split(trim(''), '\s+') is [''] (size 1),
+    # which would report 1 token for empty/whitespace-only text
+    n_tokens = F.size(
+        F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+    )
     n_alpha = F.length(F.regexp_replace(F.lower(t), r"[^a-z]", ""))
     n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
     n_space = F.length(F.regexp_replace(t, r"[^ ]", ""))
     # compose the score from UNROUNDED ratios (rounding the inputs first
     # would park the composite exactly on a .5 rounding boundary whenever a
-    # 1-dp coefficient meets a 6-dp ratio); round only for display
-    mean_tok = (n_chars - n_space).cast("double") / n_tokens
-    alpha_ratio = n_alpha.cast("double") / n_chars
-    digit_ratio = n_digit.cast("double") / n_chars
+    # 1-dp coefficient meets a 6-dp ratio); round only for display.
+    # Zero-denominator guards (empty text, zero tokens) define every
+    # ratio as 0.0 — Spark 4 runs ANSI mode by default, so an unguarded
+    # /0 aborts the job on exactly the degenerate docs this filter exists
+    # to score
+    mean_tok = F.coalesce(
+        (n_chars - n_space).cast("double") / F.nullif(n_tokens, F.lit(0)),
+        F.lit(0.0),
+    )
+    alpha_ratio = F.coalesce(
+        n_alpha.cast("double") / F.nullif(n_chars, F.lit(0)), F.lit(0.0)
+    )
+    digit_ratio = F.coalesce(
+        n_digit.cast("double") / F.nullif(n_chars, F.lit(0)), F.lit(0.0)
+    )
     # length factor saturates at 200 chars; word-length factor is 1 inside
     # [3, 10] mean chars/token and decays outside
     len_f = F.least(n_chars.cast("double") / 200.0, F.lit(1.0))
     wl_f = F.when((mean_tok >= 3.0) & (mean_tok <= 10.0), 1.0).otherwise(0.5)
+    # lower clamp: digit-heavy short docs can push the raw composite
+    # below zero, and the contract is a score in [0, 1]
     score = F.round(
-        0.4 * len_f + 0.3 * alpha_ratio + 0.3 * wl_f - 0.2 * digit_ratio, 6
+        F.greatest(
+            F.lit(0.0),
+            0.4 * len_f + 0.3 * alpha_ratio + 0.3 * wl_f - 0.2 * digit_ratio,
+        ),
+        6,
     )
     return docs.select(
         "doc_id",
@@ -111,7 +142,10 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return docs.select(
         "doc_id",
-        F.size(F.split(F.trim(t), r"\s+")).alias("ws_tokens"),
+        # empty/whitespace-only text is 0 tokens, not the [''] artifact
+        F.size(
+            F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+        ).alias("ws_tokens"),
         F.regexp_count(F.lower(t), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")).alias(
             "bpe_tokens"
         ),

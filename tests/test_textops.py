@@ -325,3 +325,105 @@ def test_lsh_salted_hot_buckets_keep_pairs_exactly_once(spark):
     cp = {(r.id_1, r.id_2) for r in capped.collect()}
     assert ("x1", "x2") in cp
     assert not any(p[0].startswith("b") and p[1].startswith("b") for p in cp)
+
+
+def test_degenerate_docs_survive_quality_ops(spark):
+    """Empty, whitespace-only, digit-only, and NULL-text docs must not
+    crash (Spark 4 ANSI division) or produce out-of-range scores — these
+    are exactly the docs quality filtering exists to catch."""
+    weird = spark.createDataFrame(
+        [(100, ""), (101, "   "), (102, "5"), (103, "12345 678"), (104, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in quality.quality_features(weird.where(F.col("text").isNotNull())).collect()
+    }
+    assert rows[100].n_tokens == 0 and rows[101].n_tokens == 0
+    for r in rows.values():
+        assert 0.0 <= r.quality <= 1.0, r
+    tc = {r.doc_id: r for r in quality.token_counts(
+        weird.where(F.col("text").isNotNull())).collect()}
+    assert tc[100].ws_tokens == 0 and tc[101].ws_tokens == 0
+    assert tc[103].ws_tokens == 2
+
+
+def test_language_id_keeps_unmatched_docs(spark):
+    """A doc sharing zero profile trigrams must not vanish — it gets the
+    explicit 'und' label."""
+    d = spark.createDataFrame(
+        [(0, "the the the the the the", "en"),
+         (1, "und und und und und und", "de"),
+         # with top_n=1 each profile keeps only its dominant trigram, so
+         # this doc's trigrams never enter any profile
+         (2, "zzz", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in quality.language_id(d, top_n=1).collect()}
+    assert len(out) == 3
+    assert out[2].pred_lang == "und" and out[2].is_correct is False
+
+
+def test_cosine_zero_norm_is_zero(spark):
+    d = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    a, b = d.alias("a"), d.alias("b")
+    cos = (
+        a.crossJoin(b)
+        .select(dedup.cosine_similarity(F.col("a.embedding"),
+                                        F.col("b.embedding")).alias("c"))
+        .collect()
+    )
+    assert all(r.c == 0.0 or abs(r.c - 1.0) < 1e-9 for r in cos)
+
+
+def test_simhash_wide_bits_not_degenerate(docs):
+    """bits=64 must use real hash material beyond md5's 32 nibbles —
+    the tail 32 positions cannot be constant across all docs."""
+    sigs = [r.simhash for r in dedup.simhash(docs, bits=64).collect()]
+    assert all(len(s) == 64 for s in sigs)
+    tails = {s[32:] for s in sigs}
+    assert len(tails) > 1, tails
+    # bits<=32 unchanged vs the 64-bit prefix (same block-0 material)
+    sigs32 = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=32).collect()}
+    sigs64 = {r.doc_id: r.simhash for r in dedup.simhash(docs, bits=64).collect()}
+    assert all(sigs64[k][:32] == sigs32[k] for k in sigs32)
+
+
+def test_minhash_hot_cap_contract(docs):
+    with pytest.raises(ValueError, match="hot_cap"):
+        dedup.minhash_lsh_candidates(docs, hot_cap=10000, bucket_cap=5000)
+
+
+def test_exact_duplicates_null_text_not_merged(spark):
+    d = spark.createDataFrame(
+        [(0, None), (1, None), (2, "same"), (3, "same")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.exact_duplicates(d).collect()}
+    assert rows[0].group_size == 1 and rows[1].group_size == 1
+    assert rows[2].group_size == 2 and rows[2].canonical_id == 2
+
+
+def test_media_variable_length_payloads(spark):
+    """Real payloads are variable-length: decode and histogram must not
+    assume one batch-wide width, and n_bins that does not divide 256
+    still yields exactly n_bins bins."""
+    rows = [
+        ("d1", "image", "m://1", bytes(range(16))),
+        ("d2", "video", "m://2", bytes(range(64))),
+        ("d3", "audio", "m://3", b"\xff" * 3),  # shorter than the 6-byte head
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id string, kind string, media_ref string, payload binary"
+    )
+    meta = {r.doc_id: r for r in multimodal.decode_media(d).collect()}
+    assert meta["d1"].n_bytes == 16 and meta["d2"].n_bytes == 64
+    assert meta["d3"].n_bytes == 3 and meta["d1"].n_frames == 1
+    feats = {r.doc_id: r.feature for r in
+             multimodal.byte_histogram_features(d, n_bins=10).collect()}
+    assert all(len(v) == 10 for v in feats.values())
+    assert all(abs(sum(v) - 1.0) < 1e-9 for v in feats.values())
+    # 0xff lands in the LAST bin (clipped), not an overflow 11th bin
+    assert feats["d3"][9] == 1.0
