@@ -150,6 +150,15 @@ def _score_block(
                 vals[live] = sub_vals
                 keep[live] = sub_keep if sub_keep is not None else True
             return vals, keep
+    # _maximum is an O(n) Python len() pass — compute it at most once per
+    # block (the distance variant's k_bound never reads it at all)
+    _mx_cache: list = []
+
+    def _mx() -> np.ndarray:
+        if not _mx_cache:
+            _mx_cache.append(_maximum(metric, a, b, **params).astype(np.float64))
+        return _mx_cache[0]
+
     k_bound = None
     if (
         score_cutoff is not None
@@ -160,15 +169,14 @@ def _score_block(
         # translate the cutoff into a per-pair integer distance bound so
         # the kernel can run Ukkonen-banded; +1 slack means the sentinel
         # can never hide a pair the exact keep-condition would accept
-        mx = _maximum(metric, a, b, **params).astype(np.float64)
         if variant == "distance":
             kb = np.full(len(a), np.floor(score_cutoff))
         elif variant == "similarity":
-            kb = np.floor(mx - score_cutoff)
+            kb = np.floor(_mx() - score_cutoff)
         elif variant == "normalized_distance":
-            kb = np.floor(mx * score_cutoff)
+            kb = np.floor(_mx() * score_cutoff)
         else:
-            kb = np.floor(mx * (1.0 - score_cutoff))
+            kb = np.floor(_mx() * (1.0 - score_cutoff))
         k_bound = np.maximum(kb + 1, 0).astype(np.int64)
     raw = _raw_distance(metric, a, b, k_bound=k_bound, **params).astype(np.float64)
     invalid = raw < 0  # hamming pad=False length mismatch sentinel
@@ -176,10 +184,10 @@ def _score_block(
         vals = raw
         keep = vals <= score_cutoff if score_cutoff is not None else None
     elif variant == "similarity":
-        vals = _maximum(metric, a, b, **params) - raw
+        vals = _mx() - raw
         keep = vals >= score_cutoff if score_cutoff is not None else None
     else:
-        maximum = _maximum(metric, a, b, **params).astype(np.float64)
+        maximum = _mx()
         with np.errstate(divide="ignore", invalid="ignore"):
             nd = np.where(maximum > 0, raw / np.where(maximum > 0, maximum, 1.0), 0.0)
         if variant == "normalized_distance":
@@ -210,7 +218,29 @@ def _metric_fn(metric: str, variant: str):
             null = c1.isna() | c2.isna()
             a = c1.fillna("").to_numpy(dtype=object)
             b = c2.fillna("").to_numpy(dtype=object)
-            vals, keep = _score_block(metric, variant, a, b, score_cutoff, **params)
+            eff = params
+            if metric == "hamming" and params.get("strict"):
+                # strict raises on unequal lengths BETWEEN REAL VALUES
+                # only: a null input is SQL null, not a length error (the
+                # fillna("") above would otherwise fake a 0-vs-n pair),
+                # and the check runs before any cutoff prefilter so
+                # whether it fires cannot depend on the cutoff value
+                nn = (~null).to_numpy()
+                if nn.any():
+                    la = np.fromiter((len(x) for x in a[nn]), np.int64)
+                    lb = np.fromiter((len(x) for x in b[nn]), np.int64)
+                    if (la != lb).any():
+                        from .kernels.hamming import DifferentLengthArgs
+
+                        i = int(np.nonzero(la != lb)[0][0])
+                        raise DifferentLengthArgs(
+                            f"hamming strict: unequal lengths "
+                            f"{la[i]} != {lb[i]}"
+                        )
+                # downstream strict re-raise would now only see the
+                # null-filled rows — disable it, their result is null
+                eff = {**params, "strict": False}
+            vals, keep = _score_block(metric, variant, a, b, score_cutoff, **eff)
             if integral:
                 out = pd.Series(vals.astype(np.int64), dtype="Int64")
             else:
@@ -306,7 +336,18 @@ def _jaro_fn(winkler: bool, variant: str):
             a = c1.fillna("").to_numpy(dtype=object)
             b = c2.fillna("").to_numpy(dtype=object)
             live = None
-            if score_cutoff is not None and variant.endswith("similarity") and len(a):
+            # both pruning paths (the length upper bound's boost transform
+            # and the in-kernel k translation) are only sound for the
+            # standard prefix_weight range [0, 0.25] — the reference
+            # accepts ANY f64 and computes exactly (jaro_winkler.rs:87-97),
+            # so out-of-range weights skip pruning rather than mis-prune
+            prune_ok = (not winkler) or (0.0 <= prefix_weight <= 0.25)
+            if (
+                score_cutoff is not None
+                and variant.endswith("similarity")
+                and len(a)
+                and prune_ok
+            ):
                 # reference jaro length_filter (jaro.rs:122-131): common
                 # chars m <= min(l1,l2) bounds sim above; winkler boost is
                 # capped by prefix<=4. Skip pairs that cannot reach cutoff.
@@ -339,7 +380,7 @@ def _jaro_fn(winkler: bool, variant: str):
                 # return the -1.0 sentinel, which every keep-comparison
                 # below rejects (sim -1 < cutoff; dist 2 > cutoff).
                 ik = None
-                if score_cutoff is not None and len(a):
+                if score_cutoff is not None and len(a) and prune_ok:
                     ik = (
                         score_cutoff
                         if variant.endswith("similarity")
@@ -407,30 +448,87 @@ def ratio(
 # when the vocabulary fits in 255 symbols).
 
 
-def _seqs_to_strings(c1: pd.Series, c2: pd.Series):
+class _VocabOverflow(Exception):
+    """Batch vocabulary exceeds the utf-32 code space (see _seqs_to_strings)."""
+
+
+def _clean_seq(s):
+    """Row value -> int64 ndarray, or None when the row itself should be
+    SQL null: a null element inside the array has no element identity
+    (np.asarray would either raise TypeError on object arrays or silently
+    cast NaN to an arbitrary int64 and score garbage)."""
+    if s is None:
+        return None
+    arr = np.asarray(s)
+    if arr.dtype == object:
+        for e in arr:
+            if e is None:
+                return None
+        return arr.astype(np.int64)
+    if np.issubdtype(arr.dtype, np.floating):
+        if np.isnan(arr).any():
+            return None
+        return arr.astype(np.int64)
+    return arr.astype(np.int64)
+
+
+def _seqs_to_strings(seqs1: list, seqs2: list):
     """Batch-vectorized injective remap of int sequences to strings: one
     np.unique over the concatenated batch builds the dense vocabulary,
     one utf-32 decode materializes the whole blob, and per-row slicing
     yields the strings (no per-element Python loop). Any injective remap
     preserves every metric — element identity is the only thing the
-    kernels read (reference HashableChar, src/lib.rs:102-121)."""
-    seqs = [
-        np.asarray(s if s is not None else (), dtype=np.int64) for s in c1
-    ] + [np.asarray(s if s is not None else (), dtype=np.int64) for s in c2]
+    kernels read (reference HashableChar, src/lib.rs:102-121).
+
+    Raises _VocabOverflow when the batch's combined vocabulary does not
+    fit the utf-32 code space (> ~1.11M distinct elements); the caller
+    splits the batch and retries — the vocabulary is per-batch, so
+    halving converges (a single pair's vocabulary is its length sum)."""
+    seqs = seqs1 + seqs2
     lens = np.fromiter((len(s) for s in seqs), dtype=np.int64, count=len(seqs))
     offs = np.zeros(len(seqs) + 1, dtype=np.int64)
     np.cumsum(lens, out=offs[1:])
     allv = np.concatenate(seqs) if seqs else np.zeros(0, dtype=np.int64)
-    _, inv = np.unique(allv, return_inverse=True)
+    uniq, inv = np.unique(allv, return_inverse=True)
+    if len(uniq) + 1 + 0x800 > 0x10FFFF:
+        raise _VocabOverflow(f"{len(uniq)} distinct elements in batch")
     codes = inv.astype(np.uint32) + np.uint32(1)
     codes = np.where(codes >= 0xD800, codes + np.uint32(0x800), codes)
     blob = codes.astype("<u4").tobytes().decode("utf-32-le")
     strs = [blob[offs[i] : offs[i + 1]] for i in range(len(seqs))]
-    half = len(c1)
+    half = len(seqs1)
     return (
         np.array(strs[:half], dtype=object),
         np.array(strs[half:], dtype=object),
     )
+
+
+def _score_seq_block(
+    metric: str, variant: str, seqs1: list, seqs2: list, score_cutoff, **params
+):
+    """Score int-sequence pairs via the string batch engine, splitting the
+    batch recursively when its combined vocabulary overflows the utf-32
+    remap space."""
+    try:
+        a, b = _seqs_to_strings(seqs1, seqs2)
+    except _VocabOverflow:
+        n = len(seqs1)
+        if n <= 1:
+            raise  # a single >1.1M-distinct-element pair: out of scope
+        h = n // 2
+        v1, k1 = _score_seq_block(
+            metric, variant, seqs1[:h], seqs2[:h], score_cutoff, **params
+        )
+        v2, k2 = _score_seq_block(
+            metric, variant, seqs1[h:], seqs2[h:], score_cutoff, **params
+        )
+        vals = np.concatenate([v1, v2])
+        if k1 is None and k2 is None:
+            return vals, None
+        k1 = np.ones(h, dtype=bool) if k1 is None else k1
+        k2 = np.ones(n - h, dtype=bool) if k2 is None else k2
+        return vals, np.concatenate([k1, k2])
+    return _score_block(metric, variant, a, b, score_cutoff, **params)
 
 
 def _seq_metric_fn(metric: str, variant: str):
@@ -446,9 +544,20 @@ def _seq_metric_fn(metric: str, variant: str):
     ) -> Column:
         @pandas_udf(ret_type)
         def _udf(c1: pd.Series, c2: pd.Series) -> pd.Series:
-            null = c1.isna() | c2.isna()
-            a, b = _seqs_to_strings(c1, c2)
-            vals, keep = _score_block(metric, variant, a, b, score_cutoff, **params)
+            seqs1 = [_clean_seq(s) for s in c1]
+            seqs2 = [_clean_seq(s) for s in c2]
+            # row is null when the column value is null OR an element
+            # inside the array is null/NaN (no element identity)
+            null = pd.Series(
+                [x is None or y is None for x, y in zip(seqs1, seqs2)],
+                index=c1.index,
+            )
+            empty = np.zeros(0, dtype=np.int64)
+            seqs1 = [empty if s is None else s for s in seqs1]
+            seqs2 = [empty if s is None else s for s in seqs2]
+            vals, keep = _score_seq_block(
+                metric, variant, seqs1, seqs2, score_cutoff, **params
+            )
             out = (
                 pd.Series(vals.astype(np.int64), dtype="Int64")
                 if integral

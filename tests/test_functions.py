@@ -124,3 +124,68 @@ def test_hamming_strict_mode(spark):
     assert sorted(got, key=str) == [1, None]
     with pytest.raises(Exception, match="DifferentLengthArgs|unequal lengths"):
         df.select(RF.hamming_distance("a", "b", strict=True).alias("d")).collect()
+
+
+def test_hamming_strict_null_inputs_are_null(spark):
+    """A null input is SQL null, not a strict-mode length error — and the
+    strict raise must fire independent of any cutoff prefilter."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(None, "abc"), ("abc", "abd"), ("xyz", None)], "a string, b string"
+    )
+    got = [r.d for r in df.select(
+        RF.hamming_distance("a", "b", strict=True).alias("d")).collect()]
+    assert sorted(got, key=str) == [1, None, None]
+    # unequal real pair raises even when the cutoff would have pruned it
+    bad = spark.createDataFrame([("ab", "abcdefgh")], "a string, b string")
+    with pytest.raises(Exception, match="DifferentLengthArgs|unequal lengths"):
+        bad.select(
+            RF.hamming_distance("a", "b", strict=True, score_cutoff=2).alias("d")
+        ).collect()
+
+
+def test_seq_null_elements_are_null(spark):
+    """An array containing a null element has no element identity — the
+    row is null, not a crash or a garbage score."""
+    df = spark.createDataFrame(
+        [([1, 2, 3], [1, 2, 3]), ([1, None, 3], [1, 2, 3]), (None, [1])],
+        "a array<int>, b array<int>",
+    )
+    got = [r.d for r in df.select(
+        RF.levenshtein_distance_seq("a", "b").alias("d")).collect()]
+    assert sorted(got, key=str) == [0, None, None]
+
+
+def test_jaro_winkler_nonstandard_prefix_weight_cutoff(spark):
+    """The reference computes exactly for ANY prefix_weight; pruning is
+    only sound in [0, 0.25], so out-of-range weights must skip pruning
+    rather than null out pairs that meet the cutoff."""
+    df = spark.createDataFrame([("ab", "abxxxxxx")], "a string, b string")
+    exact = df.select(
+        RF.jaro_winkler_similarity("a", "b", prefix_weight=-0.1).alias("s")
+    ).collect()[0].s
+    got = df.select(
+        RF.jaro_winkler_similarity(
+            "a", "b", score_cutoff=exact - 0.02, prefix_weight=-0.1
+        ).alias("s")
+    ).collect()[0].s
+    assert got is not None and abs(got - exact) < 1e-9
+
+
+def test_seq_vocab_overflow_splits_batch():
+    """A batch whose combined vocabulary exceeds the utf-32 remap space
+    splits recursively instead of failing the task."""
+    import numpy as np
+
+    from rapidfuzz_spark.functions import _score_seq_block
+
+    n_rows, width = 300, 8000  # 2 sides x 300 x 8000 = 4.8M distinct ids
+    seqs1 = [np.arange(i * width, (i + 1) * width, dtype=np.int64)
+             for i in range(n_rows)]
+    base = n_rows * width
+    seqs2 = [np.arange(base + i * width, base + (i + 1) * width, dtype=np.int64)
+             for i in range(n_rows)]
+    seqs2[0] = seqs1[0]  # one identical pair
+    vals, keep = _score_seq_block("levenshtein", "distance", seqs1, seqs2, None)
+    assert vals[0] == 0 and (vals[1:] == width).all()
