@@ -394,8 +394,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         from rapidfuzz_spark.textops import dedup
 
+        # bucket_cap=None: the SQL oracle self-joins every band signature
+        # with no cap, so the Spark side must be uncapped too — otherwise
+        # a >cap bucket on a bigger corpus would silently diverge. The
+        # capped/salted variants are exercised in tests/test_textops.py.
         return dedup.minhash_lsh_candidates(
-            _docs(spark, sf_dir), "text", n_hashes=16, rows_per_band=4, k=5
+            _docs(spark, sf_dir), "text", n_hashes=16, rows_per_band=4, k=5,
+            bucket_cap=None,
         )
 
     q["minhash_lsh_pairs"] = minhash_lsh_pairs
@@ -730,8 +735,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             PipelineConfig(metric="jaro_winkler", threshold=0.85),
         )
         query.awaitTermination()
-        return spark.read.parquet(f"{tmp}/out/assignments").select(
-            "doc_id", "entity_id", "matched_doc_id", "score"
+        # materialize before cleanup: the caller's collect must not race
+        # a lazy scan of the tmp dir we are about to delete (the other
+        # er_* queries use TemporaryDirectory the same way)
+        import shutil
+
+        pdf = (
+            spark.read.parquet(f"{tmp}/out/assignments")
+            .select("doc_id", "entity_id", "matched_doc_id", "score")
+            .toPandas()
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(
+            pdf,
+            "doc_id string, entity_id string, matched_doc_id string,"
+            " score double",
         )
 
     q["stream_link"] = stream_link
@@ -870,7 +888,9 @@ def oracle_sql() -> dict[str, str]:
              coalesce(max(CASE WHEN g.i <= least(len(p.t1), len(p.t2))
                                 AND substr(p.t1, 1, g.i) = substr(p.t2, 1, g.i)
                                THEN g.i END), 0) AS pfx_sim
-      FROM ({_PAIRS_SQL}) p CROSS JOIN generate_series(1, 700) g(i)
+      FROM ({_PAIRS_SQL}) p
+           CROSS JOIN (SELECT unnest(range(1,
+               (SELECT greatest(max(len(text)), 1) + 1 FROM documents))) AS i) g
       GROUP BY p.id_1, p.id_2"""
     o["postfix_similarity"] = f"""
       SELECT p.id_1, p.id_2,
@@ -878,7 +898,9 @@ def oracle_sql() -> dict[str, str]:
                                 AND substr(reverse(p.t1), 1, g.i)
                                     = substr(reverse(p.t2), 1, g.i)
                                THEN g.i END), 0) AS sfx_sim
-      FROM ({_PAIRS_SQL}) p CROSS JOIN generate_series(1, 700) g(i)
+      FROM ({_PAIRS_SQL}) p
+           CROSS JOIN (SELECT unnest(range(1,
+               (SELECT greatest(max(len(text)), 1) + 1 FROM documents))) AS i) g
       GROUP BY p.id_1, p.id_2"""
     o["topk_matches"] = f"""
       WITH sym AS (
@@ -917,8 +939,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["exact_dedup"] = """
       SELECT doc_id,
-             min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
-             count(*)   OVER (PARTITION BY md5(text)) AS group_size
+             min(doc_id) OVER (PARTITION BY coalesce(md5(text), 'null:' || doc_id))
+               AS canonical_id,
+             count(*)   OVER (PARTITION BY coalesce(md5(text), 'null:' || doc_id))
+               AS group_size
       FROM documents"""
     o["minhash_lsh_pairs"] = """
       WITH sh AS (
@@ -1047,7 +1071,13 @@ def oracle_sql() -> dict[str, str]:
                row_number() OVER (
                  PARTITION BY doc_id ORDER BY score DESC, lang) AS r
         FROM hits)
-      SELECT doc_id, pred_lang, is_correct FROM best WHERE r = 1"""
+      -- left join back: a doc with zero profile-trigram hits stays in
+      -- the output as 'und' (mirrors quality.language_id)
+      SELECT d.doc_id,
+             coalesce(b.pred_lang, 'und') AS pred_lang,
+             coalesce(b.is_correct, false) AS is_correct
+      FROM documents d
+      LEFT JOIN (SELECT * FROM best WHERE r = 1) b USING (doc_id)"""
     o["quality_scores"] = r"""
       WITH f AS (
         SELECT doc_id,
@@ -1215,8 +1245,11 @@ def oracle_sql() -> dict[str, str]:
            trim(regexp_replace(lower(
              array_to_string(
                list_transform(
-                 list_filter(spans, s -> s.kind = 'text' AND s.text IS NOT NULL),
-                 s -> s.text), ' ')), '[^\\p{L}\\p{N}]+', ' ', 'g')) AS norm_text
+                 list_sort(
+                   list_transform(
+                     list_filter(spans, s -> s.kind = 'text' AND s.text IS NOT NULL),
+                     s -> {'o': s."offset", 't': s.text})),
+                 x -> x.t), ' ')), '[^\\p{L}\\p{N}]+', ' ', 'g')) AS norm_text
     FROM read_parquet('/root/repo/tests/fixtures/synth300.parquet')
   ),
   texts AS (
@@ -1265,6 +1298,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, unnest(list_distinct(string_split_regex(norm_text, '\\s+'))) AS tok
         FROM {src}) WHERE len(tok) >= 5){sig_arm}"""
 
+    # sorted-neighborhood key arms (window 3) over a doc set named {src}:
+    # shared by the two er_pipeline oracles so the SN recipe cannot
+    # silently desynchronize between them
+    def _sn_keys_sql(src: str) -> str:
+        ranked = f"""(SELECT doc_id, substr(replace(canon_text, ' ', ''), 1, 2) AS bucket,
+                     row_number() OVER (
+                       PARTITION BY substr(replace(canon_text, ' ', ''), 1, 2)
+                       ORDER BY replace(canon_text, ' ', ''), doc_id) AS rnk
+              FROM {src})"""
+        return f"""UNION ALL
+        SELECT concat_ws(':', 'sn' || o.off, r.bucket, r.rnk) AS block_key, r.doc_id
+        FROM {ranked} r, (VALUES (1), (2), (3)) o(off)
+        UNION ALL
+        SELECT concat_ws(':', 'sn' || o.off, r.bucket, r.rnk - o.off), r.doc_id
+        FROM {ranked} r, (VALUES (1), (2), (3)) o(off)"""
+
     o["incremental_link"] = f"""
       WITH {_FIXTURE_TEXTS},
       ranked AS (
@@ -1307,20 +1356,7 @@ def oracle_sql() -> dict[str, str]:
       WITH RECURSIVE {_FIXTURE_TEXTS},
       allkeys AS (
         {_keys_sql("texts", deletion_sigs=True)}
-        UNION ALL
-        SELECT concat_ws(':', 'sn' || o.off, r.bucket, r.rnk) AS block_key, r.doc_id
-        FROM (SELECT doc_id, substr(replace(canon_text, ' ', ''), 1, 2) AS bucket,
-                     row_number() OVER (
-                       PARTITION BY substr(replace(canon_text, ' ', ''), 1, 2)
-                       ORDER BY replace(canon_text, ' ', ''), doc_id) AS rnk
-              FROM texts) r, (VALUES (1), (2), (3)) o(off)
-        UNION ALL
-        SELECT concat_ws(':', 'sn' || o.off, r.bucket, r.rnk - o.off), r.doc_id
-        FROM (SELECT doc_id, substr(replace(canon_text, ' ', ''), 1, 2) AS bucket,
-                     row_number() OVER (
-                       PARTITION BY substr(replace(canon_text, ' ', ''), 1, 2)
-                       ORDER BY replace(canon_text, ' ', ''), doc_id) AS rnk
-              FROM texts) r, (VALUES (1), (2), (3)) o(off)
+        {_sn_keys_sql('texts')}
         UNION ALL
         SELECT DISTINCT 'mr:' || s.media_ref AS block_key, doc_id
         FROM (SELECT doc_id, unnest(spans) AS s
@@ -1378,20 +1414,7 @@ def oracle_sql() -> dict[str, str]:
       WITH RECURSIVE {_FIXTURE_TEXTS},
       allkeys AS (
         {_keys_sql("texts", deletion_sigs=True)}
-        UNION ALL
-        SELECT concat_ws(':', 'sn' || o.off, r.bucket, r.rnk) AS block_key, r.doc_id
-        FROM (SELECT doc_id, substr(replace(canon_text, ' ', ''), 1, 2) AS bucket,
-                     row_number() OVER (
-                       PARTITION BY substr(replace(canon_text, ' ', ''), 1, 2)
-                       ORDER BY replace(canon_text, ' ', ''), doc_id) AS rnk
-              FROM texts) r, (VALUES (1), (2), (3)) o(off)
-        UNION ALL
-        SELECT concat_ws(':', 'sn' || o.off, r.bucket, r.rnk - o.off), r.doc_id
-        FROM (SELECT doc_id, substr(replace(canon_text, ' ', ''), 1, 2) AS bucket,
-                     row_number() OVER (
-                       PARTITION BY substr(replace(canon_text, ' ', ''), 1, 2)
-                       ORDER BY replace(canon_text, ' ', ''), doc_id) AS rnk
-              FROM texts) r, (VALUES (1), (2), (3)) o(off)
+        {_sn_keys_sql('texts')}
         UNION ALL
         SELECT DISTINCT 'mr:' || s.media_ref AS block_key, doc_id
         FROM (SELECT doc_id, unnest(spans) AS s
