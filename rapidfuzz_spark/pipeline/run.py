@@ -14,13 +14,30 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 from dataclasses import dataclass
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import blocking, cluster, ingest, metrics, scoring
+if __package__ in (None, ""):
+    # spark-submit runs this file as a top-level script (__main__), so
+    # relative imports have no parent package. Re-enter through the real
+    # package (available via --py-files or the repo checkout next to this
+    # file) and delegate to ITS main — every function body's relative
+    # import then resolves normally.
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    if __name__ == "__main__":
+        from rapidfuzz_spark.pipeline.run import main as _pkg_main
+
+        _pkg_main()
+        sys.exit(0)
+    from rapidfuzz_spark.pipeline import blocking, cluster, ingest, metrics, scoring
+else:
+    from . import blocking, cluster, ingest, metrics, scoring
 
 
 @dataclass
