@@ -65,6 +65,26 @@ class PipelineConfig:
     checkpoint: bool = True
 
 
+def pipeline_blocking_keys(docs_t: DataFrame, conf: PipelineConfig) -> DataFrame:
+    """The SHIPPED blocking-key recipe for a derived-text doc frame (all
+    passes except sorted-neighborhood, which is generated directly as
+    pairs). Shared by run_pipeline and the evaluation tools so a default
+    change cannot silently drift between them."""
+    keys = blocking.blocking_keys(docs_t, use_sorted_neighborhood=False)
+    if conf.deletion_sig_blocking:
+        # standalone (not fused) so sig generation can be DF-prefiltered:
+        # tokens hotter than drop_cap never explode into sig keys — the
+        # census would drop every key they emit anyway, and rare-token
+        # neighborhoods colliding with a hot signature now survive (see
+        # token_deletion_keys for the superset/monotonicity proof)
+        keys = keys.unionByName(
+            blocking.token_deletion_keys(docs_t, df_cap=conf.drop_cap)
+        )
+    if conf.media_ref_blocking and "spans" in docs_t.columns:
+        keys = keys.unionByName(blocking.media_ref_keys(docs_t))
+    return keys
+
+
 def run_pipeline(
     spark: SparkSession,
     docs: DataFrame,
@@ -89,18 +109,7 @@ def run_pipeline(
     # need the census/salted-join machinery); the remaining passes go
     # through the salted self-join, with cross-pass dedup inside
     # candidate_pairs
-    keys = blocking.blocking_keys(docs_t, use_sorted_neighborhood=False)
-    if conf.deletion_sig_blocking:
-        # standalone (not fused) so sig generation can be DF-prefiltered:
-        # tokens hotter than drop_cap never explode into sig keys — the
-        # census would drop every key they emit anyway, and rare-token
-        # neighborhoods colliding with a hot signature now survive (see
-        # token_deletion_keys for the superset/monotonicity proof)
-        keys = keys.unionByName(
-            blocking.token_deletion_keys(docs_t, df_cap=conf.drop_cap)
-        )
-    if conf.media_ref_blocking and "spans" in docs_t.columns:
-        keys = keys.unionByName(blocking.media_ref_keys(docs_t))
+    keys = pipeline_blocking_keys(docs_t, conf)
     sn = blocking.sorted_neighborhood_pairs(docs_t, window=conf.sn_window)
     caches: list = []
     pairs = blocking.candidate_pairs(

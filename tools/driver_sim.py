@@ -31,7 +31,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # a sentinel no real value can equal: plain astype(str) would
+            # render a genuine NULL as "None", silently matching a
+            # literal 'None'/'nan' string from the other engine
+            df[c] = df[c].where(df[c].notna(), "\x00<NULL>").astype(str)
         elif STRICT:
             dt = str(df[c].dtype)
             if "Int" in dt:  # nullable int -> plain int64 w/ NaN check
@@ -83,7 +86,26 @@ def main() -> None:
         ok_rows = len(a) == len(b)
         ok_cols = list(a.columns) == list(b.columns)
         ok_vals = ok_rows and ok_cols and a.equals(b)
+        boundary = False
+        if ok_rows and ok_cols and not ok_vals and not STRICT:
+            # the default mode's round(6) is boundary-flaky: two engines
+            # agreeing to ~1e-9 can round to different 6-dp values. Flag
+            # such rows as a float-boundary agreement, distinct from a
+            # real mismatch (strict mode stays driver-faithful and still
+            # fails — this only declassifies the local false alarm).
+            import numpy as np
+
+            num = [c for c in a.columns if a[c].dtype.kind == "f"]
+            rest = [c for c in a.columns if c not in num]
+            boundary = all(
+                np.allclose(a[c], b[c], atol=2e-6, rtol=0, equal_nan=True)
+                for c in num
+            ) and (not rest or a[rest].equals(b[rest]))
+            if boundary:
+                ok_vals = True
         status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        if boundary:
+            status = "OK~(float-boundary)"
         print(
             f"{name:28s} {status}  rows {len(a)}/{len(b)} cols {ok_cols} vals {ok_vals}"
         )

@@ -50,17 +50,18 @@ def main() -> None:
     docs_t.count()
     delsig = os.environ.get("F1_DELSIG", "1") == "1"
     drop_cap = int(os.environ.get("F1_DROP_CAP", "500"))
-    keys = blocking.blocking_keys(docs_t, use_sorted_neighborhood=False)
-    if delsig:
-        # same recipe as run_pipeline: DF-prefiltered sig generation
-        # (pair-set-monotone superset of the unfiltered pass at this
-        # drop_cap — see token_deletion_keys)
-        keys = keys.unionByName(
-            blocking.token_deletion_keys(docs_t, df_cap=drop_cap)
-        )
+    # THE shipped recipe, via the shared helper — hand-copying it here
+    # drifted once already (the media-ref pass was missing while the
+    # header claimed 'same recipe as run_pipeline')
+    from rapidfuzz_spark.pipeline.run import PipelineConfig, pipeline_blocking_keys
+
+    conf = PipelineConfig(drop_cap=drop_cap, deletion_sig_blocking=delsig)
+    keys = pipeline_blocking_keys(docs_t, conf)
     sn = blocking.sorted_neighborhood_pairs(docs_t, window=3)
+    key_caches: list = []
     cand = blocking.candidate_pairs(
-        keys, hot_cap=200, drop_cap=drop_cap, extra_pairs=sn
+        keys, hot_cap=200, drop_cap=drop_cap, extra_pairs=sn,
+        cache_out=key_caches,
     )
     pairs_t = scoring.attach_texts(cand, docs_t).repartition(cpus * 4)
     t0 = time.time()
@@ -74,6 +75,10 @@ def main() -> None:
         ).alias("jw"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     n_pairs = scored.count()
+    for c in key_caches:
+        # the blocking-key cache is dead weight once edges are scored;
+        # holding it through 17 CC/F1 sweep iterations evicts useful data
+        c.unpersist()
     t_score = time.time() - t0
     print(json.dumps({"n_entities": n_entities, "n_pairs": n_pairs,
                       "score_sec": round(t_score, 1)}), flush=True)
