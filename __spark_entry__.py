@@ -240,6 +240,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("wlev_dist"),
         )
     )
+    q["weighted_lev_231"] = _q(
+        # weights (2,3,1): ins != del AND sub < ins+del — NOT rewritable to
+        # uniform/indel (levenshtein.rs:1244-1331), so this exercises the
+        # cross-pair vectorized generic Wagner-Fischer path
+        # (kernels/batch.py weighted_wf_batch_np) against a full weighted-DP
+        # recursive-CTE oracle
+        lambda p: p.select(
+            "id_1",
+            "id_2",
+            RF.levenshtein_distance(
+                F.substring("t1", 1, 10), F.substring("t2", 1, 10), weights=(2, 3, 1)
+            ).alias("wlev231"),
+        )
+    )
     q["indel_distance"] = _q(
         lambda p: p.select(
             "id_1",
@@ -509,12 +523,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         media = multimodal.with_payload(_doc_media(spark, sf_dir))
         feats = multimodal.byte_histogram_features(media, n_bins=16)
+        # feature * n_bytes recovers the exact integer byte counts of the
+        # real container payload (count/n * n rounds back exactly)
         return feats.select(
             "doc_id",
             "media_ref",
             F.array_join(
                 F.transform(
-                    "feature", lambda x: F.round(x * 16).cast("int").cast("string")
+                    "feature",
+                    lambda x: F.round(x * F.col("n_bytes")).cast("int").cast("string"),
                 ),
                 ",",
             ).alias("hist"),
@@ -846,6 +863,46 @@ def oracle_sql() -> dict[str, str]:
         _lcs_cte("substr(t1, 1, 12)", "substr(t2, 1, 12)")
         + "SELECT id_1, id_2, l1 + l2 - 2 * lcs_len AS wlev_dist FROM lcs"
     )
+    # full weighted-DP oracle (ins=2, del=3, sub=1) by anti-diagonal
+    # wavefront: cell (i,j) receives del from (i-1,j) and ins from (i,j-1)
+    # (previous diagonal, age 0) and match/sub from (i-1,j-1) (two
+    # diagonals back, age 1); min per group is the DP recurrence
+    o["weighted_lev_231"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_1, id_2, substr(t1, 1, 10) AS s1, substr(t2, 1, 10) AS s2
+  FROM ({_PAIRS_SQL})
+),
+cells(id_1, id_2, i, j, v, age) AS (
+  SELECT id_1, id_2, 0, 0, 0, 0 FROM pairs
+  UNION ALL
+  (
+    WITH contrib AS (
+      SELECT c.id_1, c.id_2, c.i + 1 AS i, c.j AS j, c.v + 3 AS v  -- delete
+      FROM cells c JOIN pairs p USING (id_1, id_2)
+      WHERE c.age = 0 AND c.i < len(p.s1)
+      UNION ALL
+      SELECT c.id_1, c.id_2, c.i, c.j + 1, c.v + 2                 -- insert
+      FROM cells c JOIN pairs p USING (id_1, id_2)
+      WHERE c.age = 0 AND c.j < len(p.s2)
+      UNION ALL
+      SELECT c.id_1, c.id_2, c.i + 1, c.j + 1,                     -- match/sub
+             c.v + CASE WHEN substr(p.s1, c.i + 1, 1) = substr(p.s2, c.j + 1, 1)
+                        THEN 0 ELSE 1 END
+      FROM cells c JOIN pairs p USING (id_1, id_2)
+      WHERE c.age = 1 AND c.i < len(p.s1) AND c.j < len(p.s2)
+    )
+    SELECT id_1, id_2, i, j, min(v), 0 FROM contrib GROUP BY id_1, id_2, i, j
+    UNION ALL
+    SELECT c.id_1, c.id_2, c.i, c.j, c.v, c.age + 1
+    FROM cells c JOIN pairs p USING (id_1, id_2)
+    WHERE c.age = 0 AND c.i + c.j < len(p.s1) + len(p.s2)
+  )
+)
+SELECT p.id_1, p.id_2, min(c.v) AS wlev231
+FROM pairs p JOIN cells c
+  ON c.id_1 = p.id_1 AND c.id_2 = p.id_2
+ AND c.i = len(p.s1) AND c.j = len(p.s2)
+GROUP BY p.id_1, p.id_2"""
     o["indel_distance"] = (
         _lcs_cte("substr(t1, 1, 12)", "substr(t2, 1, 12)")
         + "SELECT id_1, id_2, l1 + l2 - 2 * lcs_len AS indel_dist FROM lcs"
@@ -1134,35 +1191,69 @@ def oracle_sql() -> dict[str, str]:
                              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
              md5('m://' || md5(text)) AS h
       FROM documents"""
-    o["media_decode"] = f"""
-      SELECT doc_id, media_ref, kind, 16 AS n_bytes,
-             (16 + ('0x' || substr(h, 1, 4))::BIGINT % 1920)::INT AS width,
-             (16 + ('0x' || substr(h, 5, 4))::BIGINT % 1080)::INT AS height,
-             (CASE WHEN kind = 'image' THEN 1
-                   ELSE 1 + ('0x' || substr(h, 9, 4))::BIGINT % 300 END)::INT
-               AS n_frames,
-             (CASE WHEN kind = 'image' THEN 0
-                   ELSE (1 + ('0x' || substr(h, 9, 4))::BIGINT % 300) * 33 END)::INT
-               AS duration_ms
+    # md5-derived container-header fields (multimodal.with_payload):
+    # w/ht/k are what the synthesized PNG IHDR / WAV data chunk / AVI avih
+    # carry; decode_media PARSES them back out of the payload bytes
+    _MEDIA_FIELDS = f"""
+      SELECT doc_id, media_ref, kind, h,
+             (16 + ('0x' || substr(h, 1, 4))::BIGINT % 1920) AS w,
+             (16 + ('0x' || substr(h, 5, 4))::BIGINT % 1080) AS ht,
+             (1 + ('0x' || substr(h, 9, 4))::BIGINT % 300) AS k
       FROM ({_MEDIA_SQL})"""
+
+    def _le32(expr: str) -> str:
+        """DuckDB SQL: little-endian 4-byte hex of an integer expression."""
+        return "(" + " || ".join(
+            f"lpad(lower(to_hex((({expr}) // {256 ** i}) % 256)), 2, '0')"
+            for i in range(4)
+        ) + ")"
+
+    def _be32(expr: str) -> str:
+        return f"lpad(lower(to_hex({expr})), 8, '0')"
+
+    # exact payload hex per kind — must mirror multimodal.with_payload
+    # byte for byte (the Spark side is round-trip-tested against an
+    # independent struct.pack synthesis in tests/test_textops.py)
+    _PAYLOAD_HEX = f"""
+      CASE kind
+        WHEN 'image' THEN '89504e470d0a1a0a0000000d49484452'
+          || {_be32("w")} || {_be32("ht")} || '080200000000000000' || h
+        WHEN 'audio' THEN '52494646' || {_le32("36 + 66 * k")}
+          || '57415645666d74201000000001000100e8030000d00700000200100064617461'
+          || {_le32("66 * k")} || h
+        ELSE '5249464660000000415649204c495354440000006864726c6176696838000000e8800000'
+          || '{"00" * 12}' || {_le32("k")} || '000000000100000000000000'
+          || {_le32("w")} || {_le32("ht")} || '{"00" * 16}' || h
+      END"""
+    o["media_decode"] = f"""
+      SELECT doc_id, media_ref, kind,
+             CASE kind WHEN 'image' THEN 'png'
+                       WHEN 'audio' THEN 'wav' ELSE 'avi' END AS container,
+             (CASE kind WHEN 'image' THEN 49
+                        WHEN 'audio' THEN 60 ELSE 104 END)::INT AS n_bytes,
+             (CASE WHEN kind = 'audio' THEN 0 ELSE w END)::INT AS width,
+             (CASE WHEN kind = 'audio' THEN 0 ELSE ht END)::INT AS height,
+             (CASE WHEN kind = 'image' THEN 1 ELSE k END)::INT AS n_frames,
+             (CASE WHEN kind = 'image' THEN 0 ELSE k * 33 END)::INT AS duration_ms
+      FROM ({_MEDIA_FIELDS})"""
     o["media_frame_samples"] = f"""
       WITH m AS (
         SELECT doc_id, media_ref,
-               (CASE WHEN kind = 'image' THEN 1
-                     ELSE 1 + ('0x' || substr(h, 9, 4))::BIGINT % 300 END)::INT
-                 AS n_frames
-        FROM ({_MEDIA_SQL}))
+               (CASE WHEN kind = 'image' THEN 1 ELSE k END)::INT AS n_frames
+        FROM ({_MEDIA_FIELDS}))
       SELECT doc_id, media_ref,
              unnest(range(0, n_frames, 30))::INT AS frame_idx
       FROM m WHERE n_frames > 1"""
     o["media_byte_hist"] = f"""
+      WITH p AS (
+        SELECT doc_id, media_ref, {_PAYLOAD_HEX} AS ph FROM ({_MEDIA_FIELDS}))
       SELECT doc_id, media_ref,
              array_to_string(list_transform(range(0, 16), j ->
-               len(list_filter(range(0, 16), p ->
-                 substr(h, 2 * p + 1, 1)
+               len(list_filter(range(0, len(ph) // 2), b ->
+                 substr(ph, 2 * b + 1, 1)
                    = substr('0123456789abcdef', j + 1, 1)))::VARCHAR), ',')
                AS hist
-      FROM ({_MEDIA_SQL})"""
+      FROM p"""
     o["er_cluster_cc"] = f"""
       WITH RECURSIVE e AS (
         SELECT id_1 AS a, id_2 AS b FROM (

@@ -555,8 +555,32 @@ def _seq_metric_fn(metric: str, variant: str):
             empty = np.zeros(0, dtype=np.int64)
             seqs1 = [empty if s is None else s for s in seqs1]
             seqs2 = [empty if s is None else s for s in seqs2]
+            eff = params
+            if metric == "hamming" and params.get("strict"):
+                # mirror of the string path above: strict raises on
+                # unequal lengths BETWEEN REAL VALUES only — a null array
+                # (or an array with a null element) is SQL null, not a
+                # length error; the empty placeholder substituted above
+                # must not trip DifferentLengthArgs for the whole batch
+                nn = ~null.to_numpy()
+                if nn.any():
+                    la = np.fromiter(
+                        (len(s) for s, m in zip(seqs1, nn) if m), np.int64
+                    )
+                    lb = np.fromiter(
+                        (len(s) for s, m in zip(seqs2, nn) if m), np.int64
+                    )
+                    if (la != lb).any():
+                        from .kernels.hamming import DifferentLengthArgs
+
+                        i = int(np.nonzero(la != lb)[0][0])
+                        raise DifferentLengthArgs(
+                            f"hamming strict: unequal lengths "
+                            f"{la[i]} != {lb[i]}"
+                        )
+                eff = {**params, "strict": False}
             vals, keep = _score_seq_block(
-                metric, variant, seqs1, seqs2, score_cutoff, **params
+                metric, variant, seqs1, seqs2, score_cutoff, **eff
             )
             out = (
                 pd.Series(vals.astype(np.int64), dtype="Int64")

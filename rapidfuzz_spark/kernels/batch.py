@@ -1353,18 +1353,84 @@ def postfix_batch(a_arr, b_arr) -> np.ndarray:
     return prefix_batch(ra, rb)
 
 
+def _strip_common_affix_batch(a_arr, b_arr):
+    """Vectorized remove_common_affix (reference details/common.rs:79-108):
+    common-prefix lengths from the padded != matrix, then common-suffix of
+    the prefix-stripped remainders. Slicing is one O(1) Python string op
+    per row — the counting, which is the O(len) part, stays NumPy."""
+    pre = prefix_batch(a_arr, b_arr)
+    a1 = np.array([s[p:] for s, p in zip(a_arr, pre)], dtype=object)
+    b1 = np.array([s[p:] for s, p in zip(b_arr, pre)], dtype=object)
+    post = postfix_batch(a1, b1)
+    a2 = np.array(
+        [s[: len(s) - q] if q else s for s, q in zip(a1, post)], dtype=object
+    )
+    b2 = np.array(
+        [s[: len(s) - q] if q else s for s, q in zip(b1, post)], dtype=object
+    )
+    return a2, b2
+
+
+_WWF_CHUNK = 4096  # bounds the (chunk, L2+1) int64 row-pair working set
+
+
+def weighted_wf_batch_np(a_arr, b_arr, ins: int, dele: int, sub: int) -> np.ndarray:
+    """Generic-weight Wagner-Fischer vectorized ACROSS PAIRS (the same
+    padded-matrix + active-prefix-scheduling pattern as damerau_batch_np):
+    one NumPy row step per pattern char over all live pairs, no per-pair
+    dispatch. The within-row insert chain is folded by the prefix-min
+    identity min_k<=j(cand[k] + (j-k)*ins) = accmin(cand[k] - k*ins) + j*ins
+    (same trick as the per-pair wagner_fischer_weighted oracle kernel).
+    O(L1*L2) work per pair as the reference documents for the generic
+    weight case (levenshtein.rs:62-63)."""
+    n = len(a_arr)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    A, las = _pad_codes(list(a_arr), 0xFFFFFFFE)
+    B, lbs = _pad_codes(list(b_arr), 0xFFFFFFFF)
+    order = np.argsort(-las, kind="stable")
+    A, B = A[order], B[order]
+    las_s, lbs_s = las[order], lbs[order]
+    L1, L2 = A.shape[1], B.shape[1]
+    j_step = np.arange(1, L2 + 1, dtype=np.int64) * ins
+    prev = np.empty((n, L2 + 1), dtype=np.int64)
+    prev[:, 0] = 0
+    prev[:, 1:] = j_step  # DP row 0: all inserts
+    active = n
+    for i in range(1, L1 + 1):
+        while active > 0 and las_s[active - 1] < i:
+            active -= 1  # rows past their pattern keep prev = dp[la] final
+        a = slice(0, active)
+        cost = np.where(B[a] == A[a, i - 1 : i], 0, sub)
+        cand = np.minimum(prev[a, :-1] + cost, prev[a, 1:] + dele)
+        t = np.minimum.accumulate(
+            np.minimum(cand - j_step[None, :], i * dele), axis=1
+        )
+        prev[a, 1:] = np.minimum(cand, t + j_step[None, :])
+        prev[a, 0] = i * dele
+    res = prev[np.arange(n, dtype=np.intp), lbs_s]
+    out[order] = res
+    return out
+
+
 def weighted_levenshtein_batch(a_arr, b_arr, weights=(1, 1, 1)) -> np.ndarray:
-    """Weight rewrites per levenshtein.rs:1244-1331, batched."""
+    """Weight rewrites per levenshtein.rs:1244-1331, batched. The generic
+    case (ins != del, or sub < ins+del) runs the cross-pair vectorized
+    Wagner-Fischer after a vectorized common-affix strip — no per-pair
+    Python dispatch on any weight table."""
     ins, dele, sub = weights
     if ins == dele:
         if ins == sub:
             return levenshtein_batch(a_arr, b_arr) * ins
         if sub >= ins + dele:
             return indel_batch(a_arr, b_arr) * ins
-    n = len(a_arr)
+    a_s, b_s = _strip_common_affix_batch(a_arr, b_arr)
+    n = len(a_s)
     out = np.zeros(n, dtype=np.int64)
-    for i in range(n):
-        out[i] = wagner_fischer_weighted(a_arr[i], b_arr[i], ins, dele, sub)
+    for lo in range(0, n, _WWF_CHUNK):
+        hi = lo + _WWF_CHUNK
+        out[lo:hi] = weighted_wf_batch_np(a_s[lo:hi], b_s[lo:hi], ins, dele, sub)
     return out
 
 

@@ -30,6 +30,22 @@ array_join(
 """
 
 
+def _looks_like_parquet(path: str) -> bool:
+    """True when the local path is plausibly parquet output: a .parquet
+    file, or a directory containing part/.parquet files or a _SUCCESS
+    marker (what Spark/DuckDB/pyarrow writers produce)."""
+    if os.path.isfile(path):
+        return path.endswith(".parquet")
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return False
+    return any(
+        n == "_SUCCESS" or n.endswith(".parquet") or n.startswith("part-")
+        for n in names
+    )
+
+
 def load_documents(
     spark: SparkSession, source: str, source_format: str = "auto"
 ) -> DataFrame:
@@ -54,11 +70,21 @@ def load_documents(
     """
     if source_format == "auto" and "/" not in source and "\\" not in source:
         # bare name: a catalog identifier — unless it exists on the local
-        # filesystem (a relative parquet dir like "docs_out"), in which
-        # case absolutize it so the JVM resolves it against the caller's
-        # cwd, not the driver JVM's
-        if os.path.exists(source):
+        # filesystem AND actually looks like parquet data (a .parquet
+        # file, or a directory holding part files / _SUCCESS). A cwd
+        # directory that merely shares the name of a catalog table must
+        # not silently shadow it — that's a data misroute, not a
+        # convenience. Force one side with source_format='table'/'parquet'.
+        if os.path.exists(source) and _looks_like_parquet(source):
             return spark.read.parquet(os.path.abspath(source))
+        if os.path.exists(source):
+            import warnings
+
+            warnings.warn(
+                f"load_documents: '{source}' exists locally but does not "
+                f"look like parquet data; treating it as a catalog table. "
+                f"Pass source_format='parquet' to read the local path."
+            )
     elif source_format == "auto":
         return spark.read.parquet(source)
     if source_format == "parquet":

@@ -77,13 +77,19 @@ def score_pairs(
     metric on unsorted normalized text) — catches token reorders (canon
     pass) and token-resorting first-char typos (raw pass)."""
     df = pairs_with_text
-    if "len_1" in df.columns and "len_2" in df.columns:
-        # no text evidence -> no text-similarity edge: ratio("","") is 1.0
-        # by kernel definition (both-empty = identical), so without this
-        # guard every pair of text-less docs (media-only spans,
-        # punctuation-only text) scores 1.0 and transitive clustering
-        # collapses ALL of them into one entity
-        df = df.where((F.col("len_1") > 0) | (F.col("len_2") > 0))
+    if "len_1" not in df.columns or "len_2" not in df.columns:
+        # callers that attach texts themselves may not carry length
+        # columns; compute them (F.length is free) rather than silently
+        # losing the both-empty guard below
+        df = df.withColumn("len_1", F.length("text_1")).withColumn(
+            "len_2", F.length("text_2")
+        )
+    # no text evidence -> no text-similarity edge: ratio("","") is 1.0
+    # by kernel definition (both-empty = identical), so without this
+    # guard every pair of text-less docs (media-only spans,
+    # punctuation-only text) scores 1.0 and transitive clustering
+    # collapses ALL of them into one entity
+    df = df.where((F.col("len_1") > 0) | (F.col("len_2") > 0))
     if metric == "soft_tfidf":
         # IDF-weighted fuzzy-token cosine (textops.softtfidf): token-set
         # based, so reorders need no canon pass and no length prefilter

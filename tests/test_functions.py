@@ -145,6 +145,24 @@ def test_hamming_strict_null_inputs_are_null(spark):
         ).collect()
 
 
+def test_hamming_seq_strict_null_inputs_are_null(spark):
+    """Seq-path mirror of the string-path strict fix: a null array (or a
+    null element) pairs to SQL null, never DifferentLengthArgs — strict
+    checks lengths only between real rows."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(None, [9, 9]), ([1, 2, 4], [1, 2, 3]), ([1, None], [1, 2])],
+        "a array<int>, b array<int>",
+    )
+    got = [r.d for r in df.select(
+        RF.hamming_distance_seq("a", "b", strict=True).alias("d")).collect()]
+    assert sorted(got, key=str) == [1, None, None]
+    bad = spark.createDataFrame([([1], [1, 2, 3])], "a array<int>, b array<int>")
+    with pytest.raises(Exception, match="DifferentLengthArgs|unequal lengths"):
+        bad.select(RF.hamming_distance_seq("a", "b", strict=True).alias("d")).collect()
+
+
 def test_seq_null_elements_are_null(spark):
     """An array containing a null element has no element identity — the
     row is null, not a crash or a garbage score."""

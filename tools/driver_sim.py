@@ -74,6 +74,7 @@ def main() -> None:
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    boundaries = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -97,15 +98,19 @@ def main() -> None:
 
             num = [c for c in a.columns if a[c].dtype.kind == "f"]
             rest = [c for c in a.columns if c not in num]
+            # 1e-6 is the actual width of the queries' round(6) boundary;
+            # anything past it is genuine divergence, not rounding flicker
             boundary = all(
-                np.allclose(a[c], b[c], atol=2e-6, rtol=0, equal_nan=True)
+                np.allclose(a[c], b[c], atol=1e-6, rtol=0, equal_nan=True)
                 for c in num
             ) and (not rest or a[rest].equals(b[rest]))
-            if boundary:
-                ok_vals = True
         status = "OK" if (ok_rows and ok_cols and ok_vals) else "FAIL"
         if boundary:
+            # near-miss agreement is its own category: not a FAIL (no
+            # exit-1), but never folded into the plain-OK accounting — the
+            # summary lists these separately so they stay visible
             status = "OK~(float-boundary)"
+            boundaries.append(name)
         print(
             f"{name:28s} {status}  rows {len(a)}/{len(b)} cols {ok_cols} vals {ok_vals}"
         )
@@ -119,10 +124,12 @@ def main() -> None:
     n = ent.count()
     print(f"entry(): {n} rows, schema: {ent.schema.simpleString()[:120]}")
     spark.stop()
+    if boundaries:
+        print("FLOAT-BOUNDARY (agree to <=1e-6, not counted as exact):", boundaries)
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
-    print("all queries match oracles")
+    print("all queries match oracles" + (" (see float-boundary list)" if boundaries else ""))
 
 
 if __name__ == "__main__":
