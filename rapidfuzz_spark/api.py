@@ -90,7 +90,20 @@ hamming = _ns(_hamming.surface)
 prefix = _ns(_pp.prefix_surface)
 postfix = _ns(_pp.postfix_surface)
 
-fuzz = SimpleNamespace(ratio=_ratio)
+class _RatioBatchComparator:
+    """fuzz::RatioBatchComparator (reference src/fuzz.rs:98-150): one×many
+    simple-ratio scorer. Exactly like the reference, it is a thin wrapper
+    over the indel BatchComparator's cached pattern state — `similarity`
+    IS indel normalized_similarity (fuzz.rs:116-149)."""
+
+    def __init__(self, s1, **kw):
+        self._bc = indel.BatchComparator(s1, **kw)
+
+    def similarity(self, s2, **k):
+        return self._bc.normalized_similarity(s2, **k)
+
+
+fuzz = SimpleNamespace(ratio=_ratio, RatioBatchComparator=_RatioBatchComparator)
 
 ALL_METRICS = {
     "levenshtein": levenshtein,

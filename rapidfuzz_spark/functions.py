@@ -50,12 +50,12 @@ _INTEGRAL_METRICS = (
 
 
 def _raw_distance(
-    metric: str, a: np.ndarray, b: np.ndarray, k_bound=None, **params
+    metric: str, a: np.ndarray, b: np.ndarray, k_bound=None, h_bound=None, **params
 ) -> np.ndarray:
     if metric == "levenshtein":
         w = tuple(params.get("weights") or (1, 1, 1))
         if w == (1, 1, 1):
-            return B.levenshtein_batch(a, b, k=k_bound)
+            return B.levenshtein_batch(a, b, k=k_bound, hint=h_bound)
         return B.weighted_levenshtein_batch(a, b, w)
     if metric == "damerau_levenshtein":
         return B.damerau_batch(a, b, k=k_bound)
@@ -134,7 +134,13 @@ def _length_prefilter(
 
 
 def _score_block(
-    metric: str, variant: str, a: np.ndarray, b: np.ndarray, score_cutoff, **params
+    metric: str,
+    variant: str,
+    a: np.ndarray,
+    b: np.ndarray,
+    score_cutoff,
+    score_hint=None,
+    **params,
 ):
     """Score one Arrow batch -> (values: float64 ndarray, keep_mask)."""
     if score_cutoff is not None and len(a):
@@ -145,7 +151,13 @@ def _score_block(
             keep = np.zeros(len(a), dtype=bool)
             if live.any():
                 sub_vals, sub_keep = _score_block(
-                    metric, variant, a[live], b[live], score_cutoff, **params
+                    metric,
+                    variant,
+                    a[live],
+                    b[live],
+                    score_cutoff,
+                    score_hint=score_hint,
+                    **params,
                 )
                 vals[live] = sub_vals
                 keep[live] = sub_keep if sub_keep is not None else True
@@ -178,7 +190,29 @@ def _score_block(
         else:
             kb = np.floor(_mx() * (1.0 - score_cutoff))
         k_bound = np.maximum(kb + 1, 0).astype(np.int64)
-    raw = _raw_distance(metric, a, b, k_bound=k_bound, **params).astype(np.float64)
+    h_bound = None
+    if (
+        score_hint is not None
+        and metric == "levenshtein"
+        and tuple(params.get("weights") or (1, 1, 1)) == (1, 1, 1)
+        and len(a)
+    ):
+        # score_hint is the EXPECTED score in the variant's own space
+        # (reference Args::score_hint) — translate it to a starting
+        # distance band exactly like the cutoff; the kernel's verify +
+        # band-doubling loop keeps results identical whatever the hint
+        if variant == "distance":
+            hb = np.full(len(a), np.floor(score_hint))
+        elif variant == "similarity":
+            hb = np.floor(_mx() - score_hint)
+        elif variant == "normalized_distance":
+            hb = np.floor(_mx() * score_hint)
+        else:
+            hb = np.floor(_mx() * (1.0 - score_hint))
+        h_bound = np.maximum(hb + 1, 0).astype(np.int64)
+    raw = _raw_distance(
+        metric, a, b, k_bound=k_bound, h_bound=h_bound, **params
+    ).astype(np.float64)
     invalid = raw < 0  # hamming pad=False length mismatch sentinel
     if variant == "distance":
         vals = raw
@@ -212,7 +246,9 @@ def _metric_fn(metric: str, variant: str):
         score_hint: Optional[float] = None,
         **params,
     ) -> Column:
-        # score_hint is a perf hint in the reference; accepted for API parity
+        # score_hint: perf-only expected-score hint (reference
+        # levenshtein.rs:1069-1088) — feeds the banded kernel's start
+        # band + doubling verify loop; results are hint-independent
         @pandas_udf(ret_type)
         def _udf(c1: pd.Series, c2: pd.Series) -> pd.Series:
             null = c1.isna() | c2.isna()
@@ -240,7 +276,9 @@ def _metric_fn(metric: str, variant: str):
                 # downstream strict re-raise would now only see the
                 # null-filled rows — disable it, their result is null
                 eff = {**params, "strict": False}
-            vals, keep = _score_block(metric, variant, a, b, score_cutoff, **eff)
+            vals, keep = _score_block(
+                metric, variant, a, b, score_cutoff, score_hint=score_hint, **eff
+            )
             if integral:
                 out = pd.Series(vals.astype(np.int64), dtype="Int64")
             else:

@@ -68,11 +68,28 @@ def attach_token_idf(
     return docs.join(packed, "doc_id", "left")
 
 
+# Peak cross-product entries materialized per inner group: bounds the
+# index/sim scratch arrays to ~CAP * ~56 bytes (< 120 MB) regardless of
+# document length, so 1k-token documents (10^6 entries per pair) process
+# one-or-few pairs at a time instead of blowing up the whole Arrow batch.
+_XPROD_CAP = 1 << 21
+
+
 def soft_tfidf_similarity(
     toks1, idfs1, toks2, idfs2, inner_threshold: float = 0.7
 ) -> Column:
     """Column: Soft TF-IDF similarity in [0, 1] between two token arrays
-    with aligned IDF arrays. Symmetrized as max(s(A->B), s(B->A))."""
+    with aligned IDF arrays. Symmetrized as max(s(A->B), s(B->A)).
+
+    The inner token-vs-token cross product is (a) grouped so at most
+    ``_XPROD_CAP`` entries are materialized at once (long-document
+    safety — memory stays bounded at any token count) and (b) pruned
+    EXACTLY by the indel length-difference bound before the kernel call:
+    ratio(a, b) <= 1 - |la-lb|/(la+lb), so any token pair with
+    |la-lb| > (1-t)(la+lb) scores below ``inner_threshold`` and is gated
+    to 0 without running the DP (the same prune score_pairs hoists to
+    pair level, applied per token pair; reference levenshtein.rs:1045-1047
+    is the distance-form of the bound)."""
 
     @pandas_udf("double")
     def _udf(
@@ -91,66 +108,87 @@ def soft_tfidf_similarity(
         valid = np.nonzero((na_all > 0) & (nb_all > 0))[0]
         if len(valid) == 0:
             return pd.Series(out)
-        # --- flatten the batch: token pools + L2-normalized weight pools
-        A = np.concatenate([a_arrs[i] for i in valid])
-        Bt = np.concatenate([b_arrs[i] for i in valid])
-        WA = np.concatenate(
-            [np.asarray(w1.iloc[i], dtype=np.float64) for i in valid]
-        )
-        WB = np.concatenate(
-            [np.asarray(w2.iloc[i], dtype=np.float64) for i in valid]
-        )
-        na = na_all[valid]
-        nb = nb_all[valid]
-        aoffs = np.zeros(len(valid) + 1, np.int64)
-        np.cumsum(na, out=aoffs[1:])
-        boffs = np.zeros(len(valid) + 1, np.int64)
-        np.cumsum(nb, out=boffs[1:])
-        norm_a = np.sqrt(np.add.reduceat(WA * WA, aoffs[:-1]))
-        norm_b = np.sqrt(np.add.reduceat(WB * WB, boffs[:-1]))
-        WA = WA / np.maximum(np.repeat(norm_a, na), 1e-300)
-        WB = WB / np.maximum(np.repeat(norm_b, nb), 1e-300)
-        # --- row-major cross-product index arithmetic (no Python loops):
-        # segment of row r spans na[r]*nb[r] entries; within it position p
-        # maps to a-token p // nb[r] and b-token p % nb[r]
-        seg = na * nb
-        soffs = np.zeros(len(valid) + 1, np.int64)
-        np.cumsum(seg, out=soffs[1:])
-        M = int(soffs[-1])
-        p = np.arange(M, dtype=np.int64) - np.repeat(soffs[:-1], seg)
-        nb_row = np.repeat(nb, seg)
-        a_idx = np.repeat(aoffs[:-1], seg) + p // nb_row
-        b_idx = np.repeat(boffs[:-1], seg) + p % nb_row
-        sims = 1.0 - B.indel_batch(A[a_idx], Bt[b_idx]) / np.maximum(
-            np.fromiter((len(x) for x in A), np.float64, len(A))[a_idx]
-            + np.fromiter((len(x) for x in Bt), np.float64, len(Bt))[b_idx],
-            1.0,
-        )
-        gated = np.where(sims >= inner_threshold, sims, 0.0)
-        # --- A -> B: each a-token's cross entries are CONTIGUOUS blocks of
-        # length nb[r]; blockwise max + first-argmax via reduceat
-        blk_starts = np.repeat(soffs[:-1], na) + (
-            np.arange(int(na.sum()), dtype=np.int64)
-            - np.repeat(aoffs[:-1], na)
-        ) * np.repeat(nb, na)
-        best_ab = np.maximum.reduceat(gated, blk_starts)
-        is_max = gated == np.repeat(best_ab, np.repeat(nb, na))
-        j_cand = np.where(is_max, p % nb_row, np.int64(1) << 40)
-        j_ab = np.minimum.reduceat(j_cand, blk_starts)
-        vb_at = WB[np.repeat(boffs[:-1], na) + j_ab]
-        contrib_ab = WA * vb_at * best_ab
-        s_ab = np.add.reduceat(contrib_ab, aoffs[:-1])
-        # --- B -> A: entries of one b-token are strided; scatter-reduce
-        g_b = np.repeat(boffs[:-1], seg) + p % nb_row  # global b slot per entry
-        best_ba = np.zeros(len(WB), dtype=np.float64)
-        np.maximum.at(best_ba, g_b, gated)
-        is_max_b = gated == best_ba[g_b]
-        i_cand = np.full(len(WB), np.int64(1) << 40, dtype=np.int64)
-        np.minimum.at(i_cand, g_b[is_max_b], (p // nb_row)[is_max_b])
-        va_at = WA[np.repeat(aoffs[:-1], nb) + np.minimum(i_cand, np.repeat(na, nb) - 1)]
-        contrib_ba = WB * va_at * best_ba
-        s_ba = np.add.reduceat(contrib_ba, boffs[:-1])
-        out[valid] = np.minimum(np.maximum(s_ab, s_ba), 1.0)
+
+        def score_rows(rows: np.ndarray) -> np.ndarray:
+            """Vectorized Soft TF-IDF over a group of pair rows whose
+            combined cross product fits the scratch cap."""
+            # --- flatten the group: token pools + L2-normalized weights
+            A = np.concatenate([a_arrs[i] for i in rows])
+            Bt = np.concatenate([b_arrs[i] for i in rows])
+            WA = np.concatenate(
+                [np.asarray(w1.iloc[i], dtype=np.float64) for i in rows]
+            )
+            WB = np.concatenate(
+                [np.asarray(w2.iloc[i], dtype=np.float64) for i in rows]
+            )
+            na = na_all[rows]
+            nb = nb_all[rows]
+            aoffs = np.zeros(len(rows) + 1, np.int64)
+            np.cumsum(na, out=aoffs[1:])
+            boffs = np.zeros(len(rows) + 1, np.int64)
+            np.cumsum(nb, out=boffs[1:])
+            norm_a = np.sqrt(np.add.reduceat(WA * WA, aoffs[:-1]))
+            norm_b = np.sqrt(np.add.reduceat(WB * WB, boffs[:-1]))
+            WA = WA / np.maximum(np.repeat(norm_a, na), 1e-300)
+            WB = WB / np.maximum(np.repeat(norm_b, nb), 1e-300)
+            # --- row-major cross-product index arithmetic (no Python
+            # loops): segment of row r spans na[r]*nb[r] entries; within
+            # it position p maps to a-token p // nb[r], b-token p % nb[r]
+            seg = na * nb
+            soffs = np.zeros(len(rows) + 1, np.int64)
+            np.cumsum(seg, out=soffs[1:])
+            M = int(soffs[-1])
+            p = np.arange(M, dtype=np.int64) - np.repeat(soffs[:-1], seg)
+            nb_row = np.repeat(nb, seg)
+            a_idx = np.repeat(aoffs[:-1], seg) + p // nb_row
+            b_idx = np.repeat(boffs[:-1], seg) + p % nb_row
+            # --- exact length-difference prune before the DP kernel
+            la_e = np.fromiter((len(x) for x in A), np.float64, len(A))[a_idx]
+            lb_e = np.fromiter((len(x) for x in Bt), np.float64, len(Bt))[b_idx]
+            denom = np.maximum(la_e + lb_e, 1.0)
+            keep = np.abs(la_e - lb_e) <= (1.0 - inner_threshold) * denom
+            sims = np.zeros(M, dtype=np.float64)
+            if keep.any():
+                sims[keep] = 1.0 - B.indel_batch(
+                    A[a_idx[keep]], Bt[b_idx[keep]]
+                ) / denom[keep]
+            gated = np.where(sims >= inner_threshold, sims, 0.0)
+            # --- A -> B: each a-token's cross entries are CONTIGUOUS
+            # blocks of length nb[r]; blockwise max + first-argmax
+            blk_starts = np.repeat(soffs[:-1], na) + (
+                np.arange(int(na.sum()), dtype=np.int64)
+                - np.repeat(aoffs[:-1], na)
+            ) * np.repeat(nb, na)
+            best_ab = np.maximum.reduceat(gated, blk_starts)
+            is_max = gated == np.repeat(best_ab, np.repeat(nb, na))
+            j_cand = np.where(is_max, p % nb_row, np.int64(1) << 40)
+            j_ab = np.minimum.reduceat(j_cand, blk_starts)
+            vb_at = WB[np.repeat(boffs[:-1], na) + j_ab]
+            contrib_ab = WA * vb_at * best_ab
+            s_ab = np.add.reduceat(contrib_ab, aoffs[:-1])
+            # --- B -> A: entries of one b-token are strided; scatter-reduce
+            g_b = np.repeat(boffs[:-1], seg) + p % nb_row
+            best_ba = np.zeros(len(WB), dtype=np.float64)
+            np.maximum.at(best_ba, g_b, gated)
+            is_max_b = gated == best_ba[g_b]
+            i_cand = np.full(len(WB), np.int64(1) << 40, dtype=np.int64)
+            np.minimum.at(i_cand, g_b[is_max_b], (p // nb_row)[is_max_b])
+            va_at = WA[
+                np.repeat(aoffs[:-1], nb)
+                + np.minimum(i_cand, np.repeat(na, nb) - 1)
+            ]
+            contrib_ba = WB * va_at * best_ba
+            s_ba = np.add.reduceat(contrib_ba, boffs[:-1])
+            return np.minimum(np.maximum(s_ab, s_ba), 1.0)
+
+        # group pair rows so each group's cross product is <= ~CAP
+        # entries (a single giant pair forms its own group); grouping is
+        # by cross-product prefix so group totals stay < CAP + max_seg
+        seg_sizes = (na_all * nb_all)[valid]
+        grp = (np.cumsum(seg_sizes) - seg_sizes) // _XPROD_CAP
+        for gid in np.unique(grp):
+            rows = valid[grp == gid]
+            out[rows] = score_rows(rows)
         return pd.Series(out)
 
     return _udf(toks1, idfs1, toks2, idfs2)

@@ -369,6 +369,35 @@ class TestFuzzRatio:
         assert fuzz.ratio(a, b, score_cutoff=score + 0.0001) is None
         assert fuzz.ratio(a, b, score_cutoff=score - 0.0001) == pytest.approx(score)
 
+    def test_corner_equal(self):
+        # fuzz.rs test_equal incl. the silly corner cases S8='{', S9='{a'
+        for s in ("new york mets", "test", "{", "{a"):
+            assert fuzz.ratio(s, s) == pytest.approx(1.0, abs=1e-4)
+
+
+class TestRatioBatchComparator:
+    """fuzz::RatioBatchComparator (fuzz.rs:98-150 + its doc example):
+    one×many ratio over cached indel pattern state."""
+
+    def test_doc_example(self):
+        bc = fuzz.RatioBatchComparator("this is a test")
+        assert bc.similarity("this is a test!") == pytest.approx(0.9655, abs=1e-4)
+
+    def test_agrees_with_ratio(self):
+        pat = "new york mets"
+        bc = fuzz.RatioBatchComparator(pat)
+        for s2 in ("the wonderful new york mets", "", "new york mets", "{a",
+                   "atlanta braves vs new york mets", "x" * 200):
+            assert bc.similarity(s2) == pytest.approx(fuzz.ratio(pat, s2), abs=1e-9)
+
+    @pytest.mark.parametrize("a,b", [("South Korea", "North Korea"), ("bc", "bca")])
+    def test_cutoff_boundary(self, a, b):
+        # issue206/210 boundaries through the comparator surface
+        bc = fuzz.RatioBatchComparator(a)
+        score = bc.similarity(b)
+        assert bc.similarity(b, score_cutoff=score + 0.0001) is None
+        assert bc.similarity(b, score_cutoff=score - 0.0001) == pytest.approx(score)
+
 
 # ----------------------------------------------------------- duality layer
 
@@ -1014,3 +1043,68 @@ class TestWeightedBatchVectorized:
             out = B.weighted_levenshtein_batch(a, b, weights=(2, 3, 1))
         # kitten->sitting: sub k, sub e, ins t = 1+1+2; abcd->dcba: 4 subs
         assert out.tolist() == [4, 4]
+
+
+class TestScoreHintBanding:
+    """score_hint feeds the banded kernel's start band with a verify +
+    band-doubling loop (reference levenshtein.rs:1069-1088,1176-1209).
+    Results must be IDENTICAL for every hint value — right, too small,
+    too large — with and without a cutoff."""
+
+    def _pairs(self, L=1000, n=200, seed=11):
+        import random
+
+        rng = random.Random(seed)
+        alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
+
+        def mutate(s, nedit):
+            s = list(s)
+            for _ in range(nedit):
+                op = rng.randrange(3)
+                i = rng.randrange(len(s))
+                if op == 0:
+                    s[i] = rng.choice(alpha)
+                elif op == 1:
+                    del s[i]
+                else:
+                    s.insert(i, rng.choice(alpha))
+            return "".join(s)
+
+        base = ["".join(rng.choice(alpha) for _ in range(L)) for _ in range(n)]
+        return base, [mutate(s, rng.randrange(1, 40)) for s in base]
+
+    def test_hint_invariant_results(self):
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+
+        a, b = self._pairs()
+        aa = np.array(a, dtype=object)
+        bb = np.array(b, dtype=object)
+        exact = B.levenshtein_batch(aa, bb)
+        for hval in (4, 8, 40, 120, 10_000):
+            hint = np.full(len(aa), hval, dtype=np.int64)
+            got = B.levenshtein_batch(aa, bb, hint=hint)
+            assert (got == exact).all(), hval
+            # with a cutoff: keep-decision must match the exact one
+            kb = np.full(len(aa), 60, dtype=np.int64)
+            gk = B.levenshtein_batch(aa, bb, k=kb, hint=hint)
+            assert ((gk <= 60) == (exact <= 60)).all(), hval
+            assert (gk[exact <= 60] == exact[exact <= 60]).all(), hval
+
+    def test_hint_through_column_api(self, spark):
+        import rapidfuzz_spark.functions as RF
+
+        a, b = self._pairs(L=900, n=60, seed=5)
+        df = spark.createDataFrame(list(zip(a, b)), "s1 string, s2 string")
+        base = [r.d for r in df.select(
+            RF.levenshtein_distance("s1", "s2").alias("d")).collect()]
+        hinted = [r.d for r in df.select(
+            RF.levenshtein_distance("s1", "s2", score_hint=25).alias("d")).collect()]
+        assert hinted == base
+        # normalized-similarity space hint + cutoff
+        b1 = [r.d for r in df.select(RF.levenshtein_normalized_similarity(
+            "s1", "s2", score_cutoff=0.9).alias("d")).collect()]
+        b2 = [r.d for r in df.select(RF.levenshtein_normalized_similarity(
+            "s1", "s2", score_cutoff=0.9, score_hint=0.97).alias("d")).collect()]
+        assert b1 == b2

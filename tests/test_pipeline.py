@@ -364,6 +364,23 @@ def test_textless_docs_do_not_merge(spark, tmp_path):
     assert len(set(got.values())) == 4, got  # nobody merged
 
 
+def test_score_pairs_guard_without_len_columns(spark):
+    """Callers that attach texts themselves (no len_1/len_2) must still get
+    the both-empty-text guard — score_pairs computes the lengths itself
+    rather than silently skipping the guard (ADVICE r2)."""
+    from rapidfuzz_spark.pipeline.scoring import score_pairs
+
+    pairs = spark.createDataFrame(
+        [("a", "b", "", "", "", ""),
+         ("c", "d", "same text", "same text", "same text", "same text")],
+        "doc_id_1 string, doc_id_2 string, text_1 string, text_2 string,"
+        "raw_1 string, raw_2 string",
+    )
+    got = {(r.doc_id_1, r.doc_id_2) for r in
+           score_pairs(pairs, metric="ratio", threshold=0.8).collect()}
+    assert got == {("c", "d")}  # the both-empty pair never scores 1.0
+
+
 def test_incremental_link_soft_tfidf_jw(spark, corpus):
     """The shipped hybrid metric must work on the incremental path too:
     toks/idfs are attached from the base-catalog IDF, and exact

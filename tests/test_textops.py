@@ -295,6 +295,105 @@ class TestSoftTfidf:
         assert s[(1, 4)] < 0.1          # nothing shared
         assert s[(1, 2)] > s[(1, 3)] > s[(1, 4)]
 
+    def test_matches_bruteforce_reference(self, spark):
+        """The vectorized reduceat/scatter/length-prune machinery must equal
+        a naive per-pair double loop (best-match argmax with first-index
+        tie-break, 0.7 gate, L2-normalized weights) on random token sets."""
+        import random
+
+        from rapidfuzz_spark.kernels.lcs_indel import indel_raw_distance
+        from rapidfuzz_spark.textops import softtfidf as ST
+
+        rng = random.Random(7)
+        vocab = ["smith", "smyth", "james", "maria", "abcdefg", "abcdefx",
+                 "q", "zz", "tuvwxyz", "jones", "johnson", "jensen"]
+
+        def toks(k):
+            return [rng.choice(vocab) + str(rng.randrange(3)) for _ in range(k)]
+
+        rows = []
+        for i in range(30):
+            rows.append((i, toks(rng.randrange(1, 15)),
+                         [rng.uniform(0.2, 3.0) for _ in range(15)]))
+        data = [(i, t, w[: len(t)]) for i, t, w in rows]
+        df = spark.createDataFrame(
+            [(i, t, w, data[(i + 1) % 30][1], data[(i + 1) % 30][2])
+             for i, t, w in data],
+            "id long, toks_1 array<string>, idfs_1 array<double>, "
+            "toks_2 array<string>, idfs_2 array<double>",
+        )
+        got = {
+            r.id: r.s
+            for r in df.withColumn(
+                "s", ST.soft_tfidf_similarity("toks_1", "idfs_1", "toks_2", "idfs_2")
+            ).collect()
+        }
+
+        def ratio(a, b):
+            return 1.0 - indel_raw_distance(a, b) / max(len(a) + len(b), 1)
+
+        def brute(ta, wa, tb, wb, t=0.7):
+            import math
+
+            za = math.sqrt(sum(x * x for x in wa)) or 1e-300
+            zb = math.sqrt(sum(x * x for x in wb)) or 1e-300
+            wa = [x / za for x in wa]
+            wb = [x / zb for x in wb]
+
+            def direction(ta, wa, tb, wb):
+                s = 0.0
+                for i, a in enumerate(ta):
+                    best, bj = 0.0, 0
+                    for j, b in enumerate(tb):
+                        r = ratio(a, b)
+                        r = r if r >= t else 0.0
+                        if r > best:
+                            best, bj = r, j
+                    s += wa[i] * wb[bj] * best
+                return s
+
+            return min(max(direction(ta, wa, tb, wb), direction(tb, wb, ta, wa)), 1.0)
+
+        for i, t1, w1 in data:
+            t2, w2 = data[(i + 1) % 30][1], data[(i + 1) % 30][2]
+            exp = brute(t1, w1, t2, w2)
+            assert abs(got[i] - exp) < 1e-9, (i, got[i], exp)
+
+    def test_long_document_bounded_memory(self, spark):
+        """1k-token documents (10^6 cross entries per pair) must complete —
+        the cross product is grouped under _XPROD_CAP and length-pruned, so
+        long docs cost bounded scratch instead of an O(batch * na * nb)
+        allocation. Values are analytic: identical token multisets -> 1.0,
+        disjoint alphabets -> 0.0, exact half overlap w/ uniform idf -> 0.5."""
+        from rapidfuzz_spark.textops import softtfidf as ST
+
+        n = 1000
+        # three disjoint 6-char stems + 4 digits: cross-stem lcs <= 4 of 10
+        # chars -> ratio <= 0.4 < 0.7, so only same-stem-same-index tokens
+        # match and the expected scores are exact
+        common = [f"cccccc{i:04d}" for i in range(n // 2)]
+        a = common + [f"xxxxxx{i:04d}" for i in range(n // 2)]
+        ident = a[::-1]  # order-free
+        disjoint = [f"zzzzzz{i:04d}" for i in range(n)]
+        half = common + disjoint[: n // 2]
+        ones = [1.0] * n
+        df = spark.createDataFrame(
+            [(1, a, ones, ident, ones),
+             (2, a, ones, disjoint, ones),
+             (3, a, ones, half, ones)],
+            "id long, toks_1 array<string>, idfs_1 array<double>, "
+            "toks_2 array<string>, idfs_2 array<double>",
+        )
+        got = {
+            r.id: r.s
+            for r in df.withColumn(
+                "s", ST.soft_tfidf_similarity("toks_1", "idfs_1", "toks_2", "idfs_2")
+            ).collect()
+        }
+        assert abs(got[1] - 1.0) < 1e-9
+        assert got[2] == 0.0
+        assert abs(got[3] - 0.5) < 1e-9
+
     def test_pipeline_with_soft_tfidf(self, spark, tmp_path):
         from pyspark.sql import functions as F  # noqa: F401
 
