@@ -137,6 +137,7 @@ def token_deletion_keys(
     min_len: int = DELSIG_MIN_LEN,
     max_len: int = DELSIG_MAX_LEN,
     df_cap: int | None = None,
+    carry_len_from: str | None = None,
 ) -> DataFrame:
     """Deletion-signature keys for discriminative tokens: for each token
     of length [min_len, max_len], one key per del<=1 neighborhood string.
@@ -176,9 +177,13 @@ def token_deletion_keys(
     census shuffle on a token is O(df) small rows while the sig explode
     is O(df * len) — filtering first is the difference between shuffling
     the corpus' stopword mass 18x or once."""
+    len_cols = (
+        [F.length(carry_len_from).alias("tlen")] if carry_len_from else []
+    )
     toks = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split("norm_text", r"\s+"))).alias("tok"),
+        *len_cols,
     ).where(F.length("tok").between(min_len, max_len))
     if df_cap is not None:
         # tokens are distinct per doc, so count == document frequency;
@@ -193,14 +198,20 @@ def token_deletion_keys(
     # twice), and cross-token collisions within a doc collapse too — at
     # ~1/(len+1) of the shuffle volume a post-explode dropDuplicates
     # would move
-    toks_arr = toks.groupBy("doc_id").agg(F.collect_set("tok").alias("toks"))
+    aggs = [F.collect_set("tok").alias("toks")]
+    if carry_len_from:
+        aggs.append(F.first("tlen").alias("tlen"))
+    toks_arr = toks.groupBy("doc_id").agg(*aggs)
     sigs = F.array_distinct(
         F.flatten(F.transform(F.col("toks"), _deletion_sig_arr))
     )
-    return toks_arr.select(F.explode(sigs).alias("block_key"), "doc_id")
+    out_cols = [F.explode(sigs).alias("block_key"), F.col("doc_id")]
+    if carry_len_from:
+        out_cols.append(F.col("tlen"))
+    return toks_arr.select(*out_cols)
 
 
-def media_ref_keys(docs: DataFrame) -> DataFrame:
+def media_ref_keys(docs: DataFrame, carry_len_from: str | None = None) -> DataFrame:
     """'mr:'-namespaced blocking keys from the NON-text spans of an
     interleaved document: two docs that embed the same media object
     (identical ``media_ref``) are candidate duplicates no matter how far
@@ -224,9 +235,10 @@ def media_ref_keys(docs: DataFrame) -> DataFrame:
         ),
         lambda s: F.concat(F.lit("mr:"), s["media_ref"]),
     )
-    return docs.select(
-        F.explode(F.array_distinct(arr)).alias("block_key"), "doc_id"
-    )
+    cols = [F.explode(F.array_distinct(arr)).alias("block_key"), F.col("doc_id")]
+    if carry_len_from is not None:
+        cols.append(F.length(carry_len_from).alias("tlen"))
+    return docs.select(*cols)
 
 
 def prefix_keys(docs: DataFrame, n: int = PREFIX_N) -> DataFrame:
@@ -307,6 +319,7 @@ def blocking_keys(
     use_token_pairs: bool = False,
     use_deletion_sigs: bool = False,
     sn_window: int = 3,
+    carry_len_from: str | None = None,
 ) -> DataFrame:
     """All key passes fused into ONE narrow projection + explode: the
     per-doc key set is built with higher-order functions (transform /
@@ -395,11 +408,20 @@ def blocking_keys(
             if len(arrs) > 1
             else F.array_distinct(arrs[0])
         )
-        out = docs.select(
-            F.explode(key_arr).alias("block_key"), "doc_id"
-        )
+        cols = [F.explode(key_arr).alias("block_key"), F.col("doc_id")]
+        if carry_len_from is not None:
+            # ride the scoring-text length through the key explode (one
+            # int per row) so candidate_pairs can apply the length-
+            # difference prune BEFORE the pair-dedup shuffle
+            cols.append(F.length(carry_len_from).alias("tlen"))
+        out = docs.select(*cols)
     if use_sorted_neighborhood:
         sn = sorted_neighborhood_keys(docs, window=sn_window)
+        if carry_len_from is not None:
+            sn = sn.join(
+                docs.select("doc_id", F.length(carry_len_from).alias("tlen")),
+                "doc_id",
+            ).select("block_key", "doc_id", "tlen")
         out = sn if out is None else out.unionByName(sn)
     return out
 
@@ -431,6 +453,7 @@ def candidate_pairs(
     seed: int = 42,
     extra_pairs: DataFrame = None,
     cache_out: list | None = None,
+    len_frac: float | None = None,
 ) -> DataFrame:
     """Self-join blocking keys into unordered candidate pairs
     (doc_id_1 < doc_id_2), deduped across blocking passes, with explicit
@@ -446,6 +469,17 @@ def candidate_pairs(
     this, every invocation in a long-lived session leaks a full
     (block_key, doc_id) cache until eviction (run_pipeline releases it
     after the entity write).
+
+    ``len_frac``: when set AND the keys carry a ``tlen`` column (key
+    generators' ``carry_len_from``), pairs failing the indel-family
+    length-difference bound |l1-l2| <= len_frac * (l1+l2) are dropped AT
+    THE JOIN, before the pair-dedup shuffle and the text-attach joins —
+    the same pairs score_pairs' length prefilter would discard after
+    attach, removed while they are still 16-byte id rows. Phase profiling
+    at 360k docs puts pairs+dedup+attach at ~70% of pipeline wall, so
+    this is the main serial-chain lever. Callers must pass
+    len_frac = (1 - threshold) only for metrics with that prefilter
+    (ratio/indel/levenshtein/lcs_seq).
     """
     # materialize keys once: the census aggregation and the pair self-join
     # both consume them (recomputing the explode+window passes twice costs
@@ -473,26 +507,37 @@ def candidate_pairs(
     # the driver (at 100 TB millions of keys can exceed hot_cap; the
     # census output is still small relative to data, but it belongs on
     # executors, not in a driver-side createDataFrame)
-    census = hot_key_census(keys, hot_cap, drop_cap)
+    census = hot_key_census(
+        keys.select("block_key", "doc_id"), hot_cap, drop_cap
+    )
     keyed = keys.join(F.broadcast(census), "block_key", "left").where(
         ~F.coalesce(F.col("dropped"), F.lit(False))
     )
     g = F.coalesce(F.col("g"), F.lit(1))
+    with_len = len_frac is not None and "tlen" in keys.columns
     left = keyed.select(
         "block_key",
         F.col("doc_id").alias("doc_id_l"),
         # pmod, not abs % g: abs(Long.MIN_VALUE) stays negative in Spark
         # SQL, and a negative salt matches no replicated right-side row
         F.pmod(F.xxhash64("doc_id", F.lit(seed)), g).cast("int").alias("salt"),
+        *([F.col("tlen").alias("tlen_l")] if with_len else []),
     )
     right = keyed.select(
         "block_key",
         F.col("doc_id").alias("doc_id_r"),
         F.explode(F.sequence(F.lit(0), g - 1)).alias("salt"),
+        *([F.col("tlen").alias("tlen_r")] if with_len else []),
     )
     pairs = left.join(right, ["block_key", "salt"]).where(
         F.col("doc_id_l") < F.col("doc_id_r")
     )
+    if with_len:
+        # evaluated map-side on the join output, before the dedup exchange
+        pairs = pairs.where(
+            F.abs(F.col("tlen_l") - F.col("tlen_r"))
+            <= len_frac * (F.col("tlen_l") + F.col("tlen_r"))
+        )
     out = pairs.select(
         F.col("doc_id_l").alias("doc_id_1"), F.col("doc_id_r").alias("doc_id_2")
     )

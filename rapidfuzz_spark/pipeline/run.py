@@ -63,14 +63,29 @@ class PipelineConfig:
     n_buckets: int = 16
     run_id: str = "run0"
     checkpoint: bool = True
+    # broadcast the skinny (doc_id, texts) projection into the attach
+    # joins when the corpus is at most this many docs — the pair stream
+    # then never shuffles for text attachment. 0 disables. At 10^12 docs
+    # the threshold is never met and the shuffle join (which scales with
+    # cluster size) is used; the default ~0.5M docs is ~100 MB broadcast.
+    broadcast_docs_max: int = 500_000
 
 
-def pipeline_blocking_keys(docs_t: DataFrame, conf: PipelineConfig) -> DataFrame:
+def pipeline_blocking_keys(
+    docs_t: DataFrame, conf: PipelineConfig, carry_len: bool = False
+) -> DataFrame:
     """The SHIPPED blocking-key recipe for a derived-text doc frame (all
     passes except sorted-neighborhood, which is generated directly as
     pairs). Shared by run_pipeline and the evaluation tools so a default
-    change cannot silently drift between them."""
-    keys = blocking.blocking_keys(docs_t, use_sorted_neighborhood=False)
+    change cannot silently drift between them.
+
+    ``carry_len``: ride the scoring-text length (canon_text — same value
+    attach_texts exposes as len_1/len_2) on every key row so
+    candidate_pairs can length-prune pairs before the dedup shuffle."""
+    src = "canon_text" if carry_len else None
+    keys = blocking.blocking_keys(
+        docs_t, use_sorted_neighborhood=False, carry_len_from=src
+    )
     if conf.deletion_sig_blocking:
         # standalone (not fused) so sig generation can be DF-prefiltered:
         # tokens hotter than drop_cap never explode into sig keys — the
@@ -78,10 +93,12 @@ def pipeline_blocking_keys(docs_t: DataFrame, conf: PipelineConfig) -> DataFrame
         # neighborhoods colliding with a hot signature now survive (see
         # token_deletion_keys for the superset/monotonicity proof)
         keys = keys.unionByName(
-            blocking.token_deletion_keys(docs_t, df_cap=conf.drop_cap)
+            blocking.token_deletion_keys(
+                docs_t, df_cap=conf.drop_cap, carry_len_from=src
+            )
         )
     if conf.media_ref_blocking and "spans" in docs_t.columns:
-        keys = keys.unionByName(blocking.media_ref_keys(docs_t))
+        keys = keys.unionByName(blocking.media_ref_keys(docs_t, carry_len_from=src))
     return keys
 
 
@@ -109,7 +126,14 @@ def run_pipeline(
     # need the census/salted-join machinery); the remaining passes go
     # through the salted self-join, with cross-pass dedup inside
     # candidate_pairs
-    keys = pipeline_blocking_keys(docs_t, conf)
+    # metrics with the indel-family length prefilter (scoring.score_pairs)
+    # get the SAME prune applied at the blocking join, before the pair
+    # dedup shuffle and both attach joins — the pairs it removes are
+    # exactly the ones score_pairs would discard post-attach, so results
+    # are unchanged (locked by test_len_prune_matches_score_prefilter)
+    prunable = conf.metric in ("ratio", "indel", "levenshtein", "lcs_seq")
+    len_frac = (1.0 - conf.threshold) if prunable else None
+    keys = pipeline_blocking_keys(docs_t, conf, carry_len=prunable)
     sn = blocking.sorted_neighborhood_pairs(docs_t, window=conf.sn_window)
     caches: list = []
     pairs = blocking.candidate_pairs(
@@ -118,8 +142,15 @@ def run_pipeline(
         drop_cap=conf.drop_cap,
         extra_pairs=sn,
         cache_out=caches,
+        len_frac=len_frac,
     )
-    pairs_t = scoring.attach_texts(pairs, docs_t)
+    bc = (
+        conf.broadcast_docs_max > 0
+        and docs_t.count() <= conf.broadcast_docs_max
+        # docs_t is already persisted; this count is the same cache scan
+        # the first blocking job performs, so the extra action is cheap
+    )
+    pairs_t = scoring.attach_texts(pairs, docs_t, broadcast_docs=bc)
     if conf.checkpoint:
         edges = scoring.score_with_checkpoint(
             spark,

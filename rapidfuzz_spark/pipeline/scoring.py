@@ -35,12 +35,22 @@ SCORERS = {
 }
 
 
-def attach_texts(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+def attach_texts(
+    pairs: DataFrame, docs: DataFrame, broadcast_docs: bool = False
+) -> DataFrame:
     """(doc_id_1, doc_id_2) -> + (text_N = canonical token-sorted,
     raw_N = normalized unsorted, len_N). Token sorting preserves length,
     so one length pair serves both scoring passes. If the docs carry
     token/IDF arrays (softtfidf.attach_token_idf), those ride along as
-    toks_N / idfs_N."""
+    toks_N / idfs_N.
+
+    ``broadcast_docs``: broadcast the skinny text projection into BOTH
+    attach joins — the pair stream (orders of magnitude larger than the
+    doc table whenever blocking produces >1 candidate per doc) then flows
+    map-side with ZERO shuffles instead of being exchanged twice. Only
+    sound when the doc projection fits executor memory; run_pipeline
+    gates it on a doc count threshold — at 10^12 docs it stays a shuffle
+    join, which scales with cluster size."""
     extra = [c for c in ("toks", "idfs") if c in docs.columns]
     t = docs.select(
         "doc_id",
@@ -53,9 +63,13 @@ def attach_texts(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     for c in extra:
         ren1[c] = f"{c}_1"
         ren2[c] = f"{c}_2"
+    t1 = t.withColumnsRenamed(ren1)
+    t2 = t.withColumnsRenamed(ren2)
+    if broadcast_docs:
+        t1, t2 = F.broadcast(t1), F.broadcast(t2)
     return (
-        pairs.join(t.withColumnsRenamed(ren1), "doc_id_1")
-        .join(t.withColumnsRenamed(ren2), "doc_id_2")
+        pairs.join(t1, "doc_id_1")
+        .join(t2, "doc_id_2")
         .withColumn("len_1", F.length("text_1"))
         .withColumn("len_2", F.length("text_2"))
     )

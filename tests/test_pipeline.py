@@ -364,6 +364,42 @@ def test_textless_docs_do_not_merge(spark, tmp_path):
     assert len(set(got.values())) == 4, got  # nobody merged
 
 
+def test_len_prune_matches_score_prefilter(spark):
+    """The pre-dedup length prune (candidate_pairs len_frac over the keys'
+    carried tlen) must yield EXACTLY the edges of the unpruned path — the
+    pairs it removes are the ones score_pairs' length prefilter discards
+    post-attach. Scored edges, not just pair counts."""
+    from rapidfuzz_spark.pipeline import synth
+    from rapidfuzz_spark.pipeline.run import PipelineConfig, pipeline_blocking_keys
+    from rapidfuzz_spark.pipeline.scoring import attach_texts, score_pairs
+
+    corpus = synth.synth_documents(spark, n_entities=60, seed=9).drop("entity_id")
+    docs_t = ingest.with_match_text(corpus).cache()
+    conf = PipelineConfig(metric="ratio", threshold=0.8, drop_cap=500)
+    thr = 0.8
+
+    def edges(len_frac, carry):
+        keys = pipeline_blocking_keys(docs_t, conf, carry_len=carry)
+        pairs = blocking.candidate_pairs(
+            keys, hot_cap=50, drop_cap=500, len_frac=len_frac
+        )
+        e = score_pairs(attach_texts(pairs, docs_t), metric="ratio", threshold=thr)
+        return {(r.doc_id_1, r.doc_id_2, round(r.score, 9)) for r in e.collect()}
+
+    pruned = edges(1.0 - thr, True)
+    unpruned = edges(None, False)
+    assert pruned == unpruned and len(pruned) > 0
+    # and the prune actually removes pairs upstream (not a no-op)
+    keys = pipeline_blocking_keys(docs_t, conf, carry_len=True)
+    n_with = blocking.candidate_pairs(
+        keys, hot_cap=50, drop_cap=500, len_frac=1.0 - thr
+    ).count()
+    keys2 = pipeline_blocking_keys(docs_t, conf, carry_len=False)
+    n_without = blocking.candidate_pairs(keys2, hot_cap=50, drop_cap=500).count()
+    assert n_with < n_without
+    docs_t.unpersist()
+
+
 def test_score_pairs_guard_without_len_columns(spark):
     """Callers that attach texts themselves (no len_1/len_2) must still get
     the both-empty-text guard — score_pairs computes the lengths itself

@@ -182,14 +182,14 @@ def main() -> None:
         )
         keys = lap(
             "blocking_keys",
-            lambda: P.pipeline_blocking_keys(docs_t, conf).localCheckpoint(
-                eager=True
-            ),
+            lambda: P.pipeline_blocking_keys(
+                docs_t, conf, carry_len=True
+            ).localCheckpoint(eager=True),
         )
         census = lap(
             "census",
             lambda: blocking.hot_key_census(
-                keys, conf.hot_cap, conf.drop_cap
+                keys.select("block_key", "doc_id"), conf.hot_cap, conf.drop_cap
             ).localCheckpoint(eager=True),
         )
         sn = blocking.sorted_neighborhood_pairs(docs_t, window=conf.sn_window)
@@ -197,15 +197,15 @@ def main() -> None:
             "pairs+dedup",
             lambda: blocking.candidate_pairs(
                 keys, hot_cap=conf.hot_cap, drop_cap=conf.drop_cap,
-                extra_pairs=sn,
+                extra_pairs=sn, len_frac=1.0 - conf.threshold,
             ).localCheckpoint(eager=True),
         )
         n_pairs = pairs.count()
         pairs_t = lap(
             "attach_texts",
-            lambda: scoring.attach_texts(pairs, docs_t).localCheckpoint(
-                eager=True
-            ),
+            lambda: scoring.attach_texts(
+                pairs, docs_t, broadcast_docs=True
+            ).localCheckpoint(eager=True),
         )
         edges = lap(
             "score",
