@@ -499,9 +499,10 @@ def _clean_seq(s):
         return None
     arr = np.asarray(s)
     if arr.dtype == object:
-        for e in arr:
-            if e is None:
-                return None
+        # vectorized null-element scan (pd.isna handles None and NaN in
+        # one pass — no per-element Python loop)
+        if len(arr) and pd.isna(arr).any():
+            return None
         return arr.astype(np.int64)
     if np.issubdtype(arr.dtype, np.floating):
         if np.isnan(arr).any():
