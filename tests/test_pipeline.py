@@ -73,6 +73,22 @@ def test_load_documents_bare_relative_parquet_path(spark, corpus, tmp_path, monk
     assert got.count() == corpus.count()
 
 
+def test_load_documents_nonparquet_dir_does_not_shadow_table(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """A cwd directory that merely shares a catalog table's name (and does
+    NOT look like parquet output) must not silently shadow the table —
+    that's a data misroute (ADVICE r2). The probe requires part files /
+    .parquet / _SUCCESS."""
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "docs_cat_tbl2").mkdir()
+    (tmp_path / "docs_cat_tbl2" / "notes.txt").write_text("not data")
+    corpus.createOrReplaceTempView("docs_cat_tbl2")
+    with pytest.warns(UserWarning, match="does not look like parquet"):
+        got = ingest.load_documents(spark, "docs_cat_tbl2")
+    assert got.count() == corpus.count()  # read the TABLE, not the dir
+
+
 def test_blocking_recall(spark, corpus):
     """Every true duplicate pair must share >= 1 blocking key (recall gate)."""
     docs_t = ingest.with_match_text(corpus)
