@@ -60,36 +60,57 @@ def link_increment(
         if "toks" not in base_docs_t.columns:
             base_docs_t = ST.attach_token_idf(base_docs_t, idf)
 
+    # pre-dedup length prune for indel-family metrics, exactly as in
+    # run_pipeline: prune at the key join, before the candidate dedup and
+    # the base-text attach join (same pairs score_pairs would discard)
+    prunable = conf.metric in ("ratio", "indel", "levenshtein", "lcs_seq")
+    len_src = "canon_text" if prunable else None
+
     def _keys(docs_t: DataFrame) -> DataFrame:
         # same key families as run_pipeline so the increment finds every
         # match the batch pipeline would (minus sorted-neighborhood,
         # which needs a global order over base+new and is a batch-rerun
         # concern, not an increment one)
-        k = blocking.blocking_keys(docs_t, use_sorted_neighborhood=False)
+        k = blocking.blocking_keys(
+            docs_t, use_sorted_neighborhood=False, carry_len_from=len_src
+        )
         if conf.deletion_sig_blocking:
             k = k.unionByName(
-                blocking.token_deletion_keys(docs_t, df_cap=conf.drop_cap)
+                blocking.token_deletion_keys(
+                    docs_t, df_cap=conf.drop_cap, carry_len_from=len_src
+                )
             )
         if conf.media_ref_blocking and "spans" in docs_t.columns:
-            k = k.unionByName(blocking.media_ref_keys(docs_t))
+            k = k.unionByName(
+                blocking.media_ref_keys(docs_t, carry_len_from=len_src)
+            )
         return k
 
     keys_new = _keys(new_t)
     keys_base = _keys(base_docs_t)
     # census over the BASE keys: hot/stopword keys are dropped exactly as
     # in batch blocking (the increment inherits the same skew policy)
-    census = blocking.hot_key_census(keys_base, conf.hot_cap, conf.drop_cap)
+    census = blocking.hot_key_census(
+        keys_base.select("block_key", "doc_id"), conf.hot_cap, conf.drop_cap
+    )
+    keep_cols = ["block_key", "doc_id"] + (["tlen"] if prunable else [])
     keys_base = (
         keys_base.join(F.broadcast(census), "block_key", "left")
         .where(~F.coalesce(F.col("dropped"), F.lit(False)))
-        .select("block_key", "doc_id")
+        .select(*keep_cols)
     )
-    cand = (
-        F.broadcast(keys_new.withColumnRenamed("doc_id", "new_id"))
-        .join(keys_base.withColumnRenamed("doc_id", "base_id"), "block_key")
-        .select("new_id", "base_id")
-        .dropDuplicates(["new_id", "base_id"])
+    joined = F.broadcast(
+        keys_new.withColumnsRenamed({"doc_id": "new_id", "tlen": "tlen_n"})
+    ).join(
+        keys_base.withColumnsRenamed({"doc_id": "base_id", "tlen": "tlen_b"}),
+        "block_key",
     )
+    if prunable:
+        joined = joined.where(
+            F.abs(F.col("tlen_n") - F.col("tlen_b"))
+            <= (1.0 - conf.threshold) * (F.col("tlen_n") + F.col("tlen_b"))
+        )
+    cand = joined.select("new_id", "base_id").dropDuplicates(["new_id", "base_id"])
     pairs = cand.select(
         F.col("new_id").alias("doc_id_1"), F.col("base_id").alias("doc_id_2")
     )
