@@ -72,7 +72,10 @@ def link_increment(
         # which needs a global order over base+new and is a batch-rerun
         # concern, not an increment one)
         k = blocking.blocking_keys(
-            docs_t, use_sorted_neighborhood=False, carry_len_from=len_src
+            docs_t,
+            use_prefix=conf.doc_prefix_blocking,
+            use_sorted_neighborhood=False,
+            carry_len_from=len_src,
         )
         if conf.deletion_sig_blocking:
             k = k.unionByName(

@@ -60,6 +60,15 @@ class PipelineConfig:
     # scoring still gates edges by text similarity. Cheap (0-3 media
     # spans/doc), census-guarded against boilerplate assets.
     media_ref_blocking: bool = True
+    # 'p:'-namespaced doc-prefix keys (4-char prefix of the squashed
+    # canonical text). Measured cost/benefit on the ER corpus
+    # (tools/key_family_audit.py, BENCH.md §3c): the family's marginal
+    # candidate recall collapses with corpus size (16 -> 10 absolute
+    # truth pairs at 20k -> 50k entities, all inside near-drop-cap
+    # blocks the census removes at the next scale doubling) while its
+    # raw pair volume stays ~8% of the dedup exchange and ~12% of
+    # scored pairs. Kept as a knob for small recall-critical corpora.
+    doc_prefix_blocking: bool = True
     n_buckets: int = 16
     run_id: str = "run0"
     checkpoint: bool = True
@@ -84,7 +93,10 @@ def pipeline_blocking_keys(
     candidate_pairs can length-prune pairs before the dedup shuffle."""
     src = "canon_text" if carry_len else None
     keys = blocking.blocking_keys(
-        docs_t, use_sorted_neighborhood=False, carry_len_from=src
+        docs_t,
+        use_prefix=conf.doc_prefix_blocking,
+        use_sorted_neighborhood=False,
+        carry_len_from=src,
     )
     if conf.deletion_sig_blocking:
         # standalone (not fused) so sig generation can be DF-prefiltered:

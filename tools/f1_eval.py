@@ -34,6 +34,7 @@ def main() -> None:
         .config("spark.driver.memory", "64g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -55,7 +56,11 @@ def main() -> None:
     # header claimed 'same recipe as run_pipeline')
     from rapidfuzz_spark.pipeline.run import PipelineConfig, pipeline_blocking_keys
 
-    conf = PipelineConfig(drop_cap=drop_cap, deletion_sig_blocking=delsig)
+    conf = PipelineConfig(
+        drop_cap=drop_cap,
+        deletion_sig_blocking=delsig,
+        doc_prefix_blocking=os.environ.get("F1_PREFIX", "1") == "1",
+    )
     keys = pipeline_blocking_keys(docs_t, conf)
     sn = blocking.sorted_neighborhood_pairs(docs_t, window=3)
     key_caches: list = []
