@@ -1351,10 +1351,14 @@ GROUP BY p.id_1, p.id_2"""
   )"""
 
     # blocking-key families over a doc set named {src} (doc_id, norm_text,
-    # canon_text): token / canon-prefix / token-affix keys, plus the del<=1
-    # signature family when ``deletion_sigs`` (the run_pipeline default —
-    # blocking.token_deletion_keys; incremental_link replays it too)
-    def _keys_sql(src: str, deletion_sigs: bool = False) -> str:
+    # canon_text): token / token-affix keys, plus the del<=1 signature
+    # family when ``deletion_sigs`` (the run_pipeline default —
+    # blocking.token_deletion_keys; incremental_link replays it too) and
+    # the doc-prefix family when ``doc_prefix`` (OFF in the shipped
+    # recipe per PipelineConfig.doc_prefix_blocking / BENCH.md §3c)
+    def _keys_sql(
+        src: str, deletion_sigs: bool = False, doc_prefix: bool = False
+    ) -> str:
         sig_arm = (
             f"""
     UNION ALL
@@ -1372,13 +1376,18 @@ GROUP BY p.id_1, p.id_2"""
             if deletion_sigs
             else ""
         )
+        prefix_arm = (
+            f"""
+    UNION ALL
+    SELECT 'p:' || substr(replace(canon_text, ' ', ''), 1, 4) AS block_key, doc_id
+    FROM {src} WHERE len('p:' || substr(replace(canon_text, ' ', ''), 1, 4)) > 2"""
+            if doc_prefix
+            else ""
+        )
         return f"""
     SELECT 't:' || tok AS block_key, doc_id FROM (
       SELECT doc_id, unnest(list_distinct(string_split_regex(norm_text, '\\s+'))) AS tok
-      FROM {src}) WHERE len(tok) >= 2
-    UNION ALL
-    SELECT 'p:' || substr(replace(canon_text, ' ', ''), 1, 4) AS block_key, doc_id
-    FROM {src} WHERE len('p:' || substr(replace(canon_text, ' ', ''), 1, 4)) > 2
+      FROM {src}) WHERE len(tok) >= 2{prefix_arm}
     UNION ALL
     SELECT DISTINCT bk AS block_key, doc_id FROM (
       SELECT doc_id, 'tp:' || substr(tok, 1, 4) AS bk FROM (

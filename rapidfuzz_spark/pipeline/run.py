@@ -61,14 +61,16 @@ class PipelineConfig:
     # spans/doc), census-guarded against boilerplate assets.
     media_ref_blocking: bool = True
     # 'p:'-namespaced doc-prefix keys (4-char prefix of the squashed
-    # canonical text). Measured cost/benefit on the ER corpus
-    # (tools/key_family_audit.py, BENCH.md §3c): the family's marginal
-    # candidate recall collapses with corpus size (16 -> 10 absolute
-    # truth pairs at 20k -> 50k entities, all inside near-drop-cap
-    # blocks the census removes at the next scale doubling) while its
-    # raw pair volume stays ~8% of the dedup exchange and ~12% of
-    # scored pairs. Kept as a knob for small recall-critical corpora.
-    doc_prefix_blocking: bool = True
+    # canonical text). OFF by default: measured cost/benefit on the ER
+    # corpus (tools/key_family_audit.py, BENCH.md §3c) shows the family
+    # is ~12-30% of scored pairs for 10-16 candidate truth pairs, ALL
+    # of which CC closure recovers — the shipped rule's F1/precision/
+    # recall at 50k entities are identical to 5 decimals with the
+    # family off (0.99837/0.99818/0.99855), and its marginal recall
+    # decays with corpus size because the hot common-prefix blocks that
+    # carry it hit the census drop cap. Enable for small recall-critical
+    # corpora where candidate-level (pre-closure) recall matters.
+    doc_prefix_blocking: bool = False
     n_buckets: int = 16
     run_id: str = "run0"
     checkpoint: bool = True

@@ -104,6 +104,10 @@ def main() -> None:
             checkpoint=False,
             deletion_sig_blocking=shipped,
             media_ref_blocking=shipped,
+            # pinned-r1 keeps the round-1 recipe (which HAD the doc-prefix
+            # family) so the cross-round trial series stays comparable;
+            # shipped mode follows the current default (off — BENCH §3c)
+            doc_prefix_blocking=not shipped,
         )
         tmp = tempfile.mkdtemp(prefix="rf_scale_pipe_")
         try:
@@ -154,6 +158,7 @@ def main() -> None:
         conf = P.PipelineConfig(
             metric="ratio", threshold=0.85, drop_cap=500, checkpoint=False,
             deletion_sig_blocking=shipped, media_ref_blocking=shipped,
+            doc_prefix_blocking=not shipped,
         )
         corpus = (
             synth.synth_documents(spark, n_entities=n_entities, seed=42)
