@@ -71,6 +71,19 @@ class PipelineConfig:
     # carry it hit the census drop cap. Enable for small recall-critical
     # corpora where candidate-level (pre-closure) recall matters.
     doc_prefix_blocking: bool = False
+    # replace string doc_ids with order-preserving long surrogates for
+    # the blocking/pair/scoring/CC stages (decoded before the entity
+    # write). The pair-dedup exchange — the pipeline's dominant shuffle
+    # (BENCH.md §3 phases: ~57% of wall at 360k docs) — then moves two
+    # 8-byte longs per row instead of two ~13-char strings (~48 B of
+    # UnsafeRow), and CC's min/greatest/collect_set run on longs. The
+    # mapping is built by a global sort of the doc-id column, so
+    # surrogate order == lexicographic doc_id order: pair orientation,
+    # SN tie-breaks, and CC's min-root are order-isomorphic and the
+    # decoded output is bit-identical to the string path (CI-locked by
+    # test_surrogate_ids_identical_entities). Exact at any corpus size —
+    # unlike 64-bit hashing, which must collide near 10^12 docs.
+    surrogate_ids: bool = True
     n_buckets: int = 16
     run_id: str = "run0"
     checkpoint: bool = True
@@ -129,6 +142,34 @@ def run_pipeline(
         from ..textops import softtfidf as ST
 
         docs_t = ST.attach_token_idf(docs_t, ST.idf_table(docs_t))
+    use_sur = (
+        conf.surrogate_ids and dict(docs_t.dtypes).get("doc_id") == "string"
+    )
+    mapping = None
+    if use_sur:
+        # order-preserving dictionary encoding: sort the doc-id column
+        # once, number it, and run every pair-scale stage on the longs.
+        # monotonically_increasing_id over a range-sorted frame is
+        # globally ascending (partition ids follow the range order), so
+        # surrogate comparisons agree with string comparisons everywhere
+        # they matter. localCheckpoint pins the assignment — a lineage
+        # replay under a different partitioning must never renumber ids
+        # some consumer already used.
+        mapping = (
+            docs_t.select(F.col("doc_id").alias("orig_doc_id"))
+            .sort("orig_doc_id")
+            .withColumn("did", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
+        # AQE broadcasts this narrow doc-scale join at sandbox sizes; at
+        # corpus scale it is one exchange of the working projection —
+        # paid once, against a ~3x byte cut on the (much larger)
+        # pair-dedup exchange every downstream stage feeds
+        docs_t = (
+            docs_t.withColumnRenamed("doc_id", "orig_doc_id")
+            .join(mapping, "orig_doc_id")
+            .withColumnRenamed("did", "doc_id")
+        )
     # docs_t feeds 4 blocking passes + 2 attach_texts joins + the entity
     # assignment: persist the derived-text projection once or every branch
     # re-executes the upstream source (at scale: a narrow cached
@@ -181,12 +222,35 @@ def run_pipeline(
             pairs_t, metric=conf.metric, threshold=conf.threshold
         )
     comps = cluster.connected_components(edges)
+    if use_sur:
+        # decode: two narrow doc-scale joins against the pinned mapping.
+        # Surrogate order == doc_id order, so min-did roots decode to
+        # exactly the min-doc_id entity labels the string path produces.
+        m_doc = mapping.select(F.col("did").alias("doc_id"), "orig_doc_id")
+        m_ent = mapping.select(
+            F.col("did").alias("entity_id"),
+            F.col("orig_doc_id").alias("entity_orig"),
+        )
+        comps = (
+            comps.join(m_doc, "doc_id")
+            .join(m_ent, "entity_id")
+            .select(
+                F.col("orig_doc_id").alias("doc_id"),
+                F.col("entity_orig").alias("entity_id"),
+            )
+        )
+        docs_for_assign = docs_t.select(
+            F.col("orig_doc_id").alias("doc_id"),
+            *[c for c in docs.columns if c != "doc_id"],
+        )
+    else:
+        docs_for_assign = docs_t.select(*docs.columns)
     # assign from the persisted projection, not the raw `docs` plan: the
     # original columns (spans included) ride along in docs_t, so this
     # avoids re-executing the source scan a second time (at 10^12 docs,
     # a full extra pass over the table) purely to re-read columns we
     # already hold
-    entities = cluster.assign_entities(docs_t.select(*docs.columns), comps)
+    entities = cluster.assign_entities(docs_for_assign, comps)
     entities.write.mode("overwrite").parquet(os.path.join(out_dir, "entities"))
     docs_t.unpersist()
     for c in caches:  # release the blocking-key cache (see candidate_pairs)

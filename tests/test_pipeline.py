@@ -287,6 +287,28 @@ def test_end_to_end_f1(spark, corpus, tmp_path):
     assert joined
 
 
+def test_surrogate_ids_identical_entities(spark, corpus, tmp_path):
+    """The order-preserving long-surrogate path (PipelineConfig.
+    surrogate_ids, the default) must produce BIT-IDENTICAL entity
+    assignments to the plain string-id path: the mapping is built by a
+    global sort, so pair orientation, SN tie-breaks, and CC's min-root
+    are order-isomorphic and decoding is exact."""
+    docs = corpus.select("doc_id", "spans")
+    outs = []
+    for sur in (True, False):
+        ents = run_pipeline(
+            spark,
+            docs,
+            str(tmp_path / f"out_sur_{sur}"),
+            PipelineConfig(threshold=0.85, checkpoint=False, surrogate_ids=sur),
+        )
+        outs.append(ents.select("doc_id", "entity_id"))
+    assert outs[0].exceptAll(outs[1]).isEmpty()
+    assert outs[1].exceptAll(outs[0]).isEmpty()
+    # the surrogate path must hand back string ids, not leak the longs
+    assert dict(outs[0].dtypes) == {"doc_id": "string", "entity_id": "string"}
+
+
 def test_pairwise_f1_vs_oracle(spark, corpus):
     """BASELINE gate: decisions on candidate pairs vs the scalar
     reference-parity oracle, F1 >= 0.99 (it is 1.0 by construction)."""
