@@ -142,16 +142,42 @@ def soft_tfidf_similarity(
             nb_row = np.repeat(nb, seg)
             a_idx = np.repeat(aoffs[:-1], seg) + p // nb_row
             b_idx = np.repeat(boffs[:-1], seg) + p % nb_row
-            # --- exact length-difference prune before the DP kernel
-            la_e = np.fromiter((len(x) for x in A), np.float64, len(A))[a_idx]
-            lb_e = np.fromiter((len(x) for x in Bt), np.float64, len(Bt))[b_idx]
-            denom = np.maximum(la_e + lb_e, 1.0)
-            keep = np.abs(la_e - lb_e) <= (1.0 - inner_threshold) * denom
-            sims = np.zeros(M, dtype=np.float64)
+            # --- dedup to UNIQUE token pairs before the DP kernel: the
+            # same (a, b) token pair recurs across many doc pairs of the
+            # batch (Zipf name distributions), and the kernel is
+            # deterministic per pair, so scoring each unique pair once
+            # and scattering back is bit-identical to scoring every
+            # cross-product entry. Tokens are id-encoded first so the
+            # pair key is int64 arithmetic, not string concatenation.
+            pool = np.concatenate([A, Bt])
+            uniq_toks, tok_inv = np.unique(pool, return_inverse=True)
+            ida = tok_inv[: len(A)]
+            idb = tok_inv[len(A):]
+            n_uniq = np.int64(len(uniq_toks))
+            ukey, inv = np.unique(
+                ida[a_idx] * n_uniq + idb[b_idx], return_inverse=True
+            )
+            ua = ukey // n_uniq
+            ub = ukey % n_uniq
+            tok_len = np.fromiter(
+                (len(x) for x in uniq_toks), np.float64, len(uniq_toks)
+            )
+            la_u = tok_len[ua]
+            lb_u = tok_len[ub]
+            denom_u = np.maximum(la_u + lb_u, 1.0)
+            # exact length-difference prune (per unique pair now), and
+            # equal tokens are sim 1.0 by definition — no DP either way
+            eq = ua == ub
+            keep = (~eq) & (
+                np.abs(la_u - lb_u) <= (1.0 - inner_threshold) * denom_u
+            )
+            usims = np.zeros(len(ukey), dtype=np.float64)
+            usims[eq] = 1.0
             if keep.any():
-                sims[keep] = 1.0 - B.indel_batch(
-                    A[a_idx[keep]], Bt[b_idx[keep]]
-                ) / denom[keep]
+                usims[keep] = 1.0 - B.indel_batch(
+                    uniq_toks[ua[keep]], uniq_toks[ub[keep]]
+                ) / denom_u[keep]
+            sims = usims[inv]
             gated = np.where(sims >= inner_threshold, sims, 0.0)
             # --- A -> B: each a-token's cross entries are CONTIGUOUS
             # blocks of length nb[r]; blockwise max + first-argmax
