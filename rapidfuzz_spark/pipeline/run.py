@@ -152,15 +152,48 @@ def run_pipeline(
         # monotonically_increasing_id over a range-sorted frame is
         # globally ascending (partition ids follow the range order), so
         # surrogate comparisons agree with string comparisons everywhere
-        # they matter. localCheckpoint pins the assignment — a lineage
-        # replay under a different partitioning must never renumber ids
-        # some consumer already used.
-        mapping = (
-            docs_t.select(F.col("doc_id").alias("orig_doc_id"))
-            .sort("orig_doc_id")
-            .withColumn("did", F.monotonically_increasing_id())
-            .localCheckpoint(eager=True)
-        )
+        # they matter. The assignment must be PINNED — a lineage replay
+        # (or a resumed run) renumbering ids some consumer already used
+        # would silently mix id spaces. Checkpointed runs therefore store
+        # the map next to the edge ledger and reuse it on resume (the
+        # scored buckets in out_dir carry these longs); uncheckpointed
+        # runs pin it with an eager localCheckpoint.
+        def _build_mapping() -> DataFrame:
+            return (
+                docs_t.select(F.col("doc_id").alias("orig_doc_id"))
+                .sort("orig_doc_id")
+                .withColumn("did", F.monotonically_increasing_id())
+            )
+
+        if conf.checkpoint:
+            map_path = os.path.join(out_dir, "id_map")
+            loaded = True
+            try:
+                mapping = spark.read.parquet(map_path)
+            except Exception:
+                loaded = False
+                _build_mapping().write.mode("overwrite").parquet(map_path)
+                mapping = spark.read.parquet(map_path)
+            if loaded:
+                # resuming: the input must be exactly the doc set the
+                # stored map was built from, or the already-scored edge
+                # buckets and this run's ids describe different corpora
+                n_map = mapping.count()
+                n_in = docs_t.count()
+                n_hit = docs_t.join(
+                    mapping.select(F.col("orig_doc_id").alias("doc_id")),
+                    "doc_id",
+                    "semi",
+                ).count()
+                if not (n_map == n_in == n_hit):
+                    raise ValueError(
+                        f"resume id_map at {map_path} covers {n_map} docs "
+                        f"but the input has {n_in} ({n_hit} overlapping); "
+                        "resume only continues an interrupted run over the "
+                        "SAME corpus — use a fresh out_dir"
+                    )
+        else:
+            mapping = _build_mapping().localCheckpoint(eager=True)
         # AQE broadcasts this narrow doc-scale join at sandbox sizes; at
         # corpus scale it is one exchange of the working projection —
         # paid once, against a ~3x byte cut on the (much larger)

@@ -376,6 +376,27 @@ def test_resume_rejects_mismatched_job_config(spark, corpus, tmp_path):
         )
 
 
+def test_resume_rejects_changed_corpus_id_map(spark, corpus, tmp_path):
+    """A checkpointed run pins its doc-id surrogate map in out_dir; a
+    resume whose input is NOT the same doc set must fail loudly — the
+    already-scored edge buckets carry the stored map's longs, and mixing
+    id spaces would be silent corruption."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "idmap_mismatch")
+    docs = corpus.select("doc_id", "spans")
+    run_pipeline(
+        spark, docs, out,
+        PipelineConfig(threshold=0.85, n_buckets=4, checkpoint=True),
+        fail_after_buckets=2,
+    )
+    with _pytest.raises(ValueError, match="id_map"):
+        run_pipeline(
+            spark, docs.limit(100), out,
+            PipelineConfig(threshold=0.85, n_buckets=4, checkpoint=True),
+        )
+
+
 def test_textless_docs_do_not_merge(spark, tmp_path):
     """Docs with no text evidence (media-only spans) must not cluster
     with each other: ratio('','') is 1.0 by kernel definition, so the
