@@ -129,6 +129,17 @@ def pipeline_blocking_keys(
     return keys
 
 
+def _ledger_has_rows(spark: SparkSession, out_dir: str) -> bool:
+    """True iff the checkpoint ledger exists and records >= 1 scored
+    bucket (i.e. out_dir already holds edge data in SOME id space)."""
+    try:
+        return not spark.read.parquet(
+            os.path.join(out_dir, "ledger")
+        ).isEmpty()
+    except Exception:
+        return False
+
+
 def run_pipeline(
     spark: SparkSession,
     docs: DataFrame,
@@ -159,8 +170,14 @@ def run_pipeline(
         # scored buckets in out_dir carry these longs); uncheckpointed
         # runs pin it with an eager localCheckpoint.
         def _build_mapping() -> DataFrame:
+            # distinct BEFORE numbering: duplicate doc_id rows (a
+            # malformed but elsewhere-tolerated input — see
+            # sorted_neighborhood_pairs' self-pair guard) must share one
+            # surrogate, or the copies would self-pair and self-merge
+            # where the string path produces no such pairs
             return (
                 docs_t.select(F.col("doc_id").alias("orig_doc_id"))
+                .distinct()
                 .sort("orig_doc_id")
                 .withColumn("did", F.monotonically_increasing_id())
             )
@@ -172,25 +189,49 @@ def run_pipeline(
                 mapping = spark.read.parquet(map_path)
             except Exception:
                 loaded = False
+                if _ledger_has_rows(spark, out_dir):
+                    # scored buckets exist but their id map does not:
+                    # either they were written without surrogates (string
+                    # edges) or the map was lost — a fresh map cannot be
+                    # proven consistent with them, so refuse rather than
+                    # mix id spaces
+                    raise ValueError(
+                        f"out_dir {out_dir} holds scored edge buckets but "
+                        f"no id_map at {map_path}; they were written in a "
+                        "different (or unprovable) id space — resume with "
+                        "the original surrogate_ids setting, or use a "
+                        "fresh out_dir"
+                    )
                 _build_mapping().write.mode("overwrite").parquet(map_path)
                 mapping = spark.read.parquet(map_path)
             if loaded:
                 # resuming: the input must be exactly the doc set the
                 # stored map was built from, or the already-scored edge
-                # buckets and this run's ids describe different corpora
+                # buckets and this run's ids describe different corpora.
+                # One narrow id-column pass: count + match count together.
                 n_map = mapping.count()
-                n_in = docs_t.count()
-                n_hit = docs_t.join(
-                    mapping.select(F.col("orig_doc_id").alias("doc_id")),
-                    "doc_id",
-                    "semi",
-                ).count()
-                if not (n_map == n_in == n_hit):
+                chk = (
+                    docs_t.select("doc_id")
+                    .join(
+                        mapping.select(
+                            F.col("orig_doc_id").alias("doc_id")
+                        ).withColumn("hit", F.lit(1)),
+                        "doc_id",
+                        "left",
+                    )
+                    .agg(
+                        F.count(F.lit(1)).alias("n_in"),
+                        F.count("hit").alias("n_hit"),
+                    )
+                    .collect()[0]
+                )
+                if not (n_map == chk.n_in == chk.n_hit):
                     raise ValueError(
                         f"resume id_map at {map_path} covers {n_map} docs "
-                        f"but the input has {n_in} ({n_hit} overlapping); "
-                        "resume only continues an interrupted run over the "
-                        "SAME corpus — use a fresh out_dir"
+                        f"but the input has {chk.n_in} ({chk.n_hit} "
+                        "overlapping); resume only continues an "
+                        "interrupted run over the SAME corpus — use a "
+                        "fresh out_dir"
                     )
         else:
             mapping = _build_mapping().localCheckpoint(eager=True)
@@ -203,6 +244,22 @@ def run_pipeline(
             .join(mapping, "orig_doc_id")
             .withColumnRenamed("did", "doc_id")
         )
+    elif conf.checkpoint:
+        # the mirror-image mix: buckets scored WITH surrogates (an id_map
+        # sits in out_dir) must not be resumed with surrogate_ids=False —
+        # string edges would append to long-id buckets
+        map_path = os.path.join(out_dir, "id_map")
+        try:
+            has_map = not spark.read.parquet(map_path).isEmpty()
+        except Exception:
+            has_map = False
+        if has_map:
+            raise ValueError(
+                f"out_dir {out_dir} holds a surrogate id_map at {map_path} "
+                "— its edge buckets carry long ids; resume with "
+                "surrogate_ids=True (the setting the run started with) or "
+                "use a fresh out_dir"
+            )
     # docs_t feeds 4 blocking passes + 2 attach_texts joins + the entity
     # assignment: persist the derived-text projection once or every branch
     # re-executes the upstream source (at scale: a narrow cached

@@ -397,6 +397,58 @@ def test_resume_rejects_changed_corpus_id_map(spark, corpus, tmp_path):
         )
 
 
+def test_resume_rejects_id_space_flip(spark, corpus, tmp_path):
+    """Buckets scored in one id space must not be resumed in the other:
+    string-edge buckets + surrogate resume (no id_map to prove
+    consistency) and long-edge buckets + surrogate_ids=False resume
+    (id_map present but would be ignored) both fail loudly."""
+    import pytest as _pytest
+
+    docs = corpus.select("doc_id", "spans")
+    # scored WITHOUT surrogates, resumed WITH (the default)
+    out_a = str(tmp_path / "flip_a")
+    run_pipeline(
+        spark, docs, out_a,
+        PipelineConfig(n_buckets=4, checkpoint=True, surrogate_ids=False),
+        fail_after_buckets=2,
+    )
+    with _pytest.raises(ValueError, match="id_map"):
+        run_pipeline(
+            spark, docs, out_a,
+            PipelineConfig(n_buckets=4, checkpoint=True, surrogate_ids=True),
+        )
+    # scored WITH surrogates, resumed WITHOUT
+    out_b = str(tmp_path / "flip_b")
+    run_pipeline(
+        spark, docs, out_b,
+        PipelineConfig(n_buckets=4, checkpoint=True, surrogate_ids=True),
+        fail_after_buckets=2,
+    )
+    with _pytest.raises(ValueError, match="id_map"):
+        run_pipeline(
+            spark, docs, out_b,
+            PipelineConfig(n_buckets=4, checkpoint=True, surrogate_ids=False),
+        )
+
+
+def test_surrogate_mapping_dedups_duplicate_doc_ids(spark, corpus, tmp_path):
+    """Duplicate doc_id rows (malformed but tolerated input — see the
+    sorted-neighborhood self-pair guard) must share ONE surrogate: two
+    different longs for the same id would self-pair and self-merge where
+    the string path produces no such pairs."""
+    docs = corpus.select("doc_id", "spans").limit(60)
+    dup = docs.unionAll(docs)
+    outs = []
+    for sur in (True, False):
+        ents = run_pipeline(
+            spark, dup, str(tmp_path / f"dup_{sur}"),
+            PipelineConfig(threshold=0.85, checkpoint=False, surrogate_ids=sur),
+        )
+        outs.append(ents.select("doc_id", "entity_id"))
+    assert outs[0].exceptAll(outs[1]).isEmpty()
+    assert outs[1].exceptAll(outs[0]).isEmpty()
+
+
 def test_textless_docs_do_not_merge(spark, tmp_path):
     """Docs with no text evidence (media-only spans) must not cluster
     with each other: ratio('','') is 1.0 by kernel definition, so the

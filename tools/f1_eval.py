@@ -59,7 +59,9 @@ def main() -> None:
     conf = PipelineConfig(
         drop_cap=drop_cap,
         deletion_sig_blocking=delsig,
-        doc_prefix_blocking=os.environ.get("F1_PREFIX", "1") == "1",
+        # default follows the SHIPPED recipe (prefix off — BENCH.md §3c);
+        # F1_PREFIX=1 is the explicit audit override
+        doc_prefix_blocking=os.environ.get("F1_PREFIX", "0") == "1",
     )
     keys = pipeline_blocking_keys(docs_t, conf)
     sn = blocking.sorted_neighborhood_pairs(docs_t, window=3)

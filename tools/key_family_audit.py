@@ -55,7 +55,10 @@ def main() -> None:
     docs_t = docs_t.persist(StorageLevel.MEMORY_AND_DISK)
     n_docs = docs_t.count()
 
-    conf = PipelineConfig(drop_cap=drop_cap)
+    # audit ALL families including those the shipped default turns off
+    # (the p family is exactly what this tool exists to measure; whether
+    # to ship it is the separate question BENCH.md §3c answers)
+    conf = PipelineConfig(drop_cap=drop_cap, doc_prefix_blocking=True)
     keys = pipeline_blocking_keys(docs_t, conf).withColumn(
         "fam",
         F.when(F.col("block_key").rlike("^(e|d):"), "delsig").otherwise(
