@@ -684,12 +684,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Incremental ER: link the duplicate docs of the committed corpus
         fixture against a base catalog of one doc per entity. Full value
-        oracle: the SQL replays blocking (token/prefix/affix/del<=1-sig
-        keys + census drop; media-ref keys are vacuously empty across the
-        base/inc split — refs are per-doc unique in the fixture — so the
-        oracle omitting them is a STRICTER check), dual-pass jaro-winkler
-        scoring at 0.85, and best-match adoption over the same parquet
-        bytes."""
+        oracle: the SQL replays blocking (token/affix/del<=1-sig keys +
+        census drop, matching the shipped recipe with doc-prefix off;
+        media-ref keys are vacuously empty across the base/inc split —
+        refs are per-doc unique in the fixture — so the oracle omitting
+        them is a STRICTER check), dual-pass jaro-winkler scoring at
+        0.85, and best-match adoption over the same parquet bytes."""
         from rapidfuzz_spark.pipeline import incremental, ingest
         from rapidfuzz_spark.pipeline.run import PipelineConfig
 
@@ -711,6 +711,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", "entity_id", "matched_doc_id", "score")
 
     q["incremental_link"] = incremental_link
+
+    def incremental_link_lev(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental ER on a PRUNABLE metric (normalized Levenshtein @
+        0.85): exercises the pre-dedup length prune end-to-end — the
+        increment's blocking keys carry the scoring-text length and
+        length-incompatible pairs are dropped AT THE KEY JOIN
+        (pipeline/incremental.py). The prune is exact (it removes only
+        pairs the scorer's cutoff discards: sim <= 1 - |l1-l2|/max >=
+        bound), so the oracle replays the UNPRUNED candidate set with
+        the same threshold and must match bit-for-bit."""
+        from rapidfuzz_spark.pipeline import incremental, ingest
+        from rapidfuzz_spark.pipeline.run import PipelineConfig
+
+        docs = spark.read.parquet(_SYNTH_FIXTURE)
+        first = docs.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("entity_id").orderBy("doc_id")),
+        )
+        base = first.where(F.col("rn") == 1).drop("rn")
+        inc = first.where(F.col("rn") > 1).drop("rn")
+        base_t = ingest.with_match_text(base.select("doc_id", "spans"))
+        base_ents = base.select("doc_id", F.col("doc_id").alias("entity_id"))
+        out = incremental.link_increment(
+            inc.select("doc_id", "spans"),
+            base_t,
+            base_ents,
+            PipelineConfig(metric="levenshtein", threshold=0.85),
+        )
+        return out.select("doc_id", "entity_id", "matched_doc_id", "score")
+
+    q["incremental_link_lev"] = incremental_link_lev
 
     def stream_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Structured Streaming linkage (T17): the increment docs arrive as
@@ -1451,6 +1482,45 @@ GROUP BY p.id_1, p.id_2"""
     # the stream is micro-batch-boundary-invariant (per-new-doc linkage
     # against a static base), so it shares incremental_link's oracle
     o["stream_link"] = o["incremental_link"]
+
+    # prunable-metric increment: same replay, normalized-Levenshtein
+    # scorer (DuckDB builtin; ASCII fixture, so byte==codepoint). The
+    # oracle replays the UNPRUNED candidate set — the Spark side's
+    # length prune at the key join is exact w.r.t. the 0.85 cutoff, so
+    # the outputs must still match bit-for-bit.
+    o["incremental_link_lev"] = f"""
+      WITH {_FIXTURE_TEXTS},
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY entity_id ORDER BY doc_id) AS rn
+        FROM texts),
+      base AS (SELECT doc_id, norm_text, canon_text FROM ranked WHERE rn = 1),
+      inc  AS (SELECT doc_id, norm_text, canon_text FROM ranked WHERE rn > 1),
+      base_keys AS ({_keys_sql("base", deletion_sigs=True)}),
+      inc_keys AS ({_keys_sql("inc", deletion_sigs=True)}),
+      cand AS (
+        SELECT DISTINCT i.doc_id AS new_id, b.doc_id AS base_id
+        FROM inc_keys i JOIN base_keys b USING (block_key)),
+      scored AS (
+        SELECT c.new_id, c.base_id,
+               greatest(
+                 1.0 - levenshtein(ni.canon_text, ba.canon_text)::DOUBLE
+                       / greatest(len(ni.canon_text), len(ba.canon_text), 1),
+                 1.0 - levenshtein(ni.norm_text, ba.norm_text)::DOUBLE
+                       / greatest(len(ni.norm_text), len(ba.norm_text), 1))
+                 AS raw_score
+        FROM cand c
+        JOIN inc ni ON ni.doc_id = c.new_id
+        JOIN base ba ON ba.doc_id = c.base_id),
+      best AS (
+        SELECT new_id, base_id, round(raw_score, 6) AS score,
+               row_number() OVER (
+                 PARTITION BY new_id
+                 ORDER BY round(raw_score, 6) DESC, base_id) AS rnk
+        FROM scored WHERE raw_score >= 0.85)
+      SELECT i.doc_id, coalesce(b.base_id, i.doc_id) AS entity_id,
+             b.base_id AS matched_doc_id, b.score
+      FROM inc i LEFT JOIN (SELECT * FROM best WHERE rnk = 1) b
+        ON b.new_id = i.doc_id"""
 
     o["er_pipeline_f1"] = f"""
       WITH RECURSIVE {_FIXTURE_TEXTS},
