@@ -684,12 +684,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def incremental_link(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Incremental ER: link the duplicate docs of the committed corpus
         fixture against a base catalog of one doc per entity. Full value
-        oracle: the SQL replays blocking (token/affix/del<=1-sig keys +
-        census drop, matching the shipped recipe with doc-prefix off;
+        oracle: the SQL replays blocking (token/affix/del<=1-sig keys,
+        matching the shipped recipe with doc-prefix off; the census drop
+        is VACUOUS at 881 fixture docs so the oracle omits it, and the
         media-ref keys are vacuously empty across the base/inc split —
-        refs are per-doc unique in the fixture — so the oracle omitting
-        them is a STRICTER check), dual-pass jaro-winkler scoring at
-        0.85, and best-match adoption over the same parquet bytes."""
+        refs are per-doc unique in the fixture — so omitting them is a
+        STRICTER check), dual-pass jaro-winkler scoring at 0.85, and
+        best-match adoption over the same parquet bytes."""
         from rapidfuzz_spark.pipeline import incremental, ingest
         from rapidfuzz_spark.pipeline.run import PipelineConfig
 

@@ -129,13 +129,13 @@ def pipeline_blocking_keys(
     return keys
 
 
-def _ledger_has_rows(spark: SparkSession, out_dir: str) -> bool:
-    """True iff the checkpoint ledger exists and records >= 1 scored
-    bucket (i.e. out_dir already holds edge data in SOME id space)."""
+def _parquet_has_rows(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` is a readable parquet dataset with >= 1 row —
+    the shared probe for both id-space guards (ledger: out_dir already
+    holds scored edges; id_map: out_dir already holds a surrogate map),
+    so their existence semantics cannot drift apart."""
     try:
-        return not spark.read.parquet(
-            os.path.join(out_dir, "ledger")
-        ).isEmpty()
+        return not spark.read.parquet(path).isEmpty()
     except Exception:
         return False
 
@@ -189,7 +189,7 @@ def run_pipeline(
                 mapping = spark.read.parquet(map_path)
             except Exception:
                 loaded = False
-                if _ledger_has_rows(spark, out_dir):
+                if _parquet_has_rows(spark, os.path.join(out_dir, "ledger")):
                     # scored buckets exist but their id map does not:
                     # either they were written without surrogates (string
                     # edges) or the map was lost — a fresh map cannot be
@@ -205,33 +205,43 @@ def run_pipeline(
                 _build_mapping().write.mode("overwrite").parquet(map_path)
                 mapping = spark.read.parquet(map_path)
             if loaded:
-                # resuming: the input must be exactly the doc set the
+                # resuming: the input's doc-id SET must equal the set the
                 # stored map was built from, or the already-scored edge
                 # buckets and this run's ids describe different corpora.
-                # One narrow id-column pass: count + match count together.
-                n_map = mapping.count()
+                # Set comparison (not row counts — duplicate doc_id rows
+                # are tolerated input and share one surrogate), in one
+                # narrow id-column pass via a full outer join.
                 chk = (
                     docs_t.select("doc_id")
+                    .withColumn("inp", F.lit(1))
                     .join(
                         mapping.select(
                             F.col("orig_doc_id").alias("doc_id")
                         ).withColumn("hit", F.lit(1)),
                         "doc_id",
-                        "left",
+                        "full",
                     )
                     .agg(
-                        F.count(F.lit(1)).alias("n_in"),
-                        F.count("hit").alias("n_hit"),
+                        F.sum(
+                            F.when(
+                                F.col("inp").isNotNull()
+                                & F.col("hit").isNull(),
+                                1,
+                            ).otherwise(0)
+                        ).alias("unmapped"),
+                        F.sum(
+                            F.when(F.col("inp").isNull(), 1).otherwise(0)
+                        ).alias("map_only"),
                     )
                     .collect()[0]
                 )
-                if not (n_map == chk.n_in == chk.n_hit):
+                if chk.unmapped or chk.map_only:
                     raise ValueError(
-                        f"resume id_map at {map_path} covers {n_map} docs "
-                        f"but the input has {chk.n_in} ({chk.n_hit} "
-                        "overlapping); resume only continues an "
-                        "interrupted run over the SAME corpus — use a "
-                        "fresh out_dir"
+                        f"resume id_map at {map_path} does not cover this "
+                        f"input ({chk.unmapped} input docs missing from "
+                        f"the map, {chk.map_only} map entries absent from "
+                        "the input); resume only continues an interrupted "
+                        "run over the SAME corpus — use a fresh out_dir"
                     )
         else:
             mapping = _build_mapping().localCheckpoint(eager=True)

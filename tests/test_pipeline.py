@@ -447,6 +447,21 @@ def test_surrogate_mapping_dedups_duplicate_doc_ids(spark, corpus, tmp_path):
         outs.append(ents.select("doc_id", "entity_id"))
     assert outs[0].exceptAll(outs[1]).isEmpty()
     assert outs[1].exceptAll(outs[0]).isEmpty()
+    # checkpointed resume over a dup-id corpus: the id_map stores DISTINCT
+    # ids while the input has duplicate rows — the corpus-identity check
+    # must compare SETS, not row counts, or this (tolerated) input can
+    # never resume
+    out = str(tmp_path / "dup_resume")
+    run_pipeline(
+        spark, dup, out,
+        PipelineConfig(threshold=0.85, n_buckets=4, checkpoint=True),
+        fail_after_buckets=2,
+    )
+    ents = run_pipeline(
+        spark, dup, out,
+        PipelineConfig(threshold=0.85, n_buckets=4, checkpoint=True),
+    )
+    assert ents.select("doc_id", "entity_id").exceptAll(outs[0]).isEmpty()
 
 
 def test_textless_docs_do_not_merge(spark, tmp_path):
