@@ -561,9 +561,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         JW scoring -> connected components) on the committed interleaved-span
         corpus fixture + truth-label F1. The oracle replays the ENTIRE
         pipeline in SQL over the same parquet bytes: span->text projection,
-        all six blocking-key families (token / prefix / affix / del<=1
-        signature / media-ref / sorted-neighborhood), threshold edges,
-        recursive-CTE
+        every SHIPPED blocking-key family (token / affix / del<=1
+        signature / media-ref / sorted-neighborhood — doc-prefix is off
+        in the shipped recipe since the §3c audit, and off here and in
+        the oracle alike), threshold edges, recursive-CTE
         transitive closure, and the pairwise-F1 arithmetic (salting changes
         pair distribution, never the pair set, so the unsalted SQL replay is
         exact; census drop_cap is vacuous at 881 docs)."""

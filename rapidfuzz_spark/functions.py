@@ -133,6 +133,27 @@ def _length_prefilter(
     return skip if skip.any() else None
 
 
+def _hamming_strict_check(items1, items2, params: dict) -> dict:
+    """Shared strict-hamming length check for the string and seq UDF
+    paths: raises ``DifferentLengthArgs`` when any REAL (non-null) row
+    pair — the iterables must already be null-filtered — has unequal
+    lengths. Runs before any cutoff prefilter, so whether it fires
+    cannot depend on the cutoff value. Returns ``params`` with strict
+    disabled: the downstream kernel's own strict re-raise would
+    otherwise trip on the null-placeholder rows, whose result is SQL
+    null, not a length error."""
+    la = np.fromiter((len(x) for x in items1), np.int64)
+    lb = np.fromiter((len(x) for x in items2), np.int64)
+    if (la != lb).any():
+        from .kernels.hamming import DifferentLengthArgs
+
+        i = int(np.nonzero(la != lb)[0][0])
+        raise DifferentLengthArgs(
+            f"hamming strict: unequal lengths {la[i]} != {lb[i]}"
+        )
+    return {**params, "strict": False}
+
+
 def _score_block(
     metric: str,
     variant: str,
@@ -258,24 +279,9 @@ def _metric_fn(metric: str, variant: str):
             if metric == "hamming" and params.get("strict"):
                 # strict raises on unequal lengths BETWEEN REAL VALUES
                 # only: a null input is SQL null, not a length error (the
-                # fillna("") above would otherwise fake a 0-vs-n pair),
-                # and the check runs before any cutoff prefilter so
-                # whether it fires cannot depend on the cutoff value
+                # fillna("") above would otherwise fake a 0-vs-n pair)
                 nn = (~null).to_numpy()
-                if nn.any():
-                    la = np.fromiter((len(x) for x in a[nn]), np.int64)
-                    lb = np.fromiter((len(x) for x in b[nn]), np.int64)
-                    if (la != lb).any():
-                        from .kernels.hamming import DifferentLengthArgs
-
-                        i = int(np.nonzero(la != lb)[0][0])
-                        raise DifferentLengthArgs(
-                            f"hamming strict: unequal lengths "
-                            f"{la[i]} != {lb[i]}"
-                        )
-                # downstream strict re-raise would now only see the
-                # null-filled rows — disable it, their result is null
-                eff = {**params, "strict": False}
+                eff = _hamming_strict_check(a[nn], b[nn], params)
             vals, keep = _score_block(
                 metric, variant, a, b, score_cutoff, score_hint=score_hint, **eff
             )
@@ -596,28 +602,16 @@ def _seq_metric_fn(metric: str, variant: str):
             seqs2 = [empty if s is None else s for s in seqs2]
             eff = params
             if metric == "hamming" and params.get("strict"):
-                # mirror of the string path above: strict raises on
-                # unequal lengths BETWEEN REAL VALUES only — a null array
-                # (or an array with a null element) is SQL null, not a
-                # length error; the empty placeholder substituted above
-                # must not trip DifferentLengthArgs for the whole batch
+                # mirror of the string path: a null array (or an array
+                # with a null element) is SQL null, not a length error;
+                # the empty placeholder substituted above must not trip
+                # DifferentLengthArgs for the whole batch
                 nn = ~null.to_numpy()
-                if nn.any():
-                    la = np.fromiter(
-                        (len(s) for s, m in zip(seqs1, nn) if m), np.int64
-                    )
-                    lb = np.fromiter(
-                        (len(s) for s, m in zip(seqs2, nn) if m), np.int64
-                    )
-                    if (la != lb).any():
-                        from .kernels.hamming import DifferentLengthArgs
-
-                        i = int(np.nonzero(la != lb)[0][0])
-                        raise DifferentLengthArgs(
-                            f"hamming strict: unequal lengths "
-                            f"{la[i]} != {lb[i]}"
-                        )
-                eff = {**params, "strict": False}
+                eff = _hamming_strict_check(
+                    (s for s, m in zip(seqs1, nn) if m),
+                    (s for s, m in zip(seqs2, nn) if m),
+                    params,
+                )
             vals, keep = _score_seq_block(
                 metric, variant, seqs1, seqs2, score_cutoff, **eff
             )

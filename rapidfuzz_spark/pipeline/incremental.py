@@ -63,7 +63,7 @@ def link_increment(
     # pre-dedup length prune for indel-family metrics, exactly as in
     # run_pipeline: prune at the key join, before the candidate dedup and
     # the base-text attach join (same pairs score_pairs would discard)
-    prunable = conf.metric in ("ratio", "indel", "levenshtein", "lcs_seq")
+    prunable = conf.metric in scoring.PRUNABLE_METRICS
     len_src = "canon_text" if prunable else None
 
     def _keys(docs_t: DataFrame) -> DataFrame:

@@ -32,8 +32,10 @@ array_join(
 
 def _looks_like_parquet(path: str) -> bool:
     """True when the local path is plausibly parquet output: a .parquet
-    file, or a directory containing part/.parquet files or a _SUCCESS
-    marker (what Spark/DuckDB/pyarrow writers produce)."""
+    file, or a directory containing part/.parquet files, a _SUCCESS
+    marker, or hive-style ``key=value`` partition subdirectories (what
+    Spark/DuckDB/pyarrow writers produce — partitioned datasets may have
+    ONLY ``date=.../part-0.parquet`` below the root, no top-level files)."""
     if os.path.isfile(path):
         return path.endswith(".parquet")
     try:
@@ -41,7 +43,10 @@ def _looks_like_parquet(path: str) -> bool:
     except OSError:
         return False
     return any(
-        n == "_SUCCESS" or n.endswith(".parquet") or n.startswith("part-")
+        n == "_SUCCESS"
+        or n.endswith(".parquet")
+        or n.startswith("part-")
+        or ("=" in n and os.path.isdir(os.path.join(path, n)))
         for n in names
     )
 

@@ -88,11 +88,15 @@ class PipelineConfig:
     run_id: str = "run0"
     checkpoint: bool = True
     # broadcast the skinny (doc_id, texts) projection into the attach
-    # joins when the corpus is at most this many docs — the pair stream
+    # joins when the corpus is at most this many docs AND its measured
+    # text volume is at most broadcast_docs_bytes_max — the pair stream
     # then never shuffles for text attachment. 0 disables. At 10^12 docs
-    # the threshold is never met and the shuffle join (which scales with
-    # cluster size) is used; the default ~0.5M docs is ~100 MB broadcast.
+    # the thresholds are never met and the shuffle join (which scales
+    # with cluster size) is used. The byte gate exists because row count
+    # alone is unsafe: 400k docs of 20 KB each is an ~8 GB broadcast
+    # that OOMs executors where the shuffle join works fine.
     broadcast_docs_max: int = 500_000
+    broadcast_docs_bytes_max: int = 256 << 20
 
 
 def pipeline_blocking_keys(
@@ -259,11 +263,7 @@ def run_pipeline(
         # sits in out_dir) must not be resumed with surrogate_ids=False —
         # string edges would append to long-id buckets
         map_path = os.path.join(out_dir, "id_map")
-        try:
-            has_map = not spark.read.parquet(map_path).isEmpty()
-        except Exception:
-            has_map = False
-        if has_map:
+        if _parquet_has_rows(spark, map_path):
             raise ValueError(
                 f"out_dir {out_dir} holds a surrogate id_map at {map_path} "
                 "— its edge buckets carry long ids; resume with "
@@ -286,7 +286,7 @@ def run_pipeline(
     # dedup shuffle and both attach joins — the pairs it removes are
     # exactly the ones score_pairs would discard post-attach, so results
     # are unchanged (locked by test_len_prune_matches_score_prefilter)
-    prunable = conf.metric in ("ratio", "indel", "levenshtein", "lcs_seq")
+    prunable = conf.metric in scoring.PRUNABLE_METRICS
     len_frac = (1.0 - conf.threshold) if prunable else None
     keys = pipeline_blocking_keys(docs_t, conf, carry_len=prunable)
     sn = blocking.sorted_neighborhood_pairs(docs_t, window=conf.sn_window)
@@ -299,11 +299,26 @@ def run_pipeline(
         cache_out=caches,
         len_frac=len_frac,
     )
+    # docs_t is already persisted; this aggregate is the same cache scan
+    # the first blocking job performs, so the extra action is cheap. The
+    # byte estimate covers what attach_texts actually broadcasts: both
+    # text columns (char counts — exact for latin-1, an undercount for
+    # wide unicode, which the 2x headroom in the default absorbs) plus
+    # the token/IDF arrays when the soft-tfidf path attached them.
+    _bytes_est = F.length("canon_text") + F.length("norm_text")
+    if "idfs" in docs_t.columns:
+        # toks repeat canon_text's chars (+ the 8 B double IDF and array
+        # overhead per token) — counting the text twice over-estimates
+        # slightly, which is the safe direction for an OOM gate
+        _bytes_est = _bytes_est + _bytes_est + F.size("toks") * 16
+    _st = docs_t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_bytes_est).alias("bytes"),
+    ).first()
     bc = (
         conf.broadcast_docs_max > 0
-        and docs_t.count() <= conf.broadcast_docs_max
-        # docs_t is already persisted; this count is the same cache scan
-        # the first blocking job performs, so the extra action is cheap
+        and _st["n"] <= conf.broadcast_docs_max
+        and (_st["bytes"] or 0) <= conf.broadcast_docs_bytes_max
     )
     pairs_t = scoring.attach_texts(pairs, docs_t, broadcast_docs=bc)
     if conf.checkpoint:

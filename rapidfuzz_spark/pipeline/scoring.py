@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 
 import rapidfuzz_spark.functions as RF
 
+# Metrics whose normalized similarity obeys the indel-family length
+# bound (1 - |Δlen|/(len1+len2) caps the score), making the cheap
+# length-difference prefilter EXACT. This single constant feeds the
+# post-attach prefilter below AND the join-level pre-dedup prunes in
+# run_pipeline / incremental — the join-level prune is only safe while
+# it targets a subset of the metrics prefiltered here, so all three
+# sites must read the same set.
+PRUNABLE_METRICS = ("ratio", "indel", "levenshtein", "lcs_seq")
+
 SCORERS = {
     "ratio": RF.ratio,
     "levenshtein": RF.levenshtein_normalized_similarity,
@@ -49,8 +58,14 @@ def attach_texts(
     doc table whenever blocking produces >1 candidate per doc) then flows
     map-side with ZERO shuffles instead of being exchanged twice. Only
     sound when the doc projection fits executor memory; run_pipeline
-    gates it on a doc count threshold — at 10^12 docs it stays a shuffle
-    join, which scales with cluster size."""
+    gates it on projected bytes — at 10^12 docs it stays a shuffle
+    join, which scales with cluster size.
+
+    The column renames sit ABOVE the joins (select with aliases), not
+    below them, so both joins' build sides are the SAME canonical plan
+    and Spark's ReuseExchange materializes the broadcast ONCE — renaming
+    first would put distinct Projects under each BroadcastExchange and
+    double the broadcast build/memory."""
     extra = [c for c in ("toks", "idfs") if c in docs.columns]
     t = docs.select(
         "doc_id",
@@ -58,18 +73,18 @@ def attach_texts(
         F.col("norm_text").alias("raw"),
         *extra,
     )
-    ren1 = {"doc_id": "doc_id_1", "text": "text_1", "raw": "raw_1"}
-    ren2 = {"doc_id": "doc_id_2", "text": "text_2", "raw": "raw_2"}
-    for c in extra:
-        ren1[c] = f"{c}_1"
-        ren2[c] = f"{c}_2"
-    t1 = t.withColumnsRenamed(ren1)
-    t2 = t.withColumnsRenamed(ren2)
     if broadcast_docs:
-        t1, t2 = F.broadcast(t1), F.broadcast(t2)
+        t = F.broadcast(t)
+    ta, tb = t.alias("_att1"), t.alias("_att2")
+    side_cols = ["text", "raw", *extra]
     return (
-        pairs.join(t1, "doc_id_1")
-        .join(t2, "doc_id_2")
+        pairs.join(ta, F.col("doc_id_1") == F.col("_att1.doc_id"))
+        .join(tb, F.col("doc_id_2") == F.col("_att2.doc_id"))
+        .select(
+            pairs["*"],
+            *[F.col(f"_att1.{c}").alias(f"{c}_1") for c in side_cols],
+            *[F.col(f"_att2.{c}").alias(f"{c}_2") for c in side_cols],
+        )
         .withColumn("len_1", F.length("text_1"))
         .withColumn("len_2", F.length("text_2"))
     )
@@ -138,7 +153,7 @@ def score_pairs(
             .where((F.col("score") >= st_high) | (F.col("jw") >= jw_gate))
             .select("doc_id_1", "doc_id_2", "score")
         )
-    if length_prefilter and metric in ("ratio", "indel", "levenshtein", "lcs_seq"):
+    if length_prefilter and metric in PRUNABLE_METRICS:
         # 1 - |l1-l2|/(l1+l2) >= t  <=>  |l1-l2| <= (1-t)*(l1+l2)
         df = df.where(
             F.abs(F.col("len_1") - F.col("len_2"))

@@ -89,6 +89,28 @@ def test_load_documents_nonparquet_dir_does_not_shadow_table(
     assert got.count() == corpus.count()  # read the TABLE, not the dir
 
 
+def test_load_documents_hive_partitioned_bare_path(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """A hive-partitioned parquet dataset (ONLY key=value subdirs below
+    the root — what pyarrow write_to_dataset / DuckDB partitioned COPY
+    produce, no top-level part files or _SUCCESS) must still be
+    recognized as parquet by the bare-name probe, not misrouted to a
+    catalog-table lookup."""
+    monkeypatch.chdir(tmp_path)
+    corpus.limit(20).withColumn("pt", F.lit("a")).write.partitionBy(
+        "pt"
+    ).parquet(str(tmp_path / "docs_hive"))
+    # strip the _SUCCESS/.crc markers Spark writes — pyarrow/DuckDB don't
+    for n in (tmp_path / "docs_hive").iterdir():
+        if n.is_file():
+            n.unlink()
+    for n in (tmp_path / "docs_hive").iterdir():
+        assert n.is_dir() and "=" in n.name  # layout under test
+    got = ingest.load_documents(spark, "docs_hive")
+    assert got.count() == 20
+
+
 def test_blocking_recall(spark, corpus):
     """Every true duplicate pair must share >= 1 blocking key (recall gate)."""
     docs_t = ingest.with_match_text(corpus)
