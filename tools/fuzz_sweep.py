@@ -402,20 +402,94 @@ def tier_b(rng: random.Random, total: int, batch: int = 3000) -> int:
     return checked
 
 
+# ---------------------------------------------------------------- tier C
+
+
+def tier_c(rng: random.Random, groups: int, texts_per: int = 8) -> int:
+    """One×many API surface: every metric's BatchComparator (cached
+    pattern state) vs the plain 4-function surface, the normalized
+    dist+sim==1 identity, the score_cutoff None contract, and score_hint
+    output-invariance. fuzz.RatioBatchComparator vs fuzz.ratio."""
+    surfaces = {
+        "levenshtein": (A.levenshtein, {}),
+        "indel": (A.indel, {}),
+        "lcs_seq": (A.lcs_seq, {}),
+        "damerau": (A.damerau_levenshtein, {}),
+        "osa": (A.osa, {}),
+        "jaro": (A.jaro, {}),
+        "jaro_winkler": (A.jaro_winkler, {}),
+        "hamming": (A.hamming, {"pad": True}),
+        "prefix": (A.prefix, {}),
+        "postfix": (A.postfix, {}),
+    }
+    checked = 0
+    for g in range(groups):
+        ml = rng.choice([4, 12, 40, 64, 64, 64, 200])
+        s1 = _rand_str(rng, ml)
+        texts = [
+            _mutate(rng, s1, rng.choice([0, 1, 2, 3, 6, 15]))
+            if rng.random() < 0.6
+            else _rand_str(rng, ml)
+            for _ in range(texts_per)
+        ]
+        for name, (M, kw) in surfaces.items():
+            bc = M.BatchComparator(s1, **kw)
+            for s2 in texts:
+                d = M.distance(s1, s2, **kw)
+                s = M.similarity(s1, s2, **kw)
+                nd = M.normalized_distance(s1, s2, **kw)
+                nsim = M.normalized_similarity(s1, s2, **kw)
+                if (
+                    bc.distance(s2) != d
+                    or bc.similarity(s2) != s
+                    or abs(bc.normalized_distance(s2) - nd) > 1e-12
+                    or abs(bc.normalized_similarity(s2) - nsim) > 1e-12
+                ):
+                    _fail(f"{name}.BatchComparator vs plain", (s1, s2))
+                if not (-1e-12 <= nd <= 1 + 1e-12) or abs(nd + nsim - 1.0) > 1e-12:
+                    _fail(f"{name} normalized identity", (s1, s2, nd, nsim))
+                # cutoff contract: None iff the unfiltered score fails it
+                kd = rng.choice([0, 1, 2, 5, 20])
+                cd = M.distance(s1, s2, score_cutoff=kd, **kw)
+                if (cd is None) != (d > kd) or (cd is not None and cd != d):
+                    _fail(f"{name} distance cutoff", (s1, s2, kd, cd, d))
+                kn = rng.choice([0.0, 0.3, 0.7, 0.95, 1.0])
+                cn = M.normalized_similarity(s1, s2, score_cutoff=kn, **kw)
+                if (cn is None) != (nsim < kn) or (
+                    cn is not None and abs(cn - nsim) > 1e-12
+                ):
+                    _fail(f"{name} norm-sim cutoff", (s1, s2, kn, cn, nsim))
+                # score_hint is semantics-free: output must be invariant
+                hd = M.distance(s1, s2, score_hint=rng.choice([0, 1, 7, 100]), **kw)
+                if hd != d:
+                    _fail(f"{name} score_hint invariance", (s1, s2, hd, d))
+                checked += 1
+        rbc = A.fuzz.RatioBatchComparator(s1)
+        for s2 in texts:
+            if abs(rbc.similarity(s2) - A.fuzz.ratio(s1, s2)) > 1e-12:
+                _fail("RatioBatchComparator vs fuzz.ratio", (s1, s2))
+        if (g + 1) % 100 == 0:
+            print(f"  tier C: {g + 1}/{groups} groups", file=sys.stderr)
+    return checked
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=500_000)
     ap.add_argument("--deep", type=int, default=24_000)
+    ap.add_argument("--comp-groups", type=int, default=400)
     ap.add_argument("--seed", type=int, default=7)
     ns = ap.parse_args()
     rng = random.Random(ns.seed)
     a = tier_a(rng, ns.pairs)
     b = tier_b(rng, ns.deep)
+    c = tier_c(rng, ns.comp_groups)
     print(
         json.dumps(
             {
                 "tier_a_pairs": a,
                 "tier_b_pairs": b,
+                "tier_c_checks": c,
                 "seed": ns.seed,
                 "failures": len(FAILS),
                 "ok": not FAILS,
