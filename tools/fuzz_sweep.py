@@ -35,6 +35,7 @@ import random
 import sys
 
 import numpy as np
+import pandas as pd
 
 sys.path.insert(0, ".")
 
@@ -473,23 +474,145 @@ def tier_c(rng: random.Random, groups: int, texts_per: int = 8) -> int:
     return checked
 
 
+# ---------------------------------------------------------------- tier D
+
+
+def tier_d(rng: random.Random, rows: int) -> int:
+    """Spark Column-API differential: random pairs WITH SQL nulls pushed
+    through the pandas-UDF layer (Arrow batch slicing, null masking, the
+    cutoff keep-mask, params passthrough, and the seq re-encode path) and
+    compared row-by-row against the scalar API. The fixture-backed oracle
+    gate runs this layer on FIXED data; this runs it on adversarial
+    random data across multiple Arrow batches."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import rapidfuzz_spark.functions as Fn
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .appName("fuzz_sweep_tier_d")
+        .getOrCreate()
+    )
+    data = []
+    for i in range(rows):
+        ml = rng.choice([0, 2, 8, 30, 64, 130, 300])
+        a = _rand_str(rng, ml)
+        b = (
+            _mutate(rng, a, rng.choice([0, 1, 2, 4, 9]))
+            if rng.random() < 0.6
+            else _rand_str(rng, ml)
+        )
+        if rng.random() < 0.08:
+            a = None
+        if rng.random() < 0.08:
+            b = None
+        data.append((i, a, b))
+    df = spark.createDataFrame(data, "id long, s1 string, s2 string")
+    # array<int> codepoint views of the same strings: the seq path must
+    # agree with the string path exactly
+    df = df.withColumn(
+        "q1", F.transform(F.split("s1", ""), lambda c: F.ascii(c))
+    ).withColumn("q2", F.transform(F.split("s2", ""), lambda c: F.ascii(c)))
+    # F.ascii is byte-oriented for non-ASCII — restrict seq columns to
+    # ASCII-only rows via a guard column instead of trusting it
+    df = df.withColumn(
+        "seq_ok",
+        (F.coalesce(F.col("s1"), F.lit("")).rlike("^[\\x00-\\x7f]*$"))
+        & (F.coalesce(F.col("s2"), F.lit("")).rlike("^[\\x00-\\x7f]*$")),
+    )
+    out = df.select(
+        "id",
+        "s1",
+        "s2",
+        "seq_ok",
+        Fn.levenshtein_distance("s1", "s2").alias("lev"),
+        Fn.levenshtein_similarity("s1", "s2").alias("lev_sim"),
+        Fn.levenshtein_normalized_similarity("s1", "s2").alias("lev_nsim"),
+        Fn.levenshtein_distance("s1", "s2", score_cutoff=3).alias("lev_c3"),
+        Fn.levenshtein_distance("s1", "s2", weights=(1, 2, 3)).alias("lev_w123"),
+        Fn.levenshtein_distance("s1", "s2", score_hint=2).alias("lev_h2"),
+        Fn.indel_distance("s1", "s2").alias("indel"),
+        Fn.lcs_seq_similarity("s1", "s2").alias("lcs"),
+        Fn.osa_distance("s1", "s2").alias("osa"),
+        Fn.damerau_levenshtein_distance("s1", "s2").alias("dam"),
+        Fn.hamming_distance("s1", "s2", pad=True).alias("ham"),
+        Fn.prefix_similarity("s1", "s2").alias("pre"),
+        Fn.postfix_similarity("s1", "s2").alias("post"),
+        Fn.jaro_similarity("s1", "s2").alias("jaro"),
+        Fn.jaro_winkler_similarity("s1", "s2", prefix_weight=0.08).alias("jw08"),
+        Fn.ratio("s1", "s2").alias("ratio"),
+        Fn.ratio("s1", "s2", score_cutoff=0.7).alias("ratio_c"),
+        Fn.levenshtein_distance_seq("q1", "q2").alias("lev_seq"),
+        Fn.osa_distance_seq("q1", "q2").alias("osa_seq"),
+    ).toPandas()
+    checked = 0
+    for r in out.itertuples(index=False):
+        a, b = r.s1, r.s2
+        if a is None or b is None:
+            for col in out.columns[4:]:
+                if getattr(r, col) is not None and not pd.isna(getattr(r, col)):
+                    _fail(f"spark null-prop {col}", (a, b, getattr(r, col)))
+            checked += 1
+            continue
+
+        def ck(col, want, tol=0.0):
+            got = getattr(r, col)
+            if want is None:
+                if got is not None and not pd.isna(got):
+                    _fail(f"spark {col} cutoff-null", (a, b, got))
+            elif got is None or pd.isna(got) or (
+                abs(float(got) - want) > tol if tol else got != want
+            ):
+                _fail(f"spark {col}", (a, b, got, want))
+
+        ck("lev", A.levenshtein.distance(a, b))
+        ck("lev_sim", A.levenshtein.similarity(a, b))
+        ck("lev_nsim", A.levenshtein.normalized_similarity(a, b), 1e-9)
+        ck("lev_c3", A.levenshtein.distance(a, b, score_cutoff=3))
+        ck("lev_w123", A.levenshtein.distance(a, b, weights=(1, 2, 3)))
+        ck("lev_h2", A.levenshtein.distance(a, b))
+        ck("indel", A.indel.distance(a, b))
+        ck("lcs", A.lcs_seq.similarity(a, b))
+        ck("osa", A.osa.distance(a, b))
+        ck("dam", A.damerau_levenshtein.distance(a, b))
+        ck("ham", A.hamming.distance(a, b, pad=True))
+        ck("pre", A.prefix.similarity(a, b))
+        ck("post", A.postfix.similarity(a, b))
+        ck("jaro", A.jaro.similarity(a, b), 1e-9)
+        ck("jw08", A.jaro_winkler.similarity(a, b, prefix_weight=0.08), 1e-9)
+        ck("ratio", A.fuzz.ratio(a, b), 1e-9)
+        ck("ratio_c", A.fuzz.ratio(a, b, score_cutoff=0.7), 1e-9)
+        if r.seq_ok:
+            ck("lev_seq", A.levenshtein.distance(a, b))
+            ck("osa_seq", A.osa.distance(a, b))
+        checked += 1
+    spark.stop()
+    return checked
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pairs", type=int, default=500_000)
     ap.add_argument("--deep", type=int, default=24_000)
     ap.add_argument("--comp-groups", type=int, default=400)
+    ap.add_argument("--spark-rows", type=int, default=0)
     ap.add_argument("--seed", type=int, default=7)
     ns = ap.parse_args()
     rng = random.Random(ns.seed)
     a = tier_a(rng, ns.pairs)
     b = tier_b(rng, ns.deep)
     c = tier_c(rng, ns.comp_groups)
+    d = tier_d(rng, ns.spark_rows) if ns.spark_rows else 0
     print(
         json.dumps(
             {
                 "tier_a_pairs": a,
                 "tier_b_pairs": b,
                 "tier_c_checks": c,
+                "tier_d_rows": d,
                 "seed": ns.seed,
                 "failures": len(FAILS),
                 "ok": not FAILS,
