@@ -9,6 +9,17 @@
   stored model, identical on every executor and every engine. Search cost
   drops from |Q|x|C| to |Q|x|bucket|; recall is tuned by n_planes (fewer
   planes -> bigger buckets).
+- ivf_cells / ivf_topk: IVF (inverted-file) coarse quantizer. Centroids
+  are a deterministic hash-order sample of the corpus (no training, no
+  stored model — the same md5 order reproduces them on any engine), and
+  every vector is assigned to its best-cosine cell by a PURE-CODEGEN
+  argmax over the literal centroid matrix: zero shuffle, zero UDF, the
+  corpus is touched once per assignment. Queries probe their ``nprobe``
+  best cells and brute-force only inside them — the classic IVF
+  recall/cost dial. Coarse quantizers are coarse by design (n_cells ~
+  sqrt(corpus) at scale); beyond a few hundred cells swap the literal
+  argmax for a broadcast numpy matmul in a pandas UDF — the plan shape
+  (assign -> equi-join on cell -> windowed top-k) is unchanged.
 
 Everything is built-in expressions: posexplode for the dim axis, groupBy
 partial aggregation for projections, window row_number for ranking.
@@ -147,6 +158,120 @@ def lsh_topk(
             "qid",
             "cid",
             F.round(cosine_similarity(F.col("qe"), F.col("ce")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("qid", "cid", "cos_sim", "rnk")
+    )
+
+
+def _ivf_centroids(
+    corpus: DataFrame, n_cells: int, id_col: str, emb_col: str
+) -> list:
+    """Deterministic hash-order centroid sample: the ``n_cells`` corpus
+    vectors with the smallest md5(id) (ties by id), cell index = rank in
+    that order. Reproducible on any engine from the data alone — no
+    k-means state to ship. The collect is bounded at n_cells rows (a
+    model-sized constant, like the checkpoint ledger manifests), never
+    corpus-scale."""
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(emb_col).alias("e"))
+        .withColumn("h", F.md5(F.col("i").cast("string")))
+        .orderBy("h", "i")
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r["e"]] for r in rows]
+
+
+def _cell_scores(emb: "F.Column", cents: list) -> "F.Column":
+    """array<double> of round(cosine(emb, centroid_c), 6) per cell: ONE
+    nested-array centroid literal + ONE transform lambda, so the Catalyst
+    tree stays O(n_cells x dim) literal leaves plus a single cosine
+    expression (n_cells separate cosine trees re-duplicated by an argmax
+    made the optimizer's tree copies blow the driver heap). The 6-dp
+    rounding happens BEFORE the argmax so cell assignment ties break
+    identically across engines (same policy as the top-k rankings)."""
+    cmat = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents])
+    return F.transform(cmat, lambda c: F.round(cosine_similarity(emb, c), 6))
+
+
+# cells ranked best-first by (score desc, cell asc) — the same
+# deterministic tie policy everywhere; references `scores` exactly once
+_RANKED_CELLS = (
+    "transform(array_sort(zip_with(scores, sequence(0, size(scores) - 1),"
+    " (s, i) -> struct(-s AS negs, i AS cell))), x -> x.cell)"
+)
+
+
+def ivf_cells(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell): each vector's best-cosine centroid, first-max (=
+    lowest cell id) on rounded ties. One narrow projection, no shuffle."""
+    cents = _ivf_centroids(corpus, n_cells, id_col, emb_col)
+    return (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            _cell_scores(F.col(emb_col), cents).alias("scores"),
+        )
+        .withColumn("cell", F.expr(f"element_at({_RANKED_CELLS}, 1)"))
+        .select("vec_id", "cell")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(qid, cid, cos_sim, rnk): IVF top-k — queries probe their
+    ``nprobe`` best cells, exact cosine only within them. Search cost
+    |Q| x nprobe x |cell| instead of |Q| x |C|; each corpus vector lives
+    in exactly one cell, so probing can never duplicate a (qid, cid)
+    pair. Skewed cells (degenerate embedding mass) are a bounded factor
+    of the average at realistic n_cells; AQE's skew-join split is the
+    backstop, as for every other bucketed join here."""
+    cents = _ivf_centroids(corpus, n_cells, id_col, emb_col)
+    c = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(emb_col).alias("ce"),
+            _cell_scores(F.col(emb_col), cents).alias("scores"),
+        )
+        .withColumn("cell", F.expr(f"element_at({_RANKED_CELLS}, 1)"))
+        .drop("scores")
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(emb_col).alias("qe"),
+            _cell_scores(F.col(emb_col), cents).alias("scores"),
+        )
+        .withColumn(
+            "cell", F.explode(F.expr(f"slice({_RANKED_CELLS}, 1, {nprobe})"))
+        )
+        .drop("scores")
+    )
+    scored = (
+        q.join(c, "cell")
+        .where(F.col("qid") != F.col("cid"))
+        .select(
+            "qid",
+            "cid",
+            F.round(cosine_similarity(F.col("qe"), F.col("ce")), 6).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "cid")

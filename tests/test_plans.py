@@ -165,6 +165,7 @@ def test_driver_queries_no_cartesian_no_rowpython(spark):
         "topk_matches", "block_census", "salted_block_pairs",
         "exact_dedup", "minhash_lsh_pairs", "simhash_sketch",
         "ngram_jaccard", "embedding_neardup", "ann_bruteforce", "ann_lsh",
+        "ann_ivf",  # builds a bounded 16-row centroid collect, then lazy
         "lang_id_ngram", "quality_scores", "token_count",
         "winnow_fingerprint", "part_name_match", "event_sessions",
     ]

@@ -101,6 +101,42 @@ def test_ann_lsh_same_bucket_for_identical(vecs):
     assert 5 in got
 
 
+def test_ivf_cells_cover_corpus(vecs):
+    cells = ann.ivf_cells(vecs, n_cells=4).collect()
+    assert len(cells) == 20  # every vector assigned exactly one cell
+    assert {r.cell for r in cells} <= set(range(4))
+    # deterministic: hash-order centroids + rounded argmax, no RNG state
+    again = {(r.vec_id, r.cell) for r in ann.ivf_cells(vecs, n_cells=4).collect()}
+    assert {(r.vec_id, r.cell) for r in cells} == again
+    # near-identical vectors land in the same cell
+    by_id = {r.vec_id: r.cell for r in cells}
+    assert by_id[0] == by_id[5]
+
+
+def test_ivf_full_probe_equals_bruteforce(vecs):
+    """nprobe == n_cells searches every cell — the result must be exactly
+    the exhaustive top-k (IVF only ever loses recall by probing fewer)."""
+    q = vecs.where(F.col("vec_id") < 3)
+    brute = {
+        (r.qid, r.cid, r.rnk) for r in ann.brute_force_topk(q, vecs, k=4).collect()
+    }
+    full = {
+        (r.qid, r.cid, r.rnk)
+        for r in ann.ivf_topk(q, vecs, k=4, n_cells=4, nprobe=4).collect()
+    }
+    assert brute == full
+
+
+def test_ivf_probe_finds_planted_neighbor(vecs):
+    top = ann.ivf_topk(
+        vecs.where(F.col("vec_id") == 0), vecs, k=3, n_cells=4, nprobe=1
+    ).collect()
+    # 0 and its planted near-dup 5 share a cell, so even nprobe=1 finds it
+    assert top and top[0].cid == 5 and top[0].cos_sim > 0.999
+    # one cell of ~20/4 vectors probed: candidate set smaller than corpus
+    assert len(top) <= 3
+
+
 def test_language_id_shapes(spark):
     docs = spark.createDataFrame(
         [(i, "abc def ghi " * 5, "en") if i % 2 else (i, "xyz uvw rst " * 5, "fr")
