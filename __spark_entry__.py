@@ -1156,6 +1156,7 @@ GROUP BY p.id_1, p.id_2"""
                row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
                  - 1 AS cell
         FROM embeddings
+        WHERE embedding IS NOT NULL
         QUALIFY cell < 16),
       assign AS (
         SELECT e.vec_id, cell,

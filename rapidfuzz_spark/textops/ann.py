@@ -17,9 +17,12 @@
   corpus is touched once per assignment. Queries probe their ``nprobe``
   best cells and brute-force only inside them — the classic IVF
   recall/cost dial. Coarse quantizers are coarse by design (n_cells ~
-  sqrt(corpus) at scale); beyond a few hundred cells swap the literal
-  argmax for a broadcast numpy matmul in a pandas UDF — the plan shape
-  (assign -> equi-join on cell -> windowed top-k) is unchanged.
+  sqrt(corpus) at scale); beyond ~64 cells ``assign='pandas'`` (the
+  ``auto`` default picks it) swaps the literal argmax for one Arrow-
+  batched NumPy matmul against the broadcast centroid matrix — the plan
+  shape (assign -> equi-join on cell -> windowed top-k) is unchanged,
+  and the *returned* cos_sim is always the codegen cosine, so output
+  values are engine-exact regardless of the assignment backend.
 
 Everything is built-in expressions: posexplode for the dim axis, groupBy
 partial aggregation for projections, window row_number for ranking.
@@ -27,6 +30,8 @@ partial aggregation for projections, window row_number for ranking.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -179,6 +184,7 @@ def _ivf_centroids(
     corpus-scale."""
     rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(emb_col).alias("e"))
+        .where(F.col("e").isNotNull())  # a null vector can't be a centroid
         .withColumn("h", F.md5(F.col("i").cast("string")))
         .orderBy("h", "i")
         .limit(n_cells)
@@ -199,6 +205,64 @@ def _cell_scores(emb: "F.Column", cents: list) -> "F.Column":
     return F.transform(cmat, lambda c: F.round(cosine_similarity(emb, c), 6))
 
 
+def _cell_scores_pandas(emb: "F.Column", cents: list) -> "F.Column":
+    """Same array<double> of rounded cell cosines as ``_cell_scores``,
+    computed as ONE NumPy matmul per Arrow batch against the centroid
+    matrix captured in the UDF closure (broadcast once per executor by
+    task serialization). This is the large-``n_cells`` path: the codegen
+    literal argmax is O(n_cells x dim) *expression-tree* leaves, which
+    stops being reasonable a few hundred cells in, while a (batch x dim)
+    @ (dim x n_cells) matmul is flat in plan size and BLAS-fast.
+
+    Parity with the codegen path: float64 throughout, zero-norm (and
+    null) vectors score 0.0 like ``cosine_similarity``'s nullif guard,
+    and rounding emulates Spark's HALF_UP (away from zero; NumPy's
+    native half-even would disagree on exact .5e-6 boundaries). The one
+    residual caveat: BLAS sums dot products in a different order than
+    the JVM's sequential fold, so a score sitting within ~1 ulp of a
+    6-dp rounding boundary can flip and shift a *cell assignment* (never
+    a returned cos_sim value) — measure-zero on real embeddings, and an
+    ANN index is free to draw cell borders either way."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    cmat = np.asarray(cents, dtype=np.float64)  # (n_cells, dim)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    @pandas_udf("array<double>")
+    def _scores(v: pd.Series) -> pd.Series:
+        dim = cmat.shape[1]
+        zero = np.zeros(dim, dtype=np.float64)
+        m = np.stack(
+            [
+                zero if x is None else np.asarray(x, dtype=np.float64)
+                for x in v
+            ]
+        )
+        dots = m @ cmat.T  # (batch, n_cells)
+        denom = np.outer(np.sqrt((m * m).sum(axis=1)), cnorm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.where(denom == 0.0, 0.0, dots / denom)
+        r = np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5) / 1e6
+        return pd.Series(list(r))
+
+    return _scores(emb)
+
+
+def _assign_scores(
+    emb: "F.Column", cents: list, assign: str
+) -> "F.Column":
+    """Route cell-score computation: 'codegen' (literal transform),
+    'pandas' (Arrow matmul), or 'auto' — codegen up to 64 cells, where
+    the expression tree is still small and the zero-UDF plan wins."""
+    if assign == "auto":
+        assign = "codegen" if len(cents) <= 64 else "pandas"
+    if assign == "codegen":
+        return _cell_scores(emb, cents)
+    if assign == "pandas":
+        return _cell_scores_pandas(emb, cents)
+    raise ValueError(f"assign must be auto|codegen|pandas, got {assign!r}")
+
+
 # cells ranked best-first by (score desc, cell asc) — the same
 # deterministic tie policy everywhere; references `scores` exactly once
 _RANKED_CELLS = (
@@ -212,6 +276,7 @@ def ivf_cells(
     n_cells: int = 16,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    assign: str = "auto",
 ) -> DataFrame:
     """(vec_id, cell): each vector's best-cosine centroid, first-max (=
     lowest cell id) on rounded ties. One narrow projection, no shuffle."""
@@ -219,7 +284,7 @@ def ivf_cells(
     return (
         corpus.select(
             F.col(id_col).alias("vec_id"),
-            _cell_scores(F.col(emb_col), cents).alias("scores"),
+            _assign_scores(F.col(emb_col), cents, assign).alias("scores"),
         )
         .withColumn("cell", F.expr(f"element_at({_RANKED_CELLS}, 1)"))
         .select("vec_id", "cell")
@@ -234,6 +299,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    assign: str = "auto",
 ) -> DataFrame:
     """(qid, cid, cos_sim, rnk): IVF top-k — queries probe their
     ``nprobe`` best cells, exact cosine only within them. Search cost
@@ -247,7 +313,7 @@ def ivf_topk(
         corpus.select(
             F.col(id_col).alias("cid"),
             F.col(emb_col).alias("ce"),
-            _cell_scores(F.col(emb_col), cents).alias("scores"),
+            _assign_scores(F.col(emb_col), cents, assign).alias("scores"),
         )
         .withColumn("cell", F.expr(f"element_at({_RANKED_CELLS}, 1)"))
         .drop("scores")
@@ -256,7 +322,7 @@ def ivf_topk(
         queries.select(
             F.col(id_col).alias("qid"),
             F.col(emb_col).alias("qe"),
-            _cell_scores(F.col(emb_col), cents).alias("scores"),
+            _assign_scores(F.col(emb_col), cents, assign).alias("scores"),
         )
         .withColumn(
             "cell", F.explode(F.expr(f"slice({_RANKED_CELLS}, 1, {nprobe})"))

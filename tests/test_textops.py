@@ -137,6 +137,54 @@ def test_ivf_probe_finds_planted_neighbor(vecs):
     assert len(top) <= 3
 
 
+def test_ivf_assign_backends_agree(vecs):
+    """The Arrow-matmul assignment (the large-n_cells scale path) must
+    reproduce the codegen literal-argmax cells and the full top-k."""
+    cg = {(r.vec_id, r.cell) for r in ann.ivf_cells(vecs, n_cells=4, assign="codegen").collect()}
+    pd_ = {(r.vec_id, r.cell) for r in ann.ivf_cells(vecs, n_cells=4, assign="pandas").collect()}
+    assert cg == pd_
+    q = vecs.where(F.col("vec_id") < 5)
+    a = {
+        (r.qid, r.cid, r.cos_sim, r.rnk)
+        for r in ann.ivf_topk(q, vecs, k=3, n_cells=4, nprobe=2, assign="codegen").collect()
+    }
+    b = {
+        (r.qid, r.cid, r.cos_sim, r.rnk)
+        for r in ann.ivf_topk(q, vecs, k=3, n_cells=4, nprobe=2, assign="pandas").collect()
+    }
+    assert a == b
+
+
+def test_ivf_auto_routes_large_cells_to_pandas(spark):
+    """auto > 64 cells goes through the Arrow path (plan shows an
+    ArrowEvalPython node, never row-at-a-time Python) and still agrees
+    with codegen on a denser corpus."""
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    auto = ann.ivf_cells(emb, n_cells=70)  # auto -> pandas
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    got = {(r.vec_id, r.cell) for r in auto.collect()}
+    want = {
+        (r.vec_id, r.cell)
+        for r in ann.ivf_cells(emb, n_cells=70, assign="codegen").collect()
+    }
+    assert got == want
+
+
+def test_ivf_pandas_null_embedding_scores_zero(spark):
+    """A null embedding has no direction: both backends score it 0.0
+    against every centroid, so it lands in cell 0 (lowest-id tie)."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, None)],
+        "vec_id long, embedding array<float>",
+    )
+    for assign in ("codegen", "pandas"):
+        cells = {r.vec_id: r.cell for r in ann.ivf_cells(emb, n_cells=2, assign=assign).collect()}
+        assert cells[2] == 0, assign
+
+
 def test_language_id_shapes(spark):
     docs = spark.createDataFrame(
         [(i, "abc def ghi " * 5, "en") if i % 2 else (i, "xyz uvw rst " * 5, "fr")
