@@ -472,6 +472,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_ivf"] = ann_ivf
 
+    def ann_ivf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the large-n_cells scale path: cell assignment via one Arrow-
+        # batched matmul (auto routes there above 64 cells; pinned
+        # explicitly so the gate's intent survives threshold changes)
+        from rapidfuzz_spark.textops import ann
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ann.ivf_topk(
+            emb.where(F.col("vec_id") % 50 == 0),
+            emb,
+            k=5,
+            n_cells=80,
+            nprobe=3,
+            assign="pandas",
+        )
+
+    q["ann_ivf_pandas"] = ann_ivf_pandas
+
     def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         from rapidfuzz_spark.textops import quality
 
@@ -1175,6 +1193,45 @@ GROUP BY p.id_1, p.id_2"""
                    PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
           FROM assign WHERE vec_id % 50 = 0)
         WHERE rn <= 2),
+      q AS (SELECT qid, cell, embedding::DOUBLE[] AS qe
+            FROM qcell JOIN embeddings e ON e.vec_id = qid),
+      c AS (SELECT cid, cell, embedding::DOUBLE[] AS ce
+            FROM ccell JOIN embeddings e ON e.vec_id = cid),
+      scored AS (SELECT qid, cid,
+                        round(list_cosine_similarity(qe, ce), 6) AS cos_sim
+                 FROM q JOIN c USING (cell) WHERE qid <> cid),
+      r AS (SELECT *, row_number() OVER (
+              PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rnk
+            FROM scored)
+      SELECT qid, cid, cos_sim, rnk FROM r WHERE rnk <= 5"""
+    # same IVF replay at the scale-path shape (80 cells, nprobe 3) — the
+    # Spark side assigns cells via the Arrow matmul backend, so this
+    # oracle also pins matmul-vs-SQL-fold rounding agreement
+    o["ann_ivf_pandas"] = """
+      WITH cents AS (
+        SELECT embedding::DOUBLE[] AS cv,
+               row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                 - 1 AS cell
+        FROM embeddings
+        WHERE embedding IS NOT NULL
+        QUALIFY cell < 80),
+      assign AS (
+        SELECT e.vec_id, cell,
+               round(list_cosine_similarity(e.embedding::DOUBLE[], cv), 6)
+                 AS s
+        FROM embeddings e, cents),
+      ccell AS (
+        SELECT vec_id AS cid, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+          FROM assign)
+        WHERE rn = 1),
+      qcell AS (
+        SELECT vec_id AS qid, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY s DESC, cell) AS rn
+          FROM assign WHERE vec_id % 50 = 0)
+        WHERE rn <= 3),
       q AS (SELECT qid, cell, embedding::DOUBLE[] AS qe
             FROM qcell JOIN embeddings e ON e.vec_id = qid),
       c AS (SELECT cid, cell, embedding::DOUBLE[] AS ce
