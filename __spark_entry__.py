@@ -902,6 +902,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["event_sessions"] = event_sessions
+
+    def event_sessions_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Same sessionization on Spark's native session_window operator
+        (the streaming-capable shape — state-store window merge +
+        watermark eviction). Same gap cut as the lag formulation (an
+        exactly-1800 s gap merges; probed empirically), but the output
+        carries the window bounds instead of a session index."""
+        from rapidfuzz_spark.streaming import native_sessions
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return native_sessions(ev, gap_s=1800)
+
+    q["event_sessions_native"] = event_sessions_native
+
+    def stream_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Custom stateful streaming operator (applyInPandasWithState):
+        first event per (user_id, event_type) across a 3-micro-batch
+        file stream fed in event-time order, so "first seen on the
+        stream" == global (ts, event_id) minimum and the full SQL oracle
+        applies. The per-key seen-flag lives in the checkpointed state
+        store — batch 2+ occurrences of a key emit nothing even though
+        each micro-batch is a separate incremental plan."""
+        import os
+        import shutil
+        import tempfile
+
+        from rapidfuzz_spark.streaming import first_touch_stream
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        n = ev.count()
+        # global event-time order -> 3 equal chunks; the one-partition
+        # window is gate plumbing on 10k fixture rows, not operator code
+        rn = F.row_number().over(Window.orderBy("ts", "event_id"))
+        chunked = ev.withColumn("chunk", ((rn - 1) * 3 / F.lit(n)).cast("int"))
+        tmp = tempfile.mkdtemp(prefix="rf_ftouch_q_")
+        stream_dir = os.path.join(tmp, "stream_in")
+        os.makedirs(stream_dir)
+        for i in range(3):
+            part_dir = os.path.join(tmp, f"c{i}")
+            chunked.where(F.col("chunk") == i).drop("chunk").coalesce(
+                1
+            ).write.parquet(part_dir)
+            part = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stream_dir, f"{i:02d}.parquet")
+            shutil.move(os.path.join(part_dir, part), dst)
+            # FileStreamSource orders by modification time: pin arrival
+            # order = event-time order explicitly
+            os.utime(dst, (1000 + 100 * i, 1000 + 100 * i))
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        query = (
+            first_touch_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(tmp, "out"))
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        # materialize before deleting the tmp sink (same pattern as
+        # stream_link: the caller's collect must not race the cleanup)
+        pdf = spark.read.parquet(os.path.join(tmp, "out")).toPandas()
+        shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(
+            pdf,
+            "user_id bigint, event_type string, first_ts_us bigint,"
+            " first_event_id bigint, first_value double",
+        )
+
+    q["stream_first_touch"] = stream_first_touch
     return q
 
 
@@ -1447,6 +1524,46 @@ GROUP BY p.id_1, p.id_2"""
              sum(CAST(round(value * 1000000.0) AS BIGINT))::BIGINT
                AS session_value_micro
       FROM s GROUP BY user_id, session_idx"""
+    # native session_window semantics, probed empirically: windows
+    # [ts, ts+gap] merge when the next event starts AT OR BEFORE the
+    # previous window end, i.e. a NEW session starts only at gap > 1800 s
+    # — the same cut as the lag query above (an exactly-1800 s gap
+    # merges); window bounds = [min ts, max ts + gap] in unix micros
+    o["event_sessions_native"] = """
+      WITH g AS (
+        SELECT event_id, user_id, value, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ),
+      s AS (
+        SELECT user_id, value, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM g
+      )
+      SELECT user_id,
+             epoch_us(min(ts)) AS start_us,
+             epoch_us(max(ts)) + 1800 * 1000000 AS end_us,
+             count(*) AS n_events,
+             sum(CAST(round(value * 1000000.0) AS BIGINT))::BIGINT
+               AS session_value_micro
+      FROM s GROUP BY user_id, session_idx"""
+    # stream arrival order == (ts, event_id) order by construction, so
+    # first-touch on the stream is the plain global minimum per key
+    o["stream_first_touch"] = """
+      SELECT user_id, event_type,
+             epoch_us(ts) AS first_ts_us,
+             event_id AS first_event_id,
+             value AS first_value
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id, event_type
+              ORDER BY ts, event_id) AS rn
+            FROM events)
+      WHERE rn = 1"""
 
     # the Spark side scores the transliterated Cyrillic/CJK strings; the
     # oracle scores the ORIGINAL ascii strings — valid because every metric

@@ -1,0 +1,11 @@
+"""Structured Streaming operators beyond the foreachBatch linkage path
+(pipeline/incremental.py): native session-window aggregation with
+watermarked state eviction, and a custom stateful operator built on
+applyInPandasWithState. Batch shapes of both run under the driver's SQL
+value oracle; the streaming shapes are exercised by tests/test_streaming.
+"""
+
+from .sessions import native_sessions
+from .stateful import first_touch_stream
+
+__all__ = ["native_sessions", "first_touch_stream"]

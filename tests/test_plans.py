@@ -167,6 +167,7 @@ def test_driver_queries_no_cartesian_no_rowpython(spark):
         "ngram_jaccard", "embedding_neardup", "ann_bruteforce", "ann_lsh",
         "ann_ivf",  # builds a bounded 16-row centroid collect, then lazy
         "ann_ivf_pandas",  # Arrow matmul assignment: ArrowEval, never Batch
+        "event_sessions_native",
         "lang_id_ngram", "quality_scores", "token_count",
         "winnow_fingerprint", "part_name_match", "event_sessions",
     ]

@@ -1,0 +1,208 @@
+"""Streaming operators: native session_window sessionization (batch +
+watermarked streaming) and the applyInPandasWithState first-touch
+operator. The batch shapes are additionally value-checked against DuckDB
+by tools/driver_sim (queries event_sessions_native, stream_first_touch).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from datetime import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rapidfuzz_spark.streaming import first_touch_stream, native_sessions
+
+TS = "ts timestamp, event_id long, user_id long, value double"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 0, s), i, u, v) for s, i, u, v in rows], TS
+    )
+
+
+def test_native_sessions_gap_boundary(spark):
+    """session_window merge rule (locks the oracle's cut): an event
+    arriving EXACTLY gap seconds after the previous one MERGES (windows
+    [ts, ts+gap] touch); only a strictly larger gap starts a session —
+    the same `> gap` cut as the lag formulation."""
+    ev = _ev(
+        spark,
+        [(0, 0, 1, 1.0), (10, 1, 1, 2.0), (21, 2, 1, 4.0)],  # gap_s=10:
+        # 0 and 10 merge (diff == gap); 21 is 11 after 10 -> new session
+    )
+    out = sorted(
+        native_sessions(ev, gap_s=10).collect(), key=lambda r: r.start_us
+    )
+    assert len(out) == 2
+    assert out[0].n_events == 2 and out[0].session_value_micro == 3_000_000
+    assert out[0].start_us == out[1].start_us - 21_000_000
+    # window end = last event + gap
+    assert out[0].end_us - out[0].start_us == 20_000_000
+    assert out[1].n_events == 1
+
+
+def test_native_sessions_per_user_isolation(spark):
+    ev = _ev(spark, [(0, 0, 1, 1.0), (1, 1, 2, 1.0), (2, 2, 1, 1.0)])
+    out = native_sessions(ev, gap_s=10).collect()
+    assert {(r.user_id, r.n_events) for r in out} == {(1, 2), (2, 1)}
+
+
+def test_native_sessions_streaming_watermark_flush(spark):
+    """Streaming shape: sessions whose window end falls behind the
+    watermark are finalized and emitted in append mode; open sessions
+    near the stream head stay in state (not emitted). Two time-ordered
+    file chunks force a real cross-batch watermark advance."""
+    tmp = tempfile.mkdtemp(prefix="rf_sess_stream_")
+    try:
+        early = _ev(spark, [(0, 0, 1, 1.0), (2, 1, 1, 2.0)])
+        # second batch 10 min later: advances the watermark far past the
+        # early session's window end (gap 10 s, watermark delay 5 s)
+        late = spark.createDataFrame(
+            [(datetime(2024, 1, 1, 0, 10, 0), 2, 1, 4.0)], TS
+        )
+        sdir = os.path.join(tmp, "in")
+        os.makedirs(sdir)
+        for i, df in enumerate([early, late]):
+            part = os.path.join(tmp, f"c{i}")
+            df.coalesce(1).write.parquet(part)
+            f = next(x for x in os.listdir(part) if x.endswith(".parquet"))
+            dst = os.path.join(sdir, f"{i:02d}.parquet")
+            shutil.move(os.path.join(part, f), dst)
+            os.utime(dst, (1000 + i, 1000 + i))
+        stream = (
+            spark.readStream.schema(early.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+        q = (
+            native_sessions(stream, gap_s=10, watermark="5 seconds")
+            .writeStream.format("parquet")
+            .option("path", os.path.join(tmp, "out"))
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(os.path.join(tmp, "out")).collect()
+        # the early 2-event session flushed once the watermark passed its
+        # end; the 00:10:00 session is still open at stream end -> absent
+        assert [(r.n_events, r.session_value_micro) for r in got] == [
+            (2, 3_000_000)
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_first_touch_suppresses_across_batches(spark):
+    """The state-store seen flag must survive micro-batch boundaries:
+    a key first seen in batch 0 emits nothing from batch 1, and a key
+    new in batch 1 emits its batch-1 minimum."""
+    tmp = tempfile.mkdtemp(prefix="rf_ftouch_t_")
+    try:
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double"
+        )
+        b0 = spark.createDataFrame(
+            [
+                (1, datetime(2024, 1, 1, 0, 0, 1), 7, "click", 1.0),
+                (0, datetime(2024, 1, 1, 0, 0, 1), 7, "click", 9.0),  # tie ts: min id wins
+            ],
+            schema,
+        )
+        b1 = spark.createDataFrame(
+            [
+                (2, datetime(2024, 1, 1, 0, 0, 5), 7, "click", 5.0),  # suppressed
+                (3, datetime(2024, 1, 1, 0, 0, 6), 7, "view", 2.0),  # new key
+            ],
+            schema,
+        )
+        sdir = os.path.join(tmp, "in")
+        os.makedirs(sdir)
+        for i, df in enumerate([b0, b1]):
+            part = os.path.join(tmp, f"c{i}")
+            df.coalesce(1).write.parquet(part)
+            f = next(x for x in os.listdir(part) if x.endswith(".parquet"))
+            dst = os.path.join(sdir, f"{i:02d}.parquet")
+            shutil.move(os.path.join(part, f), dst)
+            os.utime(dst, (1000 + i, 1000 + i))
+        stream = (
+            spark.readStream.schema(b0.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(sdir)
+        )
+        q = (
+            first_touch_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(tmp, "out"))
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            (r.event_type, r.first_event_id, r.first_value)
+            for r in spark.read.parquet(os.path.join(tmp, "out")).collect()
+        }
+        assert got == {("click", 0, 9.0), ("view", 3, 2.0)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_first_touch_batch_restart_keeps_state(spark):
+    """Restarting the query from the same checkpoint must not re-emit
+    keys already emitted: run the same source dir twice (second run adds
+    one new file) and check only the new key appears in the delta."""
+    tmp = tempfile.mkdtemp(prefix="rf_ftouch_r_")
+    try:
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double"
+        )
+
+        def _run():
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(os.path.join(tmp, "in"))
+            )
+            q = (
+                first_touch_stream(stream)
+                .writeStream.format("parquet")
+                .option("path", os.path.join(tmp, "out"))
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(os.path.join(tmp, "out")).collect()
+
+        os.makedirs(os.path.join(tmp, "in"))
+
+        def _add(i, rows):
+            df = spark.createDataFrame(rows, schema)
+            part = os.path.join(tmp, f"c{i}")
+            df.coalesce(1).write.parquet(part)
+            f = next(x for x in os.listdir(part) if x.endswith(".parquet"))
+            dst = os.path.join(tmp, "in", f"{i:02d}.parquet")
+            shutil.move(os.path.join(part, f), dst)
+            os.utime(dst, (1000 + i, 1000 + i))
+
+        _add(0, [(0, datetime(2024, 1, 1), 7, "click", 1.0)])
+        first = _run()
+        assert {r.event_type for r in first} == {"click"}
+        _add(1, [(1, datetime(2024, 1, 2), 7, "click", 2.0),
+                 (2, datetime(2024, 1, 2), 7, "buy", 3.0)])
+        second = _run()
+        # click was NOT re-emitted by the restarted query
+        assert sorted((r.event_type, r.first_event_id) for r in second) == [
+            ("buy", 2), ("click", 0),
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
