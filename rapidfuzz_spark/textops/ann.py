@@ -300,6 +300,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     assign: str = "auto",
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """(qid, cid, cos_sim, rnk): IVF top-k — queries probe their
     ``nprobe`` best cells, exact cosine only within them. Search cost
@@ -307,7 +308,10 @@ def ivf_topk(
     in exactly one cell, so probing can never duplicate a (qid, cid)
     pair. Skewed cells (degenerate embedding mass) are a bounded factor
     of the average at realistic n_cells; AQE's skew-join split is the
-    backstop, as for every other bucketed join here."""
+    first backstop, and ``cell_cap`` (off by default — it trades recall)
+    drops corpus cells above the cap via a broadcast census, the same
+    drop policy as ``lsh_topk``'s bucket_cap and blocking.py's drop_cap,
+    for corpora where one degenerate cell would dominate the join."""
     cents = _ivf_centroids(corpus, n_cells, id_col, emb_col)
     c = (
         corpus.select(
@@ -318,6 +322,14 @@ def ivf_topk(
         .withColumn("cell", F.expr(f"element_at({_RANKED_CELLS}, 1)"))
         .drop("scores")
     )
+    if cell_cap is not None:
+        hot = (
+            c.groupBy("cell")
+            .count()
+            .where(F.col("count") > cell_cap)
+            .select("cell")
+        )
+        c = c.join(F.broadcast(hot), ["cell"], "left_anti")
     q = (
         queries.select(
             F.col(id_col).alias("qid"),

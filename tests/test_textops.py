@@ -173,6 +173,28 @@ def test_ivf_auto_routes_large_cells_to_pandas(spark):
     assert got == want
 
 
+def test_ivf_cell_cap_drops_hot_cells(vecs):
+    """cell_cap mirrors lsh_topk's bucket_cap: corpus cells above the
+    cap are dropped via a broadcast census, everything else unchanged."""
+    sizes = {}
+    for r in ann.ivf_cells(vecs, n_cells=4).collect():
+        sizes[r.cell] = sizes.get(r.cell, 0) + 1
+    cap = max(sizes.values()) - 1  # drop exactly the biggest cell(s)
+    hot = {c for c, n in sizes.items() if n > cap}
+    assert hot and len(hot) < len(sizes)  # drops some cells, not all
+    q = vecs.where(F.col("vec_id") < 5)
+    # k > corpus so neither side truncates: set equality is then exact
+    capped = ann.ivf_topk(q, vecs, k=25, n_cells=4, nprobe=4, cell_cap=cap)
+    full = ann.ivf_topk(q, vecs, k=25, n_cells=4, nprobe=4)
+    cells = {r.vec_id: r.cell for r in ann.ivf_cells(vecs, n_cells=4).collect()}
+    got = {(r.qid, r.cid) for r in capped.collect()}
+    # no candidate from a dropped cell, and the survivors are exactly the
+    # full result restricted to cool cells re-ranked
+    assert all(cells[cid] not in hot for _, cid in got)
+    want = {(r.qid, r.cid) for r in full.collect() if cells[r.cid] not in hot}
+    assert got == want
+
+
 def test_ivf_pandas_null_embedding_scores_zero(spark):
     """A null embedding has no direction: both backends score it 0.0
     against every centroid, so it lands in cell 0 (lowest-id tie)."""
