@@ -979,6 +979,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["stream_first_touch"] = stream_first_touch
+
+    # -- corpus-curation operators (round-3 session additions) ------------
+
+    def dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import dedup
+
+        return dedup.duplicate_ngram_fraction(_docs(spark, sf_dir), n=8)
+
+    q["dup_ngram_frac"] = dup_ngram_frac
+
+    def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import sampling
+
+        return sampling.stratified_sample(
+            _docs(spark, sf_dir),
+            {"en": 0.5, "de": 0.25, "fr": 0.1},
+            default_rate=0.05,
+        ).select("doc_id", "lang", F.round("u", 6).alias("u"), "rate")
+
+    q["stratified_sample"] = stratified_sample
+
+    def quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import sampling
+
+        return sampling.quota_sample(
+            _docs(spark, sf_dir), 5, group_col="lang"
+        ).select("doc_id", "lang", "sample_rank")
+
+    q["quota_sample"] = quota_sample
+
+    def neardup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import dedup
+
+        # bucket_cap=None for the same reason as minhash_lsh_pairs: the
+        # SQL oracle joins every band signature uncapped
+        return dedup.near_duplicate_prune(
+            _docs(spark, sf_dir), jaccard_threshold=0.6, bucket_cap=None
+        )
+
+    q["neardup_prune"] = neardup_prune
+
+    def token_df_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import quality
+
+        return quality.token_df_stats(_docs(spark, sf_dir), top_n=50)
+
+    q["token_df_topn"] = token_df_topn
+
+    def cdc_chunk_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import dedup
+
+        return dedup.cdc_chunk_duplicates(_docs(spark, sf_dir), w=8, mask=31)
+
+    q["cdc_chunk_dups"] = cdc_chunk_dups
     return q
 
 
@@ -2050,4 +2104,141 @@ GROUP BY p.id_1, p.id_2"""
       FROM prs p
       LEFT JOIN s_ab sab ON sab.id_1 = p.id_1 AND sab.id_2 = p.id_2
       LEFT JOIN s_ba sba ON sba.id_1 = p.id_1 AND sba.id_2 = p.id_2"""
+
+    # -- corpus-curation operators (round-3 session additions) ------------
+    o["dup_ngram_frac"] = r"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents),
+      grams AS (
+        SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS h
+        FROM (SELECT doc_id, tk,
+                     unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS i
+              FROM toks)),
+      dup AS (
+        SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      per AS (
+        SELECT g.doc_id, count(*) AS n_ngrams,
+               sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+        FROM grams g LEFT JOIN dup d USING (h) GROUP BY g.doc_id)
+      SELECT t.doc_id,
+             coalesce(p.n_ngrams, 0)::BIGINT AS n_ngrams,
+             coalesce(p.n_dup, 0)::BIGINT AS n_dup,
+             round(CASE WHEN coalesce(p.n_ngrams, 0) > 0
+                        THEN p.n_dup::DOUBLE / p.n_ngrams
+                        ELSE 0.0 END, 6) AS dup_frac
+      FROM toks t LEFT JOIN per p USING (doc_id)"""
+    o["stratified_sample"] = """
+      SELECT doc_id, lang, round(u, 6) AS u, rate FROM (
+        SELECT doc_id, lang,
+               ('0x' || substr(md5('s0:' || doc_id), 1, 8))::BIGINT
+                 / 4294967296.0 AS u,
+               CASE lang WHEN 'de' THEN 0.25 WHEN 'en' THEN 0.5
+                         WHEN 'fr' THEN 0.1 ELSE 0.05 END AS rate
+        FROM documents)
+      WHERE u < rate"""
+    o["quota_sample"] = """
+      SELECT doc_id, lang, sample_rank::INT AS sample_rank FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY u, doc_id)
+                 AS sample_rank
+        FROM (SELECT doc_id, lang,
+                     ('0x' || substr(md5('s0:' || doc_id), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM documents))
+      WHERE sample_rank <= 5"""
+    o["neardup_prune"] = """
+      WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, substr(t, i, 5) AS sh
+        FROM (SELECT doc_id, lower(text) AS t,
+                     unnest(range(1, greatest(len(lower(text)) - 4, 1) + 1))
+                       AS i
+              FROM documents)
+      ),
+      mh AS (
+        SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || sh)) AS mh
+        FROM sh, generate_series(0, 15) s(seed)
+        GROUP BY doc_id, s.seed
+      ),
+      bands AS (
+        SELECT doc_id, (seed // 4)::INT AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, seed // 4
+      ),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM bands a JOIN bands b USING (band, sig)
+        WHERE a.doc_id < b.doc_id
+      ),
+      verified AS (
+        SELECT id_1, id_2 FROM (
+          SELECT id_1, id_2, s1, s2, len(list_intersect(s1, s2)) AS inter
+          FROM (
+            SELECT c.id_1, c.id_2,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(lower(d1.text)) - 2, 1) + 1),
+                     i -> substr(lower(d1.text), i, 3))) AS s1,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(lower(d2.text)) - 2, 1) + 1),
+                     i -> substr(lower(d2.text), i, 3))) AS s2
+            FROM cand c
+            JOIN documents d1 ON d1.doc_id = c.id_1
+            JOIN documents d2 ON d2.doc_id = c.id_2))
+        WHERE round(inter::DOUBLE / (len(s1) + len(s2) - inter), 6) >= 0.6
+      ),
+      sym AS (
+        SELECT id_1 AS a, id_2 AS b FROM verified
+        UNION SELECT id_2 AS a, id_1 AS b FROM verified),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+      )
+      SELECT a AS doc_id, min(b) AS canonical_id,
+             (a = min(b)) AS keep
+      FROM reach GROUP BY a"""
+    o["token_df_topn"] = r"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(
+                 string_split_regex(trim(lower(text)), '\s+'),
+                 x -> x <> '')) AS token
+        FROM documents),
+      agg AS (
+        SELECT token, count(DISTINCT doc_id) AS doc_freq,
+               count(*) AS term_freq
+        FROM toks GROUP BY token)
+      SELECT token, doc_freq, term_freq,
+             row_number() OVER (ORDER BY term_freq DESC, token)::INT AS rank
+      FROM agg
+      QUALIFY rank <= 50"""
+    o["cdc_chunk_dups"] = """
+      WITH d AS (
+        SELECT doc_id, text AS t FROM documents WHERE length(text) >= 1),
+      cutl AS (
+        SELECT doc_id, t,
+               list_sort(list_distinct(list_append(
+                 list_filter(
+                   list_transform(
+                     list_filter(range(1, greatest(length(t) - 7, 0) + 1),
+                       i -> ('0x' || substr(md5(substr(t, i, 8)), 1, 8))
+                              ::BIGINT % 32 = 0),
+                     i -> i + 7),
+                   c -> c < length(t)),
+                 length(t)))) AS cuts
+        FROM d),
+      his AS (SELECT doc_id, t, unnest(cuts) AS hi FROM cutl),
+      chunks AS (
+        SELECT doc_id,
+               substr(t, coalesce(lag(hi) OVER w, 0) + 1,
+                      hi - coalesce(lag(hi) OVER w, 0)) AS chunk
+        FROM his WINDOW w AS (PARTITION BY doc_id ORDER BY hi))
+      SELECT md5(chunk) AS chunk_hash,
+             count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_occurrences,
+             max(length(chunk))::INT AS chunk_len
+      FROM chunks WHERE length(chunk) > 0
+      GROUP BY chunk_hash HAVING count(*) >= 2"""
     return o

@@ -15,4 +15,4 @@ Modules:
               stub — codec libs are out of scope)
 """
 
-from . import ann, dedup, multimodal, quality, softtfidf  # noqa: F401
+from . import ann, dedup, multimodal, quality, sampling, softtfidf  # noqa: F401

@@ -289,3 +289,231 @@ def embedding_near_duplicates(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def word_ngram_hashes(
+    text: Column | str, n: int = 8, lowercase: bool = True
+) -> Column:
+    """md5 hashes of overlapping word n-grams as an array column (empty
+    when the document has fewer than ``n`` tokens). Tokens are the
+    non-empty ``\\s+`` splits — the same tokenization as
+    quality.token_counts, so per-doc stats line up across operators."""
+    t = text if isinstance(text, Column) else F.col(text)
+    if lowercase:
+        t = F.lower(t)
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != F.lit(""))
+    # Spark's sequence(1, stop) DESCENDS for stop < 1 (it never yields an
+    # empty array), so short docs need an explicit empty-array branch
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_ngram_fraction(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, n_ngrams, n_dup, dup_frac): per-document fraction of word
+    n-gram positions whose n-gram also occurs in >= ``min_docs`` distinct
+    documents — the duplicate-span signal substring-dedup pipelines
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better") threshold on before dropping or trimming documents.
+
+    Plan shape at scale: one explode of n-gram hashes (32-byte md5 keys,
+    positions kept for span accounting), one hash-aggregate per gram for
+    the distinct-doc count (partial aggregation collapses within-doc
+    repeats map-side), one equi-join back on the hash, one per-doc
+    aggregate. Nothing is quadratic in documents and no gram text — only
+    its md5 — ever shuffles. Degenerate boilerplate grams (df in the
+    millions) are bounded: the join fans out per OCCURRENCE, which is the
+    quantity being measured, and AQE's skew split handles the hot hash."""
+    grams = docs.select(
+        "doc_id",
+        F.posexplode_outer(word_ngram_hashes(text_col, n)).alias("pos", "h"),
+    )
+    dup = (
+        grams.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    per_doc = (
+        grams.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("h").alias("n_ngrams"),
+            F.coalesce(F.sum("is_dup"), F.lit(0)).alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_ngrams",
+        "n_dup",
+        F.round(
+            F.when(F.col("n_ngrams") > 0, F.col("n_dup") / F.col("n_ngrams"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+def near_duplicate_prune(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    rows_per_band: int = 4,
+    k: int = 5,
+    jaccard_n: int = 3,
+    jaccard_threshold: float = 0.6,
+    bucket_cap: int | None = None,
+    hot_cap: int | None = None,
+) -> DataFrame:
+    """(doc_id, canonical_id, keep): the composite near-dup pruning
+    pipeline a training-data run actually executes — MinHash+LSH
+    candidates -> exact character-n-gram Jaccard verification ->
+    connected components over verified edges -> keep one canonical
+    document (min doc_id) per near-dup cluster.
+
+    Each stage reuses the scale-audited primitive: LSH banding is a
+    bucket equi-join (never all-pairs; ``hot_cap``/``bucket_cap`` salt or
+    drop degenerate buckets), verification is per-pair on-row
+    ``array_intersect`` (zero extra shuffle beyond the text attach), and
+    clustering is the large-star/small-star fixpoint shared with the ER
+    pipeline — O(log n) rounds, no driver-side state."""
+    from ..pipeline.cluster import connected_components
+
+    cand = minhash_lsh_candidates(
+        docs,
+        text_col,
+        n_hashes=n_hashes,
+        rows_per_band=rows_per_band,
+        k=k,
+        bucket_cap=bucket_cap,
+        hot_cap=hot_cap,
+    )
+    texts = docs.select("doc_id", F.col(text_col).alias("__t"))
+    pairs = (
+        cand.join(texts.withColumnRenamed("doc_id", "id_1"), "id_1")
+        .withColumnRenamed("__t", "t1")
+        .join(texts.withColumnRenamed("doc_id", "id_2"), "id_2")
+        .withColumnRenamed("__t", "t2")
+    )
+    edges = pairs.where(
+        ngram_jaccard(pairs, "t1", "t2", n=jaccard_n)
+        >= F.lit(float(jaccard_threshold))
+    ).select(F.col("id_1").alias("doc_id_1"), F.col("id_2").alias("doc_id_2"))
+    comp = connected_components(edges)
+    return (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("entity_id", "doc_id").alias("canonical_id"),
+        )
+        .withColumn("keep", (F.col("doc_id") == F.col("canonical_id")))
+    )
+
+
+def content_defined_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    w: int = 8,
+    mask: int = 31,
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk): content-defined chunking — split every
+    document at positions where the rolling window hash satisfies
+    ``h % (mask+1) == 0`` (expected chunk length ``mask+1``). Chunks
+    concatenated in ``chunk_idx`` order reconstruct the document exactly.
+    Because boundaries depend only on local content, a shared passage
+    chunks identically regardless of where it sits in each document — the
+    property fixed-size blocking lacks and the reason CDC is the standard
+    dedup/storage primitive for shifted duplicates.
+
+    This formulation is Catalyst-only and engine-portable: the window
+    hash is md5 of the w-gram (DuckDB reproduces it bit-for-bit), at the
+    cost of one md5 per character. That is the correct trade for an
+    oracle-verifiable operator at test scale; at 100 TB swap the
+    boundary predicate for a gear/Rabin rolling hash inside a
+    mapInPandas batch (same chunk semantics, O(1) per character) — the
+    downstream explode + hash-aggregate, which is where the shuffle and
+    skew live, is identical for both.
+    """
+    t = F.col(text_col)
+    # Spark's sequence(1, stop) DESCENDS for stop < 1: docs shorter than
+    # the window have no boundary candidates, so give them an empty list
+    positions = F.when(
+        F.length(t) >= w, F.sequence(F.lit(1), F.length(t) - (w - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    # boundary AFTER position i+w-1 when the w-gram at i hashes to 0 mod
+    # (mask+1); cuts are sorted, distinct, and always include len(t)
+    cuts = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.filter(
+                    F.transform(
+                        F.filter(
+                            positions,
+                            lambda i: F.conv(
+                                F.substring(F.md5(t.substr(i, F.lit(w))), 1, 8),
+                                16,
+                                10,
+                            ).cast("long")
+                            % (mask + 1)
+                            == 0,
+                        ),
+                        lambda i: i + (w - 1),
+                    ),
+                    lambda c: c < F.length(t),
+                ),
+                F.array(F.length(t)),
+            )
+        )
+    )
+    chunks = (
+        docs.where(F.length(t) >= 1)
+        .select(
+            "doc_id",
+            # zip_with pads the longer side with null: lows has one extra
+            # leading 0, so its final (lo=len, hi=null) pair yields a null
+            # chunk, dropped by the length filter below
+            F.posexplode(
+                F.zip_with(
+                    F.concat(F.array(F.lit(0)), cuts),
+                    cuts,
+                    lambda lo, hi: t.substr(lo + 1, hi - lo),
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        .where(F.length("chunk") > 0)
+    )
+    return chunks
+
+
+def cdc_chunk_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    w: int = 8,
+    mask: int = 31,
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """(chunk_hash, n_docs, n_occurrences, chunk_len): chunks from
+    ``content_defined_chunks`` that recur across the corpus — one
+    hash-aggregate on the 32-byte chunk md5, partial aggregation
+    collapsing within-partition repeats map-side."""
+    chunks = content_defined_chunks(docs, text_col, w, mask)
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+            F.max(F.length("chunk")).alias("chunk_len"),
+        )
+        .where(F.col("n_occurrences") >= min_occurrences)
+    )

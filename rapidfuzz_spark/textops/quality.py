@@ -179,3 +179,36 @@ def winnow_fingerprints(
         F.count_distinct("fp").alias("n_fingerprints"),
         F.min("fp").alias("min_fp"),
     )
+
+
+def token_df_stats(
+    docs: DataFrame, text_col: str = "text", top_n: int = 50
+) -> DataFrame:
+    """(token, doc_freq, term_freq, rank): corpus-wide token statistics —
+    the inputs to stopword discovery, IDF tables (pipeline/blocking's
+    census and textops/softtfidf both consume document frequencies), and
+    quality filters that key on rare-token ratios.
+
+    One explode + one hash-aggregate: term_freq collapses map-side
+    (partial aggregation), doc_freq is a distinct-count on the same key.
+    The top-N is a global sort of the ALREADY-aggregated vocabulary
+    (O(vocab), not O(corpus)); ties break on the token string so the
+    ranking is total and reproducible."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    agg = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count("*").alias("term_freq"),
+    )
+    w = Window.orderBy(F.desc("term_freq"), F.asc("token"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+    )

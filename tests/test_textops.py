@@ -685,3 +685,135 @@ def test_media_variable_length_payloads(spark):
     assert all(abs(sum(v) - 1.0) < 1e-9 for v in feats.values())
     # 0xff lands in the LAST bin (clipped), not an overflow 11th bin
     assert feats["d3"][9] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# corpus-curation operators (round-3 session additions)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_ngram_fraction(docs):
+    """TEXTS: docs 0/3 identical (13 tokens -> 6 8-grams, all shared);
+    doc 1 differs only in the final token, so its grams 1-5 are shared
+    with 0/3 and gram 6 (covering the changed word) is unique; doc 2 has
+    7 tokens -> zero 8-grams; doc 4 shares nothing."""
+    rows = {
+        r.doc_id: r
+        for r in dedup.duplicate_ngram_fraction(docs, n=8).collect()
+    }
+    assert len(rows) == 5  # every doc present, even with zero n-grams
+    assert rows[0].n_ngrams == 6 and rows[0].n_dup == 6
+    assert rows[3].n_ngrams == 6 and rows[3].n_dup == 6
+    assert rows[1].n_ngrams == 6 and rows[1].n_dup == 5
+    assert rows[2].n_ngrams == 0 and rows[2].dup_frac == 0.0
+    assert rows[4].n_dup == 0
+    assert abs(rows[1].dup_frac - round(5 / 6, 6)) < 1e-12
+
+
+def test_stratified_sample_deterministic_and_exact(spark):
+    from rapidfuzz_spark.textops import sampling
+
+    d = spark.createDataFrame(
+        [(str(i), "a" if i % 2 else "b") for i in range(400)],
+        "doc_id string, lang string",
+    )
+    kept = sampling.stratified_sample(
+        d, {"a": 1.0, "b": 0.0}, default_rate=0.5
+    ).collect()
+    # rate 1.0 keeps the whole group, rate 0.0 drops it entirely
+    assert {r.lang for r in kept} == {"a"}
+    assert len(kept) == 200
+    half = sampling.stratified_sample(d, {"a": 0.5, "b": 0.5})
+    ids1 = {r.doc_id for r in half.collect()}
+    ids2 = {r.doc_id for r in half.collect()}
+    assert ids1 == ids2  # deterministic under re-execution
+    assert 120 <= len(ids1) <= 280  # ~Binomial(400, .5), generous bound
+    # every kept row satisfies the predicate it claims
+    assert all(r.u < r.rate for r in half.collect())
+    # a different salt draws a different sample
+    ids3 = {
+        r.doc_id
+        for r in sampling.stratified_sample(
+            d, {"a": 0.5, "b": 0.5}, salt="s1"
+        ).collect()
+    }
+    assert ids3 != ids1
+
+
+def test_quota_sample_exact_and_composable(spark):
+    from rapidfuzz_spark.textops import sampling
+
+    d = spark.createDataFrame(
+        [(str(i), "a" if i % 4 else "b") for i in range(100)],
+        "doc_id string, lang string",
+    )
+    out = sampling.quota_sample(d, 7, group_col="lang").collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.lang, []).append(r)
+    assert len(by_group["a"]) == 7 and len(by_group["b"]) == 7
+    assert sorted(r.sample_rank for r in by_group["a"]) == list(range(1, 8))
+    # composition: quota over a hash-prefiltered superset that keeps all
+    # low-hash rows selects the SAME rows (the documented scale recipe)
+    pre = sampling.stratified_sample(d, {"a": 0.6, "b": 0.6})
+    out2 = sampling.quota_sample(pre, 7, group_col="lang").collect()
+    assert {(r.lang, r.doc_id) for r in out2} >= {
+        (r.lang, r.doc_id) for r in out if r.u < 0.6
+    }
+    full = {(r.lang, r.doc_id) for r in out}
+    # with 60% of 25/75-member groups surviving, ranks 1-7 are unchanged
+    assert {(r.lang, r.doc_id) for r in out2} == full
+
+
+def test_near_duplicate_prune(docs):
+    rows = {r.doc_id: r for r in dedup.near_duplicate_prune(docs).collect()}
+    assert len(rows) == 5
+    # 0,1,3 form one near-dup cluster -> canonical 0 kept, 1 and 3 pruned
+    assert rows[0].canonical_id == 0 and rows[0].keep
+    assert rows[1].canonical_id == 0 and not rows[1].keep
+    assert rows[3].canonical_id == 0 and not rows[3].keep
+    # singletons keep themselves
+    assert rows[2].keep and rows[4].keep
+
+
+def test_token_df_stats(docs):
+    rows = quality.token_df_stats(docs, top_n=3).collect()
+    assert [r.rank for r in rows] == [1, 2, 3] or sorted(
+        r.rank for r in rows
+    ) == [1, 2, 3]
+    top = {r.token: r for r in rows}
+    # 'the' appears 3x in each of docs 0,1,3 -> tf 9, df 3, rank 1
+    assert rows[0].token == "the" if rows[0].rank == 1 else True
+    assert top["the"].term_freq == 9 and top["the"].doc_freq == 3
+
+
+def test_cdc_chunks_reconstruct_and_align(spark):
+    shared = (
+        "a long shared passage that is identical across both documents "
+        "and much longer than the expected chunk size of thirty two chars"
+    )
+    d = spark.createDataFrame(
+        [
+            ("x", "UNIQUE-PREFIX-ONE " + shared + " trailer-x"),
+            ("y", "different and longer unique prefix two " + shared),
+            ("z", "no overlap with anything else at all"),
+        ],
+        "doc_id string, text string",
+    )
+    chunks = dedup.content_defined_chunks(d).collect()
+    # chunks reconstruct each document exactly, in chunk_idx order
+    texts = {r.doc_id: r.text for r in d.collect()}
+    rebuilt = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_idx)):
+        rebuilt[r.doc_id] = rebuilt.get(r.doc_id, "") + r.chunk
+    assert rebuilt == texts
+    # the shared passage chunks identically despite different offsets:
+    # at least one duplicated chunk spans both docs
+    dups = dedup.cdc_chunk_duplicates(d).collect()
+    assert any(r.n_docs == 2 for r in dups)
+    # and a corpus with no repeated content yields no duplicate chunks
+    assert dedup.cdc_chunk_duplicates(
+        spark.createDataFrame(
+            [("q", "entirely singular content")], "doc_id string, text string"
+        )
+    ).count() == 0
