@@ -325,42 +325,49 @@ def duplicate_ngram_fraction(
     (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
     Better") threshold on before dropping or trimming documents.
 
-    Plan shape at scale: one explode of n-gram hashes (32-byte md5 keys,
-    positions kept for span accounting), one hash-aggregate per gram for
-    the distinct-doc count (partial aggregation collapses within-doc
-    repeats map-side), one equi-join back on the hash, one per-doc
-    aggregate. Nothing is quadratic in documents and no gram text — only
-    its md5 — ever shuffles. Degenerate boilerplate grams (df in the
-    millions) are bounded: the join fans out per OCCURRENCE, which is the
-    quantity being measured, and AQE's skew split handles the hot hash."""
+    Plan shape at scale — ONE corpus scan/explode: the exploded gram
+    hashes pre-aggregate to (doc_id, h, occurrences) map-side, the
+    distinct-doc count per gram is then a count(*) over those unique
+    (doc, gram) rows (no count-distinct expansion), and both per-doc
+    sums come from one join of the two aggregates on the 16-byte md5 key.
+    Nothing is quadratic in documents and no gram text — only its md5 —
+    ever shuffles; a degenerate boilerplate gram contributes one row per
+    DOCUMENT to the join, not one per occurrence, and AQE's skew split
+    handles the hot hash."""
     grams = docs.select(
-        "doc_id",
-        F.posexplode_outer(word_ngram_hashes(text_col, n)).alias("pos", "h"),
+        "doc_id", F.explode(word_ngram_hashes(text_col, n)).alias("h")
     )
-    dup = (
-        grams.where(F.col("h").isNotNull())
-        .groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .where(F.col("df") >= min_docs)
-        .select("h", F.lit(1).alias("is_dup"))
-    )
+    # one row per (doc, gram): occ carries within-doc repeats
+    per_doc_gram = grams.groupBy("doc_id", "h").agg(F.count("*").alias("occ"))
+    df_tbl = per_doc_gram.groupBy("h").agg(F.count("*").alias("gram_df"))
     per_doc = (
-        grams.join(dup, "h", "left")
+        per_doc_gram.join(df_tbl, "h")
         .groupBy("doc_id")
         .agg(
-            F.count("h").alias("n_ngrams"),
-            F.coalesce(F.sum("is_dup"), F.lit(0)).alias("n_dup"),
+            F.sum("occ").alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("gram_df") >= min_docs, F.col("occ")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_dup"),
         )
     )
-    return per_doc.select(
-        "doc_id",
-        "n_ngrams",
-        "n_dup",
-        F.round(
-            F.when(F.col("n_ngrams") > 0, F.col("n_dup") / F.col("n_ngrams"))
-            .otherwise(F.lit(0.0)),
-            6,
-        ).alias("dup_frac"),
+    # docs with fewer than n tokens have zero grams: restore them with 0s
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.round(
+                F.when(
+                    F.coalesce("n_ngrams", F.lit(0)) > 0,
+                    F.col("n_dup") / F.col("n_ngrams"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        )
     )
 
 
