@@ -1033,6 +1033,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.cdc_chunk_duplicates(_docs(spark, sf_dir), w=8, mask=31)
 
     q["cdc_chunk_dups"] = cdc_chunk_dups
+
+    def curation_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import curation
+
+        # lsh_bucket_cap=None: the oracle's band self-join is uncapped
+        return curation.curation_keep_list(
+            _docs(spark, sf_dir), lsh_bucket_cap=None
+        )
+
+    q["curation_keep_list"] = curation_keep_list
     return q
 
 
@@ -2241,4 +2251,115 @@ GROUP BY p.id_1, p.id_2"""
              max(length(chunk))::INT AS chunk_len
       FROM chunks WHERE length(chunk) > 0
       GROUP BY chunk_hash HAVING count(*) >= 2"""
+    o["curation_keep_list"] = r"""
+      WITH RECURSIVE qf AS (
+        SELECT doc_id,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '')) AS n_tokens,
+               round(greatest(0.0,
+                 0.4 * least(len(text)::DOUBLE / 200.0, 1.0)
+                 + 0.3 * coalesce(
+                     len(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                       ::DOUBLE / nullif(len(text), 0), 0.0)
+                 + 0.3 * (CASE WHEN coalesce(
+                       (len(text) - len(regexp_replace(text, '[^ ]', '',
+                                                       'g')))::DOUBLE
+                         / nullif(len(list_filter(
+                             string_split_regex(trim(text), '\s+'),
+                             x -> x <> '')), 0), 0.0)
+                     BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                 - 0.2 * coalesce(
+                     len(regexp_replace(text, '[^0-9]', '', 'g'))
+                       ::DOUBLE / nullif(len(text), 0), 0.0)), 6) AS quality
+        FROM documents),
+      ex AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY
+                 coalesce(md5(text), 'null:' || doc_id)) AS exact_canon
+        FROM documents),
+      sh AS (
+        SELECT DISTINCT doc_id, substr(t, i, 5) AS sh
+        FROM (SELECT doc_id, lower(text) AS t,
+                     unnest(range(1, greatest(len(lower(text)) - 4, 1) + 1))
+                       AS i
+              FROM documents)),
+      mh AS (
+        SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || sh)) AS mh
+        FROM sh, generate_series(0, 15) s(seed)
+        GROUP BY doc_id, s.seed),
+      bands AS (
+        SELECT doc_id, (seed // 4)::INT AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, seed // 4),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+        FROM bands a JOIN bands b USING (band, sig)
+        WHERE a.doc_id < b.doc_id),
+      verified AS (
+        SELECT id_1, id_2 FROM (
+          SELECT id_1, id_2, s1, s2, len(list_intersect(s1, s2)) AS inter
+          FROM (
+            SELECT c.id_1, c.id_2,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(lower(d1.text)) - 2, 1) + 1),
+                     i -> substr(lower(d1.text), i, 3))) AS s1,
+                   list_distinct(list_transform(
+                     range(1, greatest(len(lower(d2.text)) - 2, 1) + 1),
+                     i -> substr(lower(d2.text), i, 3))) AS s2
+            FROM cand c
+            JOIN documents d1 ON d1.doc_id = c.id_1
+            JOIN documents d2 ON d2.doc_id = c.id_2))
+        WHERE round(inter::DOUBLE / (len(s1) + len(s2) - inter), 6) >= 0.6),
+      sym AS (
+        SELECT id_1 AS a, id_2 AS b FROM verified
+        UNION SELECT id_2 AS a, id_1 AS b FROM verified),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+      nd AS (SELECT a AS doc_id, min(b) AS near_canon FROM reach GROUP BY a),
+      -- span-level repetition is measured over the DEDUPLICATED corpus:
+      -- cluster canonicals only, so doc-level duplication isn't counted
+      -- twice (same convention as the Spark operator)
+      surv AS (
+        SELECT d.doc_id FROM documents d
+        JOIN ex USING (doc_id) JOIN nd USING (doc_id)
+        WHERE ex.exact_canon = d.doc_id AND nd.near_canon = d.doc_id),
+      toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents JOIN surv USING (doc_id)),
+      grams AS (
+        SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS h
+        FROM (SELECT doc_id, tk,
+                     unnest(range(1, greatest(len(tk) - 7, 0) + 1)) AS i
+              FROM toks)),
+      dup AS (
+        SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+      per AS (
+        SELECT g.doc_id, count(*) AS n_ngrams,
+               sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+        FROM grams g LEFT JOIN dup d USING (h) GROUP BY g.doc_id),
+      dn AS (
+        SELECT t.doc_id,
+               round(CASE WHEN coalesce(p.n_ngrams, 0) > 0
+                          THEN p.n_dup::DOUBLE / p.n_ngrams
+                          ELSE 0.0 END, 6) AS dup_frac
+        FROM toks t LEFT JOIN per p USING (doc_id)),
+      dec AS (
+        SELECT d.doc_id, d.lang,
+               CASE WHEN d.lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang'
+                    WHEN qf.n_tokens < 12 THEN 'too_few_tokens'
+                    WHEN qf.quality < 0.8 THEN 'low_quality'
+                    WHEN ex.exact_canon <> d.doc_id THEN 'exact_duplicate'
+                    WHEN nd.near_canon <> d.doc_id THEN 'near_duplicate'
+                    WHEN dn.dup_frac > 0.5 THEN 'dup_ngrams'
+               END AS drop_reason
+        FROM documents d
+        JOIN qf USING (doc_id) JOIN ex USING (doc_id)
+        JOIN nd USING (doc_id) LEFT JOIN dn USING (doc_id))
+      SELECT doc_id, lang, drop_reason,
+             (drop_reason IS NULL) AS keep
+      FROM dec"""
     return o

@@ -15,4 +15,12 @@ Modules:
               stub — codec libs are out of scope)
 """
 
-from . import ann, dedup, multimodal, quality, sampling, softtfidf  # noqa: F401
+from . import (  # noqa: F401
+    ann,
+    curation,
+    dedup,
+    multimodal,
+    quality,
+    sampling,
+    softtfidf,
+)

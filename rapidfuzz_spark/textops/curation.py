@@ -1,0 +1,105 @@
+"""End-to-end corpus curation: the keep/drop decision a training-data
+pipeline actually ships, composed from the audited primitives — language
+allowlist, token-count floor, quality-score floor, exact dedup, MinHash
+near-dup pruning, and the duplicate-n-gram-span ceiling — with a
+``drop_reason`` column so corpus reports can attribute every removal.
+
+Plan shape at scale: each signal is its own independent job (they share
+only the documents scan), joined back on doc_id — six co-partitioned
+hash joins, no signal ever sees another's intermediate state, so the
+heaviest stage (near-dup LSH + connected components) bounds the wall and
+the cheap map-only signals (lang, quality) never wait on it in a DAG
+scheduler. The decision itself is one codegen'd CASE."""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import (
+    duplicate_ngram_fraction,
+    exact_duplicates,
+    near_duplicate_prune,
+)
+from .quality import quality_features
+
+__all__ = ["curation_keep_list"]
+
+
+def curation_keep_list(
+    docs: DataFrame,
+    allowed_langs: Sequence[str] = ("en", "de", "fr", "es"),
+    min_tokens: int = 12,
+    min_quality: float = 0.8,
+    max_dup_frac: float = 0.5,
+    ngram_n: int = 8,
+    lsh_bucket_cap: int | None = 5000,
+) -> DataFrame:
+    """(doc_id, lang, drop_reason, keep): one row per input document.
+    ``drop_reason`` is the FIRST failing rule in a fixed priority order
+    (cheap metadata rules first, so corpus reports attribute a document
+    to the earliest filter that would have caught it):
+
+    1. ``lang``            — language not in the allowlist
+    2. ``too_few_tokens``  — whitespace token count below ``min_tokens``
+    3. ``low_quality``     — composite quality score below ``min_quality``
+    4. ``exact_duplicate`` — byte-identical to a lower-doc_id document
+    5. ``near_duplicate``  — in a MinHash/Jaccard near-dup cluster and
+       not its canonical (min-doc_id) member
+    6. ``dup_ngrams``      — duplicate word-n-gram fraction above
+       ``max_dup_frac`` (boilerplate-heavy even after doc-level dedup)
+
+    ``keep`` is true iff no rule fires. Deduplication keeps exactly one
+    member per duplicate cluster regardless of the other rules, matching
+    the reported-corpus convention: a cluster's canonical doc can still
+    be dropped for quality, but its duplicates are attributed to
+    duplication, not to whatever else is also wrong with them.
+
+    The duplicate-n-gram signal is computed over the DEDUPLICATED corpus
+    (cluster canonicals only): counting gram document-frequency over the
+    raw corpus would flag every duplicate cluster's canonical as
+    boilerplate purely because its own copies repeat its grams — the
+    doc-level and span-level signals must not double-count the same
+    duplication (Lee et al. 2022 run substring dedup after document
+    dedup for the same reason)."""
+    q = quality_features(docs).select("doc_id", "n_tokens", "quality")
+    ex = exact_duplicates(docs).select(
+        "doc_id", F.col("canonical_id").alias("exact_canon")
+    )
+    nd = near_duplicate_prune(docs, bucket_cap=lsh_bucket_cap).select(
+        "doc_id", F.col("canonical_id").alias("near_canon")
+    )
+    survivors = (
+        ex.join(nd, "doc_id")
+        .where(
+            (F.col("exact_canon") == F.col("doc_id"))
+            & (F.col("near_canon") == F.col("doc_id"))
+        )
+        .select("doc_id")
+    )
+    dn = duplicate_ngram_fraction(
+        docs.join(survivors, "doc_id"), n=ngram_n
+    ).select("doc_id", "dup_frac")
+    j = (
+        docs.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .join(ex, "doc_id")
+        .join(nd, "doc_id")
+        # left: non-canonical docs have no dup_frac — an earlier dedup
+        # rule always fires for them before the CASE reaches it
+        .join(dn, "doc_id", "left")
+    )
+    reason = (
+        F.when(~F.col("lang").isin(*allowed_langs), F.lit("lang"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_few_tokens"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .when(F.col("exact_canon") != F.col("doc_id"), F.lit("exact_duplicate"))
+        .when(F.col("near_canon") != F.col("doc_id"), F.lit("near_duplicate"))
+        .when(F.col("dup_frac") > max_dup_frac, F.lit("dup_ngrams"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.select(
+        "doc_id", "lang", reason.alias("drop_reason")
+    ).withColumn("keep", F.col("drop_reason").isNull())

@@ -817,3 +817,36 @@ def test_cdc_chunks_reconstruct_and_align(spark):
             [("q", "entirely singular content")], "doc_id string, text string"
         )
     ).count() == 0
+
+
+def test_curation_keep_list_reasons(spark):
+    from rapidfuzz_spark.textops import curation
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away along the winding river bank toward the distant green hills "
+        "where it finally rests beneath an old oak tree watching clouds "
+        "drift slowly across the warm afternoon sky until dusk settles"
+    )
+    rows = [
+        (0, base, "en"),                          # keep (cluster canonical)
+        (1, base, "en"),                          # exact duplicate of 0
+        (2, base.replace("green", "stone"), "en"),  # near-dup of 0
+        (3, base, "zh"),                          # lang fires before dedup
+        (4, "tiny doc", "en"),                    # too_few_tokens
+        (5, "1234567890 " * 30, "en"),            # digit soup -> low_quality
+        (6, "an entirely distinct factual report about volcanic geology "
+            "covering eruption cycles magma chambers and seismic warning "
+            "signals observed across decades of measurement", "en"),  # keep
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in curation.curation_keep_list(d).collect()}
+    assert len(out) == 7
+    assert out[0].keep and out[0].drop_reason is None
+    assert out[1].drop_reason == "exact_duplicate"
+    assert out[2].drop_reason == "near_duplicate"
+    # rule priority: doc 3 is also an exact dup of 0, but lang fires first
+    assert out[3].drop_reason == "lang"
+    assert out[4].drop_reason == "too_few_tokens"
+    assert out[5].drop_reason == "low_quality"
+    assert out[6].keep
