@@ -1043,6 +1043,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["curation_keep_list"] = curation_keep_list
+
+    def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming exact dedup (applyInPandasWithState) across a
+        3-micro-batch file stream fed in doc_id order, so the
+        first-arriving doc per content hash == the global min doc_id and
+        the batch exact-dedup SQL oracle applies verbatim. The per-hash
+        seen-flag lives in the checkpointed state store — a duplicate in
+        batch 3 of content first seen in batch 1 emits nothing."""
+        import os
+        import shutil
+        import tempfile
+
+        from rapidfuzz_spark.streaming import streaming_dedup as sd
+
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        n = d.count()
+        rn = F.row_number().over(Window.orderBy("doc_id"))
+        chunked = d.withColumn("chunk", ((rn - 1) * 3 / F.lit(n)).cast("int"))
+        tmp = tempfile.mkdtemp(prefix="rf_sdedup_q_")
+        stream_dir = os.path.join(tmp, "stream_in")
+        os.makedirs(stream_dir)
+        for i in range(3):
+            part_dir = os.path.join(tmp, f"c{i}")
+            chunked.where(F.col("chunk") == i).drop("chunk").coalesce(
+                1
+            ).write.parquet(part_dir)
+            part = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stream_dir, f"{i:02d}.parquet")
+            shutil.move(os.path.join(part_dir, part), dst)
+            os.utime(dst, (1000 + 100 * i, 1000 + 100 * i))
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        query = (
+            sd(stream)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(tmp, "out"))
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        pdf = spark.read.parquet(os.path.join(tmp, "out")).toPandas()
+        shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(pdf, "content_hash string, doc_id bigint")
+
+    q["stream_dedup"] = stream_dedup
     return q
 
 
@@ -2362,4 +2413,9 @@ GROUP BY p.id_1, p.id_2"""
       SELECT doc_id, lang, drop_reason,
              (drop_reason IS NULL) AS keep
       FROM dec"""
+    o["stream_dedup"] = """
+      SELECT coalesce(md5(text), 'null:' || doc_id) AS content_hash,
+             min(doc_id) AS doc_id
+      FROM documents
+      GROUP BY coalesce(md5(text), 'null:' || doc_id)"""
     return o

@@ -6,6 +6,6 @@ value oracle; the streaming shapes are exercised by tests/test_streaming.
 """
 
 from .sessions import native_sessions
-from .stateful import first_touch_stream
+from .stateful import first_touch_stream, streaming_dedup
 
-__all__ = ["native_sessions", "first_touch_stream"]
+__all__ = ["native_sessions", "first_touch_stream", "streaming_dedup"]

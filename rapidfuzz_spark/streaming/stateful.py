@@ -80,3 +80,60 @@ def first_touch_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_DEDUP_OUT_SCHEMA = "content_hash string, doc_id bigint"
+
+
+def _dedup_first_fn(
+    key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        return
+    best = None
+    for pdf in pdfs:
+        lo = int(pdf["doc_id"].min())
+        if best is None or lo < best:
+            best = lo
+    if best is None:  # timeout-only invocation
+        return
+    state.update((True,))
+    yield pd.DataFrame({"content_hash": [key[0]], "doc_id": [best]})
+
+
+def streaming_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Streaming exact dedup: apply on a STREAMING documents DataFrame
+    with (doc_id, text); emits each distinct content hash ONCE, with the
+    first-arriving document (min doc_id within the micro-batch of first
+    arrival) — later copies are suppressed by a per-hash boolean in the
+    checkpointed state store, across micro-batches and query restarts.
+
+    This is the unbounded-corpus form of ``textops.dedup
+    .exact_duplicates``: the built-in ``dropDuplicatesWithinWatermark``
+    keeps an ARBITRARY row per key and needs an event-time watermark to
+    bound state; here the keep choice is deterministic (oracle-testable)
+    and state is one boolean per distinct document ever seen — the
+    correct lifetime for content dedup, where a copy arriving a month
+    later must still be suppressed. State size is the real scale knob:
+    32-byte md5 keys x distinct docs, sharded by the state-store
+    partitioning on the hash key, and the md5 keyspace is uniform so no
+    state shard runs hot.
+
+    NULL text never forms one giant duplicate group: a text-less doc
+    keys by its own doc_id (same convention as exact_duplicates)."""
+    from pyspark.sql import functions as F
+
+    keyed = docs.select(
+        F.coalesce(
+            F.md5(text_col),
+            F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+        ).alias("content_hash"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    return keyed.groupBy("content_hash").applyInPandasWithState(
+        _dedup_first_fn,
+        outputStructType=_DEDUP_OUT_SCHEMA,
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

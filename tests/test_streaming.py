@@ -206,3 +206,64 @@ def test_first_touch_batch_restart_keeps_state(spark):
         ]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_dedup_suppresses_and_restarts(spark):
+    """Streaming exact dedup: the same content arriving in a later
+    micro-batch emits nothing; within the first batch ties break to the
+    min doc_id; a restarted query (same checkpoint, new file) keeps
+    suppressing content emitted before the restart; null text never
+    groups together."""
+    from rapidfuzz_spark.streaming import streaming_dedup
+
+    tmp = tempfile.mkdtemp(prefix="rf_sdedup_t_")
+    try:
+        schema = "doc_id long, text string"
+        b0 = spark.createDataFrame(
+            [(5, "alpha"), (2, "alpha"), (3, "beta"), (8, None), (9, None)],
+            schema,
+        )
+        b1 = spark.createDataFrame(
+            [(1, "alpha"), (4, "gamma")], schema  # dup (suppressed) + new
+        )
+        sdir = os.path.join(tmp, "in")
+        os.makedirs(sdir)
+
+        def feed(i, df):
+            part = os.path.join(tmp, f"c{i}")
+            df.coalesce(1).write.parquet(part)
+            f = next(x for x in os.listdir(part) if x.endswith(".parquet"))
+            dst = os.path.join(sdir, f"{i:02d}.parquet")
+            shutil.move(os.path.join(part, f), dst)
+            os.utime(dst, (1000 + i, 1000 + i))
+
+        def run():
+            stream = (
+                spark.readStream.schema(b0.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(sdir)
+            )
+            q = (
+                streaming_dedup(stream)
+                .writeStream.format("parquet")
+                .option("path", os.path.join(tmp, "out"))
+                .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return {
+                r.doc_id
+                for r in spark.read.parquet(os.path.join(tmp, "out")).collect()
+            }
+
+        feed(0, b0)
+        feed(1, b1)
+        # alpha -> 2 (batch-0 min, not the later doc 1); nulls are their
+        # own groups (8 AND 9 both emit, no giant null cluster)
+        assert run() == {2, 3, 8, 9, 4}
+        # restart with one more file: only genuinely-new content emits
+        feed(2, spark.createDataFrame([(0, "alpha"), (6, "delta")], schema))
+        assert run() == {2, 3, 8, 9, 4, 6}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
