@@ -1094,6 +1094,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(pdf, "content_hash string, doc_id bigint")
 
     q["stream_dedup"] = stream_dedup
+
+    def incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import dedup
+
+        d = _docs(spark, sf_dir)
+        # bucket_cap=None: oracle parity (no cap in the SQL band join)
+        return dedup.incremental_lsh_candidates(
+            d.where(F.col("doc_id") < 450),
+            d.where(F.col("doc_id") >= 450),
+            bucket_cap=None,
+        )
+
+    q["incremental_lsh"] = incremental_lsh
     return q
 
 
@@ -2418,4 +2431,28 @@ GROUP BY p.id_1, p.id_2"""
              min(doc_id) AS doc_id
       FROM documents
       GROUP BY coalesce(md5(text), 'null:' || doc_id)"""
+    # signatures are a pure per-doc function of text, so the incremental
+    # path's pair set == the full-corpus LSH pair set minus base x base
+    o["incremental_lsh"] = """
+      WITH sh AS (
+        SELECT DISTINCT doc_id, substr(t, i, 5) AS sh
+        FROM (SELECT doc_id, lower(text) AS t,
+                     unnest(range(1, greatest(len(lower(text)) - 4, 1) + 1))
+                       AS i
+              FROM documents)
+      ),
+      mh AS (
+        SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || sh)) AS mh
+        FROM sh, generate_series(0, 15) s(seed)
+        GROUP BY doc_id, s.seed
+      ),
+      bands AS (
+        SELECT doc_id, (seed // 4)::INT AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, seed // 4
+      )
+      SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+      FROM bands a JOIN bands b USING (band, sig)
+      WHERE a.doc_id < b.doc_id
+        AND (a.doc_id >= 450 OR b.doc_id >= 450)"""
     return o

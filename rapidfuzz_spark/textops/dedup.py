@@ -524,3 +524,75 @@ def cdc_chunk_duplicates(
         )
         .where(F.col("n_occurrences") >= min_occurrences)
     )
+
+
+def incremental_lsh_candidates(
+    base_docs: DataFrame,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    rows_per_band: int = 4,
+    k: int = 5,
+    bucket_cap: int | None = 5000,
+    broadcast_increment: bool = True,
+) -> DataFrame:
+    """(id_1, id_2): near-duplicate candidate pairs involving at least
+    one NEW document — the incremental form of ``minhash_lsh_candidates``
+    for a corpus that grows by increments (the dedup analogue of
+    pipeline/incremental.link_increment).
+
+    The pair set is EXACTLY the full-corpus LSH pair set minus the
+    base x base pairs (signatures are a pure per-doc function of text, so
+    banding the increment separately changes nothing — locked by
+    tests/test_textops.py): new x base candidates come from joining the
+    increment's band signatures against the base's, new x new from the
+    increment self-join. At scale the base's signatures are a persisted
+    table computed once (re-banding 10^12 docs per increment would dwarf
+    the increment itself); the base corpus is never rescanned or
+    reshuffled — with ``broadcast_increment`` the increment's bands ship
+    to the base's partitions, so the big side never moves at all.
+
+    ``bucket_cap`` drops degenerate buckets by their size in the UNION
+    corpus (base members + new members), matching what the full-corpus
+    run would drop — a bucket just under cap in the base must not
+    survive the increment pushing it over."""
+    base_bands = lsh_band_signatures(
+        minhash_signatures(base_docs, text_col, n_hashes, k), rows_per_band
+    )
+    new_bands = lsh_band_signatures(
+        minhash_signatures(new_docs, text_col, n_hashes, k), rows_per_band
+    )
+    if bucket_cap is not None:
+        counts = (
+            base_bands.groupBy("band", "sig")
+            .count()
+            .unionByName(new_bands.groupBy("band", "sig").count())
+            .groupBy("band", "sig")
+            .agg(F.sum("count").alias("n"))
+            .where(F.col("n") > bucket_cap)
+            .select("band", "sig")
+        )
+        base_bands = base_bands.join(
+            F.broadcast(counts), ["band", "sig"], "left_anti"
+        )
+        new_bands = new_bands.join(
+            F.broadcast(counts), ["band", "sig"], "left_anti"
+        )
+    nb = F.broadcast(new_bands) if broadcast_increment else new_bands
+    cross = (
+        nb.alias("a")
+        .join(base_bands.alias("b"), ["band", "sig"])
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_1"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_2"),
+        )
+    )
+    self_pairs = (
+        new_bands.alias("a")
+        .join(new_bands.alias("b"), ["band", "sig"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_1"), F.col("b.doc_id").alias("id_2")
+        )
+    )
+    return cross.unionByName(self_pairs).dropDuplicates(["id_1", "id_2"])

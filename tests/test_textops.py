@@ -850,3 +850,47 @@ def test_curation_keep_list_reasons(spark):
     assert out[4].drop_reason == "too_few_tokens"
     assert out[5].drop_reason == "low_quality"
     assert out[6].keep
+
+
+def test_incremental_lsh_matches_full_corpus(spark):
+    """The incremental pair set must be EXACTLY the full-corpus LSH set
+    minus base x base pairs — and the union bucket_cap must drop a
+    bucket that only the increment pushes over the cap."""
+    rows = []
+    base_text = "the quick brown fox jumps over the lazy dog near the river"
+    for i in range(8):
+        rows.append((i, base_text + f" variant {i % 3}"))
+    rows += [(100, base_text + " variant 0"), (101, "totally unrelated xyz")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    base = d.where(F.col("doc_id") < 100)
+    new = d.where(F.col("doc_id") >= 100)
+    full = {
+        (r.id_1, r.id_2)
+        for r in dedup.minhash_lsh_candidates(d, bucket_cap=None).collect()
+    }
+    want = {(a, b) for a, b in full if a >= 100 or b >= 100}
+    got = {
+        (r.id_1, r.id_2)
+        for r in dedup.incremental_lsh_candidates(
+            base, new, bucket_cap=None
+        ).collect()
+    }
+    assert got == want and got  # non-vacuous: the increment has matches
+    # union-cap semantics: with the cap at the FULL bucket size - 1, the
+    # capped incremental run must equal the capped full-corpus run (a
+    # bucket just under cap in the base must not survive the increment
+    # pushing it over)
+    cap = 4
+    full_capped = {
+        (r.id_1, r.id_2)
+        for r in dedup.minhash_lsh_candidates(d, bucket_cap=cap).collect()
+    }
+    want_capped = {(a, b) for a, b in full_capped if a >= 100 or b >= 100}
+    got_capped = {
+        (r.id_1, r.id_2)
+        for r in dedup.incremental_lsh_candidates(
+            base, new, bucket_cap=cap
+        ).collect()
+    }
+    assert got_capped == want_capped
+    assert got_capped != got  # the cap actually bit on this fixture
