@@ -1107,6 +1107,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["incremental_lsh"] = incremental_lsh
+
+    def stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming near-dup discovery across a 3-micro-batch file
+        stream: each batch's bands join the accumulated band state, so a
+        pair is emitted exactly once — at the batch where its later
+        member arrives — and the CUMULATIVE output equals the batch LSH
+        pair set over the whole corpus (the full-corpus SQL oracle)."""
+        import os
+        import shutil
+        import tempfile
+
+        from rapidfuzz_spark.streaming import stream_neardup as snd
+
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        n = d.count()
+        rn = F.row_number().over(Window.orderBy("doc_id"))
+        chunked = d.withColumn("chunk", ((rn - 1) * 3 / F.lit(n)).cast("int"))
+        tmp = tempfile.mkdtemp(prefix="rf_sndup_q_")
+        stream_dir = os.path.join(tmp, "stream_in")
+        os.makedirs(stream_dir)
+        for i in range(3):
+            part_dir = os.path.join(tmp, f"c{i}")
+            chunked.where(F.col("chunk") == i).drop("chunk").coalesce(
+                1
+            ).write.parquet(part_dir)
+            part = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stream_dir, f"{i:02d}.parquet")
+            shutil.move(os.path.join(part_dir, part), dst)
+            os.utime(dst, (1000 + 100 * i, 1000 + 100 * i))
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        query = snd(
+            stream,
+            os.path.join(tmp, "out"),
+            os.path.join(tmp, "ckpt"),
+        )
+        query.awaitTermination()
+        pdf = (
+            spark.read.parquet(os.path.join(tmp, "out", "pairs"))
+            .select("id_1", "id_2")
+            .toPandas()
+        )
+        shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(pdf, "id_1 bigint, id_2 bigint")
+
+    q["stream_neardup"] = stream_neardup
     return q
 
 
@@ -2455,4 +2506,6 @@ GROUP BY p.id_1, p.id_2"""
       FROM bands a JOIN bands b USING (band, sig)
       WHERE a.doc_id < b.doc_id
         AND (a.doc_id >= 450 OR b.doc_id >= 450)"""
+    # cumulative streaming output == the batch LSH pair set: same oracle
+    o["stream_neardup"] = o["minhash_lsh_pairs"]
     return o

@@ -5,7 +5,13 @@ applyInPandasWithState. Batch shapes of both run under the driver's SQL
 value oracle; the streaming shapes are exercised by tests/test_streaming.
 """
 
+from .neardup import stream_neardup
 from .sessions import native_sessions
 from .stateful import first_touch_stream, streaming_dedup
 
-__all__ = ["native_sessions", "first_touch_stream", "streaming_dedup"]
+__all__ = [
+    "native_sessions",
+    "first_touch_stream",
+    "streaming_dedup",
+    "stream_neardup",
+]

@@ -562,6 +562,22 @@ def incremental_lsh_candidates(
     new_bands = lsh_band_signatures(
         minhash_signatures(new_docs, text_col, n_hashes, k), rows_per_band
     )
+    return incremental_band_pairs(
+        base_bands, new_bands, bucket_cap, broadcast_increment
+    )
+
+
+def incremental_band_pairs(
+    base_bands: DataFrame,
+    new_bands: DataFrame,
+    bucket_cap: int | None = 5000,
+    broadcast_increment: bool = True,
+) -> DataFrame:
+    """Band-level core of ``incremental_lsh_candidates``: candidate pairs
+    from pre-computed (doc_id, band, sig) tables — new x base bucket join
+    plus new x new self-join. Callers that persist band signatures
+    (streaming state, checkpointed batch increments) enter here so the
+    base corpus is never re-banded."""
     if bucket_cap is not None:
         counts = (
             base_bands.groupBy("band", "sig")

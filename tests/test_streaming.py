@@ -267,3 +267,76 @@ def test_streaming_dedup_suppresses_and_restarts(spark):
         assert run() == {2, 3, 8, 9, 4, 6}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_neardup_cumulative_equals_batch(spark):
+    """Each pair is emitted exactly once, at the batch where its later
+    member arrives; cumulative output == the batch LSH pair set; a
+    restart from the same checkpoint with a new file only adds the new
+    file's pairs."""
+    from rapidfuzz_spark.streaming import stream_neardup
+    from rapidfuzz_spark.textops import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(0, base + " bank"), (1, base + " bend"), (2, "unrelated aaa bbb")],
+        schema,
+    )
+    b1 = spark.createDataFrame([(3, base + " bank"), (4, "zzz yyy xxx")], schema)
+    b2 = spark.createDataFrame([(5, base + " bend")], schema)
+    tmp = tempfile.mkdtemp(prefix="rf_sndup_t_")
+    try:
+        sdir = os.path.join(tmp, "in")
+        os.makedirs(sdir)
+
+        def feed(i, df):
+            part = os.path.join(tmp, f"c{i}")
+            df.coalesce(1).write.parquet(part)
+            f = next(x for x in os.listdir(part) if x.endswith(".parquet"))
+            dst = os.path.join(sdir, f"{i:02d}.parquet")
+            shutil.move(os.path.join(part, f), dst)
+            os.utime(dst, (1000 + i, 1000 + i))
+
+        def run():
+            stream = (
+                spark.readStream.schema(b0.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(sdir)
+            )
+            q = stream_neardup(
+                stream, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+            )
+            q.awaitTermination()
+            return spark.read.parquet(os.path.join(tmp, "out", "pairs"))
+
+        feed(0, b0)
+        feed(1, b1)
+        got = run()
+        pairs = {(r.id_1, r.id_2) for r in got.collect()}
+        full = {
+            (r.id_1, r.id_2)
+            for r in dedup.minhash_lsh_candidates(
+                b0.unionByName(b1), bucket_cap=None
+            ).collect()
+        }
+        assert pairs == full
+        # cross-batch pair (0,3) exists and was emitted at batch 1
+        by_batch = {
+            (r.id_1, r.id_2): r.batch_id for r in got.collect()
+        }
+        assert by_batch[(0, 3)] == 1 and by_batch[(0, 1)] == 0
+        # exactly-once: no pair appears under two batch_ids
+        assert len(by_batch) == got.count()
+        # restart with one more file: only the new doc's pairs appear
+        feed(2, b2)
+        got2 = {(r.id_1, r.id_2) for r in run().collect()}
+        full3 = {
+            (r.id_1, r.id_2)
+            for r in dedup.minhash_lsh_candidates(
+                b0.unionByName(b1).unionByName(b2), bucket_cap=None
+            ).collect()
+        }
+        assert got2 == full3 and (0, 5) in got2 - pairs
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
