@@ -1158,6 +1158,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.createDataFrame(pdf, "id_1 bigint, id_2 bigint")
 
     q["stream_neardup"] = stream_neardup
+
+    def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import quality
+
+        return quality.repetition_signals(_docs(spark, sf_dir))
+
+    q["repetition_signals"] = repetition_signals
     return q
 
 
@@ -2508,4 +2515,49 @@ GROUP BY p.id_1, p.id_2"""
         AND (a.doc_id >= 450 OR b.doc_id >= 450)"""
     # cumulative streaming output == the batch LSH pair set: same oracle
     o["stream_neardup"] = o["minhash_lsh_pairs"]
+    o["repetition_signals"] = r"""
+      WITH toks AS (
+        SELECT doc_id, i AS pos, tk[i] AS tok, tk[i + 1] AS nxt
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents),
+             (SELECT unnest(generate_series(1, 100000)) AS i)
+        WHERE i <= len(tk)),
+      runs0 AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN lag(tok) OVER w IS NULL
+                         OR lag(tok) OVER w <> tok THEN 1 ELSE 0 END AS brk
+        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      runs1 AS (
+        SELECT doc_id, tok,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM runs0),
+      runs AS (
+        SELECT doc_id, max(c) AS max_token_run
+        FROM (SELECT doc_id, run_id, count(*) AS c
+              FROM runs1 GROUP BY doc_id, run_id)
+        GROUP BY doc_id),
+      bg AS (
+        SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bigrams
+        FROM (SELECT doc_id, tok || ' ' || nxt AS b, count(*) AS c
+              FROM toks WHERE nxt IS NOT NULL GROUP BY doc_id, b)
+        GROUP BY doc_id),
+      base AS (
+        SELECT d.doc_id, count(t.tok) AS n_tokens,
+               count(DISTINCT t.tok) AS n_distinct
+        FROM documents d LEFT JOIN toks t USING (doc_id)
+        GROUP BY d.doc_id)
+      SELECT b.doc_id, b.n_tokens,
+             round(CASE WHEN b.n_tokens > 0
+                        THEN 1.0 - b.n_distinct::DOUBLE / b.n_tokens
+                        ELSE 0.0 END, 6) AS frac_dup_tokens,
+             round(coalesce(g.top_bg::DOUBLE / g.n_bigrams, 0.0), 6)
+               AS top_bigram_frac,
+             coalesce(r.max_token_run, 0)::BIGINT AS max_token_run
+      FROM base b
+      LEFT JOIN runs r USING (doc_id)
+      LEFT JOIN bg g USING (doc_id)"""
     return o

@@ -212,3 +212,96 @@ def token_df_stats(
         agg.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_n)
     )
+
+
+def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, frac_dup_tokens, top_bigram_frac,
+    max_token_run): within-document repetition — the Gopher-rules
+    complement to the cross-document signals in textops/dedup.py.
+    Degenerate generated/boilerplate text repeats itself internally long
+    before it duplicates another document:
+
+    - ``frac_dup_tokens``: 1 - distinct/total tokens (word-level
+      repetition mass)
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over all bigram positions (loop detection)
+    - ``max_token_run``: longest run of consecutive IDENTICAL tokens
+      (stutter detection); 0 for empty docs
+
+    Plan: one explode of (doc, pos, token), bigram + run-id derived with
+    lag windows partitioned by doc_id, two hash-aggregates back to one
+    row per doc — every aggregate is partial-agg friendly and the only
+    shuffle key is doc_id (no skew: a document is one partition's worth
+    of tokens by construction)."""
+    from pyspark.sql.window import Window as W
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode_outer(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("pos", "tok"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    enriched = toks.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.lag("tok").over(w).alias("prev"),
+        F.lead("tok").over(w).alias("nxt"),
+    ).withColumn(
+        # run id: increments whenever the token changes; null-token rows
+        # (empty docs) keep run_id null and drop out of the run lengths
+        "run_id",
+        F.when(
+            F.col("tok").isNotNull(),
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("prev") != F.col("tok")),
+                    1,
+                ).otherwise(0)
+            ).over(w),
+        ),
+    )
+    runs = (
+        enriched.where(F.col("run_id").isNotNull())
+        .groupBy("doc_id", "run_id")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").alias("max_token_run"))
+    )
+    bigrams = (
+        enriched.where(F.col("nxt").isNotNull())
+        .groupBy("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_bg"), F.sum("c").alias("n_bigrams")
+        )
+    )
+    base = enriched.groupBy("doc_id").agg(
+        F.count("tok").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )
+    return (
+        base.join(runs, "doc_id", "left")
+        .join(bigrams, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    1.0 - F.col("n_distinct") / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("frac_dup_tokens"),
+            F.round(
+                F.coalesce(F.col("top_bg") / F.col("n_bigrams"), F.lit(0.0)),
+                6,
+            ).alias("top_bigram_frac"),
+            F.coalesce("max_token_run", F.lit(0)).alias("max_token_run"),
+        )
+    )

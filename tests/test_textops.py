@@ -894,3 +894,25 @@ def test_incremental_lsh_matches_full_corpus(spark):
     }
     assert got_capped == want_capped
     assert got_capped != got  # the cap actually bit on this fixture
+
+
+def test_repetition_signals(spark):
+    rows = [
+        (0, "alpha beta gamma delta"),            # no repetition
+        (1, "spam spam spam spam eggs"),           # run of 4, dup mass
+        (2, "go stop go stop go stop go stop"),    # bigram loop, runs of 1
+        (3, ""),                                   # empty
+        (4, "solo"),                               # single token
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in quality.repetition_signals(d).collect()}
+    assert len(out) == 5
+    assert out[0].frac_dup_tokens == 0.0 and out[0].max_token_run == 1
+    assert out[1].max_token_run == 4
+    assert out[1].frac_dup_tokens == round(1 - 2 / 5, 6)
+    # 7 bigram positions; 'go stop' occurs 4 times
+    assert out[2].top_bigram_frac == round(4 / 7, 6)
+    assert out[2].max_token_run == 1
+    assert out[3].n_tokens == 0 and out[3].max_token_run == 0
+    assert out[3].frac_dup_tokens == 0.0 and out[3].top_bigram_frac == 0.0
+    assert out[4].n_tokens == 1 and out[4].top_bigram_frac == 0.0
