@@ -68,13 +68,17 @@ def stream_neardup(
             dedup.minhash_signatures(batch_df, text_col, n_hashes, k),
             rows_per_band,
         ).localCheckpoint(eager=True)  # banded once, used by 3 consumers
+        from pyspark.errors import AnalysisException
+
         try:
             base_bands = (
                 spark.read.parquet(bands_dir)
                 .where(F.col("batch_id") != batch_id)
                 .drop("batch_id")
             )
-        except Exception:  # first batch: no state written yet
+        except AnalysisException:  # first batch: no state written yet —
+            # only PATH_NOT_FOUND-style analysis errors mean "no state";
+            # anything else (corrupt files, permissions) must surface
             base_bands = None
         if base_bands is not None:
             pairs = dedup.incremental_band_pairs(

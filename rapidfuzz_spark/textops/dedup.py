@@ -602,6 +602,10 @@ def incremental_band_pairs(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_1"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_2"),
         )
+        # base and increment are disjoint by contract; if a caller feeds a
+        # doc to both (e.g. a replayed increment), drop the self-pair
+        # rather than emitting (x, x)
+        .where(F.col("id_1") < F.col("id_2"))
     )
     self_pairs = (
         new_bands.alias("a")
