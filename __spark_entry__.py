@@ -2471,7 +2471,9 @@ GROUP BY p.id_1, p.id_2"""
         FROM toks t LEFT JOIN per p USING (doc_id)),
       dec AS (
         SELECT d.doc_id, d.lang,
-               CASE WHEN d.lang NOT IN ('en', 'de', 'fr', 'es') THEN 'lang'
+               CASE WHEN d.lang IS NULL
+                         OR d.lang NOT IN ('en', 'de', 'fr', 'es')
+                    THEN 'lang'
                     WHEN qf.n_tokens < 12 THEN 'too_few_tokens'
                     WHEN qf.quality < 0.8 THEN 'low_quality'
                     WHEN ex.exact_canon <> d.doc_id THEN 'exact_duplicate'

@@ -21,9 +21,11 @@ read excludes the current batch_id so a replay never joins against its
 own earlier attempt.
 
 At 10^12 docs the bands table is the scale knob: ~n_hashes/rows_per_band
-rows of 36 bytes per document, bucketed by (band, sig) at write time so
-each micro-batch's bucket join is co-located instead of reshuffling the
-ever-growing state.
+rows of 36 bytes per document. As written, each micro-batch's bucket
+join shuffles the accumulated state on (band, sig); the documented scale
+upgrade is to keep the state in a (band, sig)-bucketed catalog table
+(bucketBy needs a table catalog, which plain parquet paths don't have)
+so the join is co-located and only the increment moves.
 """
 
 from __future__ import annotations
@@ -46,12 +48,20 @@ def stream_neardup(
     n_hashes: int = 16,
     rows_per_band: int = 4,
     k: int = 5,
+    broadcast_increment: bool = True,
     trigger_available_now: bool = True,
 ):
     """Start the streaming near-dup query over a STREAMING (doc_id, text)
     DataFrame. Writes candidate pairs to ``out_dir``/pairs and band
     signatures (the state) to ``out_dir``/bands, both partitioned by
     batch_id. Returns the StreamingQuery (caller awaits termination).
+
+    ``broadcast_increment``: micro-batches are small by construction, so
+    shipping the batch's bands to the state's partitions is the default.
+    Set False when batches can be huge (an availableNow backlog drain
+    packs the whole queue into few batches) — a forced broadcast past the
+    driver's memory would fail the batch, and a replay re-runs the same
+    plan, so the query would never progress.
 
     No bucket_cap here by design: a cap decision depends on the bucket's
     final size, which streaming cannot know early — pairs emitted before
@@ -76,25 +86,22 @@ def stream_neardup(
                 .where(F.col("batch_id") != batch_id)
                 .drop("batch_id")
             )
-        except AnalysisException:  # first batch: no state written yet —
-            # only PATH_NOT_FOUND-style analysis errors mean "no state";
-            # anything else (corrupt files, permissions) must surface
-            base_bands = None
-        if base_bands is not None:
-            pairs = dedup.incremental_band_pairs(
-                base_bands, new_bands, bucket_cap=None
-            )
-        else:
-            a, b = new_bands.alias("a"), new_bands.alias("b")
-            pairs = (
-                a.join(b, ["band", "sig"])
-                .where(F.col("a.doc_id") < F.col("b.doc_id"))
-                .select(
-                    F.col("a.doc_id").alias("id_1"),
-                    F.col("b.doc_id").alias("id_2"),
-                )
-                .dropDuplicates(["id_1", "id_2"])
-            )
+        except AnalysisException as e:
+            # only a missing state dir means "first batch"; corrupt or
+            # unreadable state must fail the batch, not silently restart
+            # from empty state (which would drop every cross-batch pair)
+            if e.getCondition() != "PATH_NOT_FOUND":
+                raise
+            # empty base: incremental_band_pairs degenerates to exactly
+            # the within-batch self-join — one code path for pair
+            # semantics instead of a re-implementation here
+            base_bands = spark.createDataFrame([], new_bands.schema)
+        pairs = dedup.incremental_band_pairs(
+            base_bands,
+            new_bands,
+            bucket_cap=None,
+            broadcast_increment=broadcast_increment,
+        )
         (
             pairs.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")

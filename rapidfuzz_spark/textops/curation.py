@@ -92,7 +92,12 @@ def curation_keep_list(
         .join(dn, "doc_id", "left")
     )
     reason = (
-        F.when(~F.col("lang").isin(*allowed_langs), F.lit("lang"))
+        # isNull explicitly: NULL lang must be DROPPED by an allowlist,
+        # but `~isin` alone evaluates to NULL and skips the branch
+        F.when(
+            F.col("lang").isNull() | ~F.col("lang").isin(*allowed_langs),
+            F.lit("lang"),
+        )
         .when(F.col("n_tokens") < min_tokens, F.lit("too_few_tokens"))
         .when(F.col("quality") < min_quality, F.lit("low_quality"))
         .when(F.col("exact_canon") != F.col("doc_id"), F.lit("exact_duplicate"))

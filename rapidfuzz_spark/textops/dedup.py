@@ -555,7 +555,12 @@ def incremental_lsh_candidates(
     ``bucket_cap`` drops degenerate buckets by their size in the UNION
     corpus (base members + new members), matching what the full-corpus
     run would drop — a bucket just under cap in the base must not
-    survive the increment pushing it over."""
+    survive the increment pushing it over. Note the census this needs
+    re-aggregates the base bands per increment: at large base scale,
+    maintain the per-bucket counts as a table alongside the persisted
+    bands (they are increment-invariant) and apply the cap yourself,
+    entering at ``incremental_band_pairs(bucket_cap=None)`` — the
+    "never rescan the base" property below then holds unconditionally."""
     base_bands = lsh_band_signatures(
         minhash_signatures(base_docs, text_col, n_hashes, k), rows_per_band
     )

@@ -916,3 +916,22 @@ def test_repetition_signals(spark):
     assert out[3].n_tokens == 0 and out[3].max_token_run == 0
     assert out[3].frac_dup_tokens == 0.0 and out[3].top_bigram_frac == 0.0
     assert out[4].n_tokens == 1 and out[4].top_bigram_frac == 0.0
+
+
+def test_curation_null_lang_dropped(spark):
+    from rapidfuzz_spark.textops import curation
+
+    text = (
+        "a sufficiently long and clean document about mountain weather "
+        "patterns with plenty of ordinary words to pass both the token "
+        "floor and the composite quality score threshold without any "
+        "digits or symbols cluttering it up at all in any visible way"
+    )
+    d = spark.createDataFrame(
+        [(1, text, "en"), (2, text + " second", None)],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in curation.curation_keep_list(d).collect()}
+    assert out[1].keep
+    # NULL lang must fail the allowlist, not slip through 3-valued logic
+    assert out[2].drop_reason == "lang" and not out[2].keep

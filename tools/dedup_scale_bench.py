@@ -70,7 +70,7 @@ def main() -> None:
     )
     n_docs = corpus.count()
 
-    def job() -> tuple[int, int]:
+    def job() -> int:
         cand = dedup.minhash_lsh_candidates(
             corpus, n_hashes=16, rows_per_band=4, k=5, bucket_cap=5000
         )
