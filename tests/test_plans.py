@@ -170,6 +170,11 @@ def test_driver_queries_no_cartesian_no_rowpython(spark):
         "event_sessions_native",
         "lang_id_ngram", "quality_scores", "token_count",
         "winnow_fingerprint", "part_name_match", "event_sessions",
+        # round-3 session additions (all pure Catalyst; neardup_prune and
+        # curation_keep_list run eager CC internally, covered separately)
+        "dup_ngram_frac", "stratified_sample", "quota_sample",
+        "token_df_topn", "cdc_chunk_dups", "incremental_lsh",
+        "repetition_signals",
     ]
     qs = E.queries()
     for name in lazy:
@@ -177,3 +182,15 @@ def test_driver_queries_no_cartesian_no_rowpython(spark):
         p = plan_str(df, "simple")
         assert "CartesianProduct" not in p, name
         assert "BatchEvalPython" not in p, name
+
+
+def test_stratified_sample_map_only(spark):
+    """The Bernoulli sampler must stay a zero-exchange map-only plan —
+    the property that makes it the sane downsampler at 10^12 rows."""
+    from rapidfuzz_spark.textops import sampling
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = sampling.stratified_sample(d, {"en": 0.5}, default_rate=0.1)
+    p = plan_str(df, "simple")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
