@@ -1165,6 +1165,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return quality.repetition_signals(_docs(spark, sf_dir))
 
     q["repetition_signals"] = repetition_signals
+
+    # -- training-export operators (round-3 continuation) ------------------
+
+    def decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import training
+        from rapidfuzz_spark.textops.sampling import md5_uniform
+
+        docs = _docs(spark, sf_dir)
+        # eval set: deterministic md5-uniform 5% draw of the corpus itself
+        # (stands in for a benchmark table; the draw is reproduced
+        # verbatim in the SQL oracle)
+        ev = docs.where(md5_uniform("doc_id", "eval") < 0.05)
+        return training.decontaminate(docs, ev, n=13)
+
+    q["decontaminate_eval"] = decontaminate_eval
+
+    def temp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import training
+
+        return training.temperature_resample(
+            _docs(spark, sf_dir), alpha=0.5
+        ).select("doc_id", "lang", F.round("u", 6).alias("u"), "rate")
+
+    q["temp_resample"] = temp_resample
+
+    def pack_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import training
+
+        return training.pack_documents(
+            _docs(spark, sf_dir), budget=256, n_shards=4
+        )
+
+    q["pack_docs"] = pack_docs
+
+    def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import training
+
+        return training.shuffle_shards(_docs(spark, sf_dir), n_shards=8).select(
+            "doc_id", F.round("u", 6).alias("u"), "shard", "shard_pos"
+        )
+
+    q["shuffle_shards"] = shuffle_shards
+
+    def unigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import quality
+
+        return quality.unigram_logprob(_docs(spark, sf_dir))
+
+    q["unigram_lp"] = unigram_lp
     return q
 
 
@@ -2562,4 +2611,92 @@ GROUP BY p.id_1, p.id_2"""
       FROM base b
       LEFT JOIN runs r USING (doc_id)
       LEFT JOIN bg g USING (doc_id)"""
+    # -- training-export operators -----------------------------------------
+    o["decontaminate_eval"] = r"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(tk[i:i+12], ' ')) AS h
+        FROM (SELECT doc_id, tk,
+                     unnest(range(1, greatest(len(tk) - 12, 0) + 1)) AS i
+              FROM toks)),
+      ev AS (
+        SELECT DISTINCT h FROM grams
+        WHERE doc_id IN (
+          SELECT doc_id FROM documents
+          WHERE ('0x' || substr(md5('eval:' || doc_id), 1, 8))::BIGINT
+                  / 4294967296.0 < 0.05)),
+      hits AS (
+        SELECT g.doc_id, count(*) AS n_hits
+        FROM grams g JOIN ev USING (h) GROUP BY g.doc_id)
+      SELECT d.doc_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
+             coalesce(n_hits, 0) >= 1 AS contaminated
+      FROM documents d LEFT JOIN hits USING (doc_id)"""
+    o["temp_resample"] = """
+      WITH cnt AS (
+        SELECT lang, count(*)::DOUBLE AS n_g FROM documents GROUP BY lang),
+      wts AS (
+        SELECT lang, pow(n_g / sum(n_g) OVER (), -0.5) AS w_g FROM cnt),
+      rates AS (
+        SELECT lang, round(w_g / max(w_g) OVER (), 6) AS rate FROM wts)
+      SELECT doc_id, lang, round(u, 6) AS u, rate
+      FROM (SELECT d.doc_id, d.lang,
+                   ('0x' || substr(md5('s0:' || d.doc_id), 1, 8))::BIGINT
+                     / 4294967296.0 AS u,
+                   r.rate
+            FROM documents d JOIN rates r USING (lang))
+      WHERE u < rate"""
+    o["pack_docs"] = r"""
+      WITH d AS (
+        SELECT doc_id, lang AS grp,
+               floor((('0x' || substr(md5('pack:' || doc_id), 1, 8))::BIGINT
+                      / 4294967296.0) * 4)::INT AS shard,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+'))
+               END AS n_tokens
+        FROM documents),
+      w AS (
+        SELECT doc_id, grp, shard, n_tokens::INT AS n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY grp, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS tokens_before
+        FROM d)
+      SELECT doc_id, grp, shard, n_tokens,
+             floor(tokens_before / 256.0)::BIGINT AS pack_id,
+             (row_number() OVER (
+                 PARTITION BY grp, shard, floor(tokens_before / 256.0)
+                 ORDER BY doc_id) - 1)::INT AS pack_pos
+      FROM w"""
+    o["shuffle_shards"] = """
+      WITH d AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('shuf0:' || doc_id), 1, 8))::BIGINT
+                 / 4294967296.0 AS u
+        FROM documents),
+      s AS (SELECT doc_id, u, floor(u * 8)::INT AS shard FROM d)
+      SELECT doc_id, round(u, 6) AS u, shard,
+             (row_number() OVER (PARTITION BY shard ORDER BY u, doc_id) - 1
+              )::INT AS shard_pos
+      FROM s"""
+    o["unigram_lp"] = r"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                     '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents),
+      vocab AS (SELECT token, count(*)::DOUBLE AS tf FROM toks GROUP BY token),
+      tot AS (SELECT sum(tf) AS n_total FROM vocab),
+      per AS (
+        SELECT t.doc_id, count(*) AS n_tokens,
+               round(avg(ln(v.tf / (SELECT n_total FROM tot))), 6)
+                 AS mean_logprob
+        FROM toks t JOIN vocab v USING (token) GROUP BY t.doc_id)
+      SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+             p.mean_logprob
+      FROM documents d LEFT JOIN per p USING (doc_id)"""
     return o

@@ -305,3 +305,59 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.coalesce("max_token_run", F.lit(0)).alias("max_token_run"),
         )
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, mean_logprob): corpus-unigram language-model
+    score per document — the cheap perplexity proxy quality filters rank
+    on (CCNet-style: documents whose tokens are improbable under the
+    corpus's own unigram distribution are noise/garble candidates; ones
+    whose tokens are all stopword-grade are boilerplate candidates).
+
+    The model is the corpus itself: P(tok) = term_freq(tok) / N over the
+    whitespace tokenization shared with token_counts/token_df_stats, so
+    every scored token is in-vocabulary by construction and no smoothing
+    constant has to be invented. ``mean_logprob`` is the mean natural
+    log-probability over the document's tokens (NULL for token-less
+    documents), rounded to 6 dp.
+
+    Plan shape at 100 TB: one explode of (doc_id, token), one token-key
+    hash-aggregate for the vocabulary (term_freq collapses map-side), a
+    hash join of the exploded stream back to the vocabulary on the token
+    key (both sides co-partitioned on that key; vocabulary is Zipf but
+    the join is build-side-small per key, and AQE's skew split covers
+    the stopword head), then one doc_id aggregate. The corpus text is
+    scanned once; nothing ever sorts globally and the vocabulary — not
+    the corpus — is the only broadcast-sized artifact if the optimizer
+    picks a broadcast join instead."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("token"),
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    n_total = vocab.agg(F.sum("tf").alias("n_total"))
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(n_total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("tf") / F.col("n_total"))), 6
+            ).alias("mean_logprob"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            "mean_logprob",
+        )
+    )

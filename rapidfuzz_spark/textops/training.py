@@ -1,0 +1,227 @@
+"""Training-export operators: the last mile from a curated corpus to
+training batches — benchmark decontamination, language-temperature
+resampling, token-budget sequence packing, and deterministic shard
+shuffling.
+
+These four compose in exactly that order in a real LM-data pipeline:
+drop eval-set contamination, rebalance the language mix, pack documents
+into fixed token budgets, and assign every pack/doc a reproducible
+(shard, position) for the training reader. Everything here is pure
+Catalyst (no Python rows) and deterministic (md5-derived draws, no RNG),
+so re-runs, resumed runs, and independent SQL engines reproduce the same
+selection bit-for-bit — the same policy as textops/sampling.py.
+
+Scale notes per operator are on the docstrings; the common theme is that
+the only data-sized shuffles are hash-partitioned aggregations/joins on
+high-cardinality keys (doc_id, token, shard), never a global sort and
+never a driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import word_ngram_hashes
+from .sampling import md5_uniform
+
+__all__ = [
+    "decontaminate",
+    "temperature_resample",
+    "pack_documents",
+    "shuffle_shards",
+]
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Flag training documents that share word ``n``-grams with an
+    evaluation/benchmark set (GPT-3-style 13-gram decontamination).
+
+    Returns one row per input document: ``(doc_id, n_hits,
+    contaminated)`` where ``n_hits`` counts DISTINCT eval n-grams the
+    document contains and ``contaminated = n_hits >= min_hits``.
+    Documents shorter than ``n`` tokens have no n-grams and are clean by
+    construction — same short-doc convention as
+    dedup.duplicate_ngram_fraction.
+
+    Plan shape at 100 TB: the eval side is benchmarks, not corpus — a
+    few million distinct grams at most — so it reduces to a DISTINCT
+    hashed-gram set that broadcasts (``broadcast_eval``), and the corpus
+    pass is one scan + explode + broadcast probe; the per-doc DISTINCT
+    count runs AFTER the probe, so the only corpus-side exchange carries
+    the matched grams (normally a vanishing fraction — a corpus-sized
+    dedup shuffle before the probe would dominate the job). With
+    ``broadcast_eval=False`` the probe is a hash-partitioned join on the
+    gram hash for eval sets too large to broadcast (e.g. decontaminating
+    against another corpus).
+    """
+    grams = docs.select(
+        "doc_id", F.explode(word_ngram_hashes(text_col, n=n)).alias("h")
+    )
+    eval_grams = (
+        eval_docs.select(F.explode(word_ngram_hashes(text_col, n=n)).alias("h"))
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    hits = (
+        grams.join(eval_grams, "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def temperature_resample(
+    docs: DataFrame,
+    alpha: float = 0.7,
+    group_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "s0",
+) -> DataFrame:
+    """Language-temperature rebalancing: keep each group-``g`` row with
+    probability ``rate_g = (p_g^(alpha-1)) / max_h(p_h^(alpha-1))`` where
+    ``p_g`` is the group's corpus share — the standard multilingual
+    sampling temperature (sampling distribution ``q_g ∝ p_g^alpha``)
+    realized as a downsample: the rarest group keeps rate 1.0 and
+    dominant groups are thinned toward the flattened mix. ``alpha=1``
+    keeps everything; ``alpha=0`` targets a uniform group mix.
+
+    The acceptance draw is the deterministic md5-uniform of the row key,
+    so the selection is reproducible and engine-portable; ``rate`` is
+    rounded to 6 dp BEFORE the comparison so the boundary itself is
+    engine-exact too (pow() may differ in the last ulp across libm
+    implementations; 6 dp is far coarser than that).
+
+    Plan shape: one tiny group-count aggregation (groups are languages —
+    dozens), a window max over that tiny frame, a broadcast join back,
+    and a map-side filter. The corpus is scanned once, never shuffled.
+
+    Returns kept rows with ``u`` (draw) and ``rate`` for audit.
+    """
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    total = Window.partitionBy()
+    w = counts.withColumn(
+        "w_g", F.pow(F.col("n_g") / F.sum("n_g").over(total), alpha - 1.0)
+    )
+    rates = w.select(
+        group_col,
+        F.round(F.col("w_g") / F.max("w_g").over(total), 6).alias("rate"),
+    )
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .withColumn("u", md5_uniform(key_col, salt))
+        .where(F.col("u") < F.col("rate"))
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget: int = 512,
+    group_col: str | None = "lang",
+    n_shards: int = 1,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every document to a fixed-token-budget training pack:
+    documents are concatenated in deterministic ``key_col`` order inside
+    each (group, shard) stream and the token stream is chopped at
+    document boundaries every ``budget`` tokens — a document starts in
+    the pack its first token falls into (``pack_id = floor(tokens_before
+    / budget)``), so packs hold whole documents and may overflow the
+    budget by at most one document's tail, the usual doc-boundary
+    packing rule for LM pretraining batches.
+
+    Returns ``(doc_id, group, shard, n_tokens, pack_id, pack_pos)``
+    where ``pack_pos`` is the document's 0-based rank within its pack.
+    Zero-token documents occupy no space; they attach to the pack at
+    their stream position.
+
+    Plan shape at scale: the only shuffle is the window sort inside
+    (group, shard). ``n_shards`` bounds that sort — each shard is an
+    independent packing stream (shard = xxhash64 of the key, mod
+    ``n_shards``), so 10^12 docs pack as n_shards independent
+    window-partitions instead of one global per-language sort; pick
+    n_shards so a shard's (doc_id, n_tokens) pairs fit an executor.
+    Token counts are the same whitespace tokenization as
+    quality.token_counts — swap in a BPE count column upstream if exact
+    model-token budgets are needed.
+    """
+    g = F.col(group_col) if group_col else F.lit("all")
+    k = F.col(key_col)
+    d = docs.select(
+        k.alias("doc_id"),
+        g.alias("grp"),
+        # md5-derived shard (engine-portable, same policy as
+        # sampling.md5_uniform); xxhash64 is the cheaper in-Spark swap
+        # when cross-engine reproducibility isn't needed
+        F.floor(md5_uniform(key_col, "pack") * n_shards)
+        .cast("int")
+        .alias("shard"),
+        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        .alias("n_tokens"),
+    )
+    stream = Window.partitionBy("grp", "shard").orderBy("doc_id")
+    d = d.withColumn(
+        "tokens_before",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                stream.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn("pack_id", F.floor(F.col("tokens_before") / budget))
+    pack = Window.partitionBy("grp", "shard", "pack_id").orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        F.col("grp").alias("grp"),
+        "shard",
+        "n_tokens",
+        "pack_id",
+        (F.row_number().over(pack) - 1).alias("pack_pos"),
+    )
+
+
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 16,
+    key_col: str = "doc_id",
+    salt: str = "shuf0",
+) -> DataFrame:
+    """Deterministic global shuffle for training readers: every row gets
+    a reproducible pseudo-random ``(shard, shard_pos)`` from the
+    md5-uniform of its key — shard by the draw's high bits, position by
+    rank of the draw within the shard. Equivalent to a uniform random
+    permutation split into ``n_shards`` files, but stable across re-runs
+    and engines (no RNG), which is what makes resumable training-data
+    writes auditable.
+
+    Plan shape: one hash per row, one shuffle on ``shard`` (uniform by
+    construction — the draw is uniform, so shards are balanced within
+    binomial noise), and a per-shard sort for ``shard_pos``. No global
+    sort: each shard orders independently, exactly how the files would
+    be written.
+    """
+    k = key_col
+    d = docs.withColumn("u", md5_uniform(k, salt)).withColumn(
+        "shard", F.floor(F.col("u") * n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("u", k)
+    return d.withColumn("shard_pos", (F.row_number().over(w) - 1))

@@ -175,6 +175,9 @@ def test_driver_queries_no_cartesian_no_rowpython(spark):
         "dup_ngram_frac", "stratified_sample", "quota_sample",
         "token_df_topn", "cdc_chunk_dups", "incremental_lsh",
         "repetition_signals",
+        # training-export operators (round-3 continuation)
+        "decontaminate_eval", "temp_resample", "pack_docs",
+        "shuffle_shards", "unigram_lp",
     ]
     qs = E.queries()
     for name in lazy:
@@ -194,3 +197,39 @@ def test_stratified_sample_map_only(spark):
     p = plan_str(df, "simple")
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_decontaminate_probe_before_distinct(spark):
+    """The per-doc DISTINCT hit count must run AFTER the broadcast probe:
+    the corpus-sized gram stream reaches the join map-side, and the only
+    shuffled rows are matched grams (the property that makes 13-gram
+    decontamination a single corpus pass at 10^12 docs)."""
+    from rapidfuzz_spark.textops import training
+    from rapidfuzz_spark.textops.sampling import md5_uniform
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = d.where(md5_uniform("doc_id", "eval") < 0.05)
+    df = training.decontaminate(d, ev, n=13)
+    p = plan_str(df, "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # corpus side: scan -> explode -> broadcast join with NO exchange in
+    # between (the join appears before any shuffle of the gram stream)
+    probe = p[p.index("BroadcastHashJoin"):]
+    scan = probe[probe.index("Generate"):] if "Generate" in probe else probe
+    assert "Exchange hashpartitioning" not in scan.split("BroadcastExchange")[0]
+
+
+def test_temperature_resample_corpus_map_only(spark):
+    """Rates are a broadcast-joined tiny frame; the corpus itself must
+    flow scan -> filter -> broadcast join with zero corpus-side
+    exchanges."""
+    from rapidfuzz_spark.textops import training
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = training.temperature_resample(d, alpha=0.5)
+    p = plan_str(df, "simple")
+    assert "BroadcastHashJoin" in p
+    # everything above the broadcast join build side is the corpus path
+    corpus_path = p.split("BroadcastExchange")[0]
+    assert "Exchange" not in corpus_path

@@ -1,0 +1,233 @@
+"""Training-export operators: decontamination, temperature resampling,
+token-budget packing, shard shuffling, unigram log-prob scoring.
+
+Every test pins a semantic contract the SQL oracles in __spark_entry__
+also rely on (short-doc conventions, determinism, budget arithmetic);
+the oracle gate checks engine parity, these check the semantics are the
+ones a training pipeline needs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rapidfuzz_spark.textops.quality import unigram_logprob
+from rapidfuzz_spark.textops.training import (
+    decontaminate,
+    pack_documents,
+    shuffle_shards,
+    temperature_resample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+class TestDecontaminate:
+    def test_overlap_flags_and_short_docs_clean(self, spark):
+        eval_text = " ".join(f"w{i}" for i in range(13))  # exactly one 13-gram
+        docs = _docs(
+            spark,
+            [
+                (1, eval_text + " tail tokens here", "en"),  # contains it
+                (2, "completely different words " * 5, "en"),  # clean
+                (3, "short doc", "en"),  # < 13 tokens: clean by construction
+                (4, eval_text, "en"),  # the eval doc itself
+            ],
+        )
+        ev = docs.where(F.col("doc_id") == 4)
+        out = {
+            r["doc_id"]: (r["n_hits"], r["contaminated"])
+            for r in decontaminate(docs, ev, n=13).collect()
+        }
+        assert out[1] == (1, True)
+        assert out[2] == (0, False)
+        assert out[3] == (0, False)
+        assert out[4] == (1, True)
+
+    def test_min_hits_threshold_counts_distinct_grams(self, spark):
+        # doc 1 shares two DISTINCT eval grams, doc 2 contains one eval
+        # gram repeated twice — only distinct grams count toward min_hits
+        ev_text = " ".join(f"e{i}" for i in range(4))  # grams: e0..e2, e1..e3
+        docs = _docs(
+            spark,
+            [
+                (1, ev_text, "en"),
+                (2, "e0 e1 e2 x e0 e1 e2", "en"),
+                (3, ev_text, "en"),
+            ],
+        )
+        ev = docs.where(F.col("doc_id") == 3)
+        out = {
+            r["doc_id"]: (r["n_hits"], r["contaminated"])
+            for r in decontaminate(docs, ev, n=3, min_hits=2).collect()
+        }
+        assert out[1] == (2, True)
+        assert out[2] == (1, False)
+
+    def test_shuffle_join_path_matches_broadcast(self, spark):
+        docs = _docs(
+            spark,
+            [(i, f"tok{i} tok{i + 1} tok{i + 2} tok{i + 3}", "en") for i in range(30)],
+        )
+        ev = docs.where(F.col("doc_id") < 5)
+        a = sorted(decontaminate(docs, ev, n=3, broadcast_eval=True).collect())
+        b = sorted(decontaminate(docs, ev, n=3, broadcast_eval=False).collect())
+        assert a == b
+
+
+class TestTemperatureResample:
+    def test_alpha_one_keeps_everything(self, spark):
+        docs = _docs(
+            spark,
+            [(i, "x", "en" if i < 80 else "fr") for i in range(100)],
+        )
+        out = temperature_resample(docs, alpha=1.0)
+        assert out.count() == 100
+        assert out.agg(F.min("rate")).first()[0] == 1.0
+
+    def test_rarest_group_keeps_rate_one(self, spark):
+        docs = _docs(
+            spark,
+            [(i, "x", "en" if i < 90 else "fr") for i in range(100)],
+        )
+        rates = {
+            r["lang"]: r["rate"]
+            for r in temperature_resample(docs, alpha=0.5)
+            .select("lang", "rate")
+            .distinct()
+            .collect()
+        }
+        assert rates["fr"] == 1.0
+        # en thinned toward the flattened mix: (0.9)^-0.5 / (0.1)^-0.5 = 1/3
+        assert rates["en"] == pytest.approx((0.9 / 0.1) ** -0.5, abs=1e-6)
+
+    def test_deterministic_across_calls(self, spark):
+        docs = _docs(
+            spark,
+            [(i, "x", ["en", "fr", "de"][i % 3]) for i in range(60)],
+        )
+        a = sorted(r["doc_id"] for r in temperature_resample(docs, 0.3).collect())
+        b = sorted(r["doc_id"] for r in temperature_resample(docs, 0.3).collect())
+        assert a == b
+
+
+class TestPackDocuments:
+    def test_budget_boundary_and_overflow(self, spark):
+        # one group, one shard: docs of 4 tokens each, budget 10 —
+        # a doc starts in the pack its FIRST token falls into, so packs
+        # hold whole docs: tokens_before 0,4,8 -> pack 0; 12,16 -> 1; ...
+        docs = _docs(spark, [(i, "a b c d", "en") for i in range(6)])
+        out = pack_documents(docs, budget=10, group_col=None, n_shards=1)
+        packs = {r["doc_id"]: (r["pack_id"], r["pack_pos"]) for r in out.collect()}
+        assert packs == {
+            0: (0, 0),
+            1: (0, 1),
+            2: (0, 2),
+            3: (1, 0),
+            4: (1, 1),
+            5: (2, 0),
+        }
+
+    def test_zero_token_doc_occupies_no_space(self, spark):
+        docs = _docs(
+            spark,
+            [(0, "a b c", "en"), (1, "   ", "en"), (2, "d e f", "en"),
+             (3, "g h i", "en")],
+        )
+        out = pack_documents(docs, budget=6, group_col=None, n_shards=1)
+        rows = {r["doc_id"]: (r["n_tokens"], r["pack_id"]) for r in out.collect()}
+        # stream: 3 + 0 + 3 + 3 tokens; the whitespace-only doc adds
+        # nothing, so doc 2 still starts inside pack 0 (tokens_before 3)
+        # and doc 3 opens pack 1 (tokens_before 6)
+        assert rows[1] == (0, 0)
+        assert rows[2] == (3, 0)
+        assert rows[3] == (3, 1)
+
+    def test_groups_and_shards_pack_independently(self, spark):
+        docs = _docs(
+            spark,
+            [(i, "t " * 20, ["en", "fr"][i % 2]) for i in range(40)],
+        )
+        out = pack_documents(docs, budget=50, group_col="lang", n_shards=4)
+        # every (grp, shard, pack) holds whole docs and pack_pos is a
+        # contiguous 0-based rank
+        for (grp, shard, pack), grp_rows in (
+            out.groupBy("grp", "shard", "pack_id")
+            .agg(
+                F.sort_array(F.collect_list("pack_pos")).alias("pos"),
+                F.sum("n_tokens").alias("tok"),
+            )
+            .toPandas()
+            .set_index(["grp", "shard", "pack_id"])
+            .iterrows()
+        ):
+            assert list(grp_rows["pos"]) == list(range(len(grp_rows["pos"])))
+
+    def test_total_tokens_conserved(self, spark):
+        docs = _docs(spark, [(i, "x " * (i % 7), "en") for i in range(50)])
+        out = pack_documents(docs, budget=16, n_shards=2, group_col=None)
+        assert out.count() == 50
+        spark_total = out.agg(F.sum("n_tokens")).first()[0]
+        assert spark_total == sum(i % 7 for i in range(50))
+
+
+class TestShuffleShards:
+    def test_positions_contiguous_and_deterministic(self, spark):
+        docs = _docs(spark, [(i, "x", "en") for i in range(200)])
+        out = shuffle_shards(docs, n_shards=8)
+        assert out.count() == 200
+        per = (
+            out.groupBy("shard")
+            .agg(
+                F.count("*").alias("n"),
+                F.min("shard_pos").alias("lo"),
+                F.max("shard_pos").alias("hi"),
+                F.countDistinct("shard_pos").alias("d"),
+            )
+            .collect()
+        )
+        assert len(per) >= 2
+        for r in per:
+            assert (r["lo"], r["hi"], r["d"]) == (0, r["n"] - 1, r["n"])
+        again = shuffle_shards(docs, n_shards=8)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, again.collect())
+        )
+
+    def test_salt_changes_permutation(self, spark):
+        docs = _docs(spark, [(i, "x", "en") for i in range(100)])
+        a = {r["doc_id"]: (r["shard"], r["shard_pos"])
+             for r in shuffle_shards(docs, 4, salt="s1").collect()}
+        b = {r["doc_id"]: (r["shard"], r["shard_pos"])
+             for r in shuffle_shards(docs, 4, salt="s2").collect()}
+        assert a != b
+
+
+class TestUnigramLogprob:
+    def test_hand_computed_corpus(self, spark):
+        # corpus: "a a b" + "b c" -> N=5, tf: a=2, b=2, c=1
+        docs = _docs(spark, [(1, "a a b", "en"), (2, "b c", "en")])
+        out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+        lp = lambda tf: math.log(tf / 5.0)
+        assert out[1]["n_tokens"] == 3
+        assert out[1]["mean_logprob"] == pytest.approx(
+            (2 * lp(2) + lp(2)) / 3, abs=1e-6
+        )
+        assert out[2]["mean_logprob"] == pytest.approx(
+            (lp(2) + lp(1)) / 2, abs=1e-6
+        )
+
+    def test_empty_doc_null_score(self, spark):
+        docs = _docs(spark, [(1, "a b", "en"), (2, "   ", "en")])
+        out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+        assert out[2]["n_tokens"] == 0
+        assert out[2]["mean_logprob"] is None
+
+    def test_case_folding_shares_counts(self, spark):
+        docs = _docs(spark, [(1, "Tok tok", "en")])
+        row = unigram_logprob(docs).first()
+        assert row["mean_logprob"] == pytest.approx(math.log(1.0), abs=1e-6)
