@@ -1214,6 +1214,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return quality.unigram_logprob(_docs(spark, sf_dir))
 
     q["unigram_lp"] = unigram_lp
+
+    def training_export_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import training
+        from rapidfuzz_spark.textops.sampling import md5_uniform
+
+        docs = _docs(spark, sf_dir)
+        ev = docs.where(md5_uniform("doc_id", "eval") < 0.05)
+        return training.training_export(
+            docs, ev, decontam_n=13, alpha=0.5, budget=256, n_shards=8
+        )
+
+    q["training_export_e2e"] = training_export_e2e
     return q
 
 
@@ -2699,4 +2711,67 @@ GROUP BY p.id_1, p.id_2"""
       SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
              p.mean_logprob
       FROM documents d LEFT JOIN per p USING (doc_id)"""
+    # composed replay of the full last mile: decontaminate -> resample on
+    # the CLEAN corpus -> pack (single stream per language) -> shard
+    o["training_export_e2e"] = r"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(tk[i:i+12], ' ')) AS h
+        FROM (SELECT doc_id, tk,
+                     unnest(range(1, greatest(len(tk) - 12, 0) + 1)) AS i
+              FROM toks)),
+      ev AS (
+        SELECT DISTINCT h FROM grams
+        WHERE doc_id IN (
+          SELECT doc_id FROM documents
+          WHERE ('0x' || substr(md5('eval:' || doc_id), 1, 8))::BIGINT
+                  / 4294967296.0 < 0.05)),
+      contam AS (SELECT DISTINCT g.doc_id FROM grams g JOIN ev USING (h)),
+      clean AS (
+        SELECT d.* FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)),
+      cnt AS (SELECT lang, count(*)::DOUBLE AS n_g FROM clean GROUP BY lang),
+      wts AS (
+        SELECT lang, pow(n_g / sum(n_g) OVER (), -0.5) AS w_g FROM cnt),
+      rates AS (
+        SELECT lang, round(w_g / max(w_g) OVER (), 6) AS rate FROM wts),
+      kept AS (
+        SELECT c.doc_id, c.lang, c.text FROM clean c JOIN rates r USING (lang)
+        WHERE ('0x' || substr(md5('s0:' || c.doc_id), 1, 8))::BIGINT
+                / 4294967296.0 < r.rate),
+      ntok AS (
+        SELECT doc_id, lang AS grp,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\s+'))
+               END AS n_tokens
+        FROM kept),
+      w AS (
+        SELECT doc_id, grp, n_tokens::INT AS n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY grp ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS tb
+        FROM ntok),
+      packed AS (
+        SELECT doc_id, grp AS "group", n_tokens,
+               floor(tb / 256.0)::BIGINT AS pack_id,
+               (row_number() OVER (
+                   PARTITION BY grp, floor(tb / 256.0)
+                   ORDER BY doc_id) - 1)::INT AS pack_pos
+        FROM w),
+      addr AS (
+        SELECT doc_id, floor(u * 8)::INT AS shard,
+               (row_number() OVER (PARTITION BY floor(u * 8)
+                                   ORDER BY u, doc_id) - 1)::INT AS shard_pos
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5('shuf0:' || doc_id), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM kept))
+      SELECT p.doc_id, p."group", p.n_tokens, p.pack_id, p.pack_pos,
+             a.shard, a.shard_pos
+      FROM packed p JOIN addr a USING (doc_id)"""
     return o

@@ -31,6 +31,7 @@ __all__ = [
     "temperature_resample",
     "pack_documents",
     "shuffle_shards",
+    "training_export",
 ]
 
 
@@ -115,17 +116,27 @@ def temperature_resample(
 
     Returns kept rows with ``u`` (draw) and ``rate`` for audit.
     """
-    counts = docs.groupBy(group_col).agg(F.count("*").alias("n_g"))
+    # NULL group values form their own group (an inner equi-join on the
+    # raw column would silently DROP NULL-group rows — a SQL three-valued
+    # trap, same class as the curation NULL-lang fix): join on a
+    # null-safe key, report the original column
+    gkey = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00null"))
+    counts = (
+        docs.groupBy(gkey.alias("__gkey"))
+        .agg(F.count("*").alias("n_g"))
+    )
     total = Window.partitionBy()
     w = counts.withColumn(
         "w_g", F.pow(F.col("n_g") / F.sum("n_g").over(total), alpha - 1.0)
     )
     rates = w.select(
-        group_col,
+        "__gkey",
         F.round(F.col("w_g") / F.max("w_g").over(total), 6).alias("rate"),
     )
     return (
-        docs.join(F.broadcast(rates), group_col)
+        docs.withColumn("__gkey", gkey)
+        .join(F.broadcast(rates), "__gkey")
+        .drop("__gkey")
         .withColumn("u", md5_uniform(key_col, salt))
         .where(F.col("u") < F.col("rate"))
     )
@@ -174,7 +185,12 @@ def pack_documents(
         F.floor(md5_uniform(key_col, "pack") * n_shards)
         .cast("int")
         .alias("shard"),
-        F.when(F.trim(F.col(text_col)) == "", F.lit(0))
+        # NULL text packs as 0 tokens, same as whitespace-only (size/split
+        # would propagate NULL into the window sum and void the pack_id)
+        F.when(
+            F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+            F.lit(0),
+        )
         .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
         .alias("n_tokens"),
     )
@@ -225,3 +241,44 @@ def shuffle_shards(
     )
     w = Window.partitionBy("shard").orderBy("u", k)
     return d.withColumn("shard_pos", (F.row_number().over(w) - 1))
+
+
+def training_export(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    decontam_n: int = 13,
+    alpha: float = 0.7,
+    budget: int = 512,
+    n_shards: int = 16,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """The whole last mile in one call: drop eval-set contamination
+    (``decontaminate``), rebalance the language mix on the CLEAN corpus
+    (``temperature_resample`` — rates are computed after decontamination,
+    so a benchmark-heavy language doesn't keep its pre-cleaning share),
+    pack the kept documents into token budgets (``pack_documents``), and
+    give every document a deterministic training-reader address
+    (``shuffle_shards``).
+
+    Returns one row per exported document: ``(doc_id, group, n_tokens,
+    pack_id, pack_pos, shard, shard_pos)``. The composition adds no
+    operator of its own — each stage's scale story is its docstring's;
+    stages hand off as narrow (doc_id, …) frames, so the only
+    corpus-sized artifacts between stages are single-column joins on
+    doc_id.
+    """
+    clean = (
+        decontaminate(docs, eval_docs, n=decontam_n, text_col=text_col)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    kept_docs = docs.join(clean, "doc_id")
+    kept = temperature_resample(kept_docs, alpha=alpha, group_col=group_col)
+    packed = pack_documents(
+        kept, budget=budget, group_col=group_col, n_shards=1, text_col=text_col
+    ).select("doc_id", F.col("grp").alias("group"), "n_tokens", "pack_id", "pack_pos")
+    addressed = shuffle_shards(kept.select("doc_id"), n_shards=n_shards).select(
+        "doc_id", "shard", "shard_pos"
+    )
+    return packed.join(addressed, "doc_id")

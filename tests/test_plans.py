@@ -177,7 +177,7 @@ def test_driver_queries_no_cartesian_no_rowpython(spark):
         "repetition_signals",
         # training-export operators (round-3 continuation)
         "decontaminate_eval", "temp_resample", "pack_docs",
-        "shuffle_shards", "unigram_lp",
+        "shuffle_shards", "unigram_lp", "training_export_e2e",
     ]
     qs = E.queries()
     for name in lazy:

@@ -231,3 +231,75 @@ class TestUnigramLogprob:
         docs = _docs(spark, [(1, "Tok tok", "en")])
         row = unigram_logprob(docs).first()
         assert row["mean_logprob"] == pytest.approx(math.log(1.0), abs=1e-6)
+
+
+class TestTrainingExport:
+    def test_composition_contracts(self, spark):
+        from rapidfuzz_spark.textops.training import training_export
+
+        rows = [
+            (i, " ".join(f"w{i}_{j}" for j in range(20)), ["en", "fr"][i % 2])
+            for i in range(40)
+        ]
+        # doc 0 is the eval doc; doc 2 copies it verbatim (contaminated)
+        rows[2] = (2, rows[0][1], "en")
+        docs = _docs(spark, rows)
+        ev = docs.where(F.col("doc_id") == 0)
+        out = training_export(
+            docs, ev, decontam_n=13, alpha=0.5, budget=64, n_shards=4
+        )
+        got = {r["doc_id"]: r for r in out.collect()}
+        # contaminated docs (the eval doc itself and its copy) are gone
+        assert 0 not in got and 2 not in got
+        # every exported doc has a complete training address
+        for r in got.values():
+            assert r["pack_id"] >= 0 and r["pack_pos"] >= 0
+            assert 0 <= r["shard"] < 4 and r["shard_pos"] >= 0
+
+    def test_rates_computed_on_clean_corpus(self, spark):
+        from rapidfuzz_spark.textops.training import (
+            temperature_resample,
+            training_export,
+        )
+
+        # 30 en docs, 10 fr docs; every en doc shares the eval 13-gram, so
+        # after decontamination fr is the MAJORITY — resampling on the raw
+        # corpus would thin en, resampling on the clean corpus thins fr
+        shared = " ".join(f"e{j}" for j in range(13))
+        rows = [(i, shared + f" x{i}", "en") for i in range(30)] + [
+            (100 + i, " ".join(f"f{i}_{j}" for j in range(15)), "fr")
+            for i in range(10)
+        ]
+        docs = _docs(spark, rows)
+        ev = _docs(spark, [(999, shared, "en")])
+        out = training_export(docs, ev, decontam_n=13, alpha=0.5, n_shards=2)
+        langs = {r["group"] for r in out.collect()}
+        assert langs == {"fr"}  # all en docs were contaminated
+        # and the fr rate was 1.0-equivalent: all 10 fr docs exported
+        assert out.count() == 10
+
+
+def test_resample_null_group_kept_as_own_group(spark):
+    docs = spark.createDataFrame(
+        [(i, "x", "en" if i < 90 else None) for i in range(100)],
+        "doc_id bigint, text string, lang string",
+    )
+    out = temperature_resample(docs, alpha=0.5)
+    rates = {
+        r["lang"]: r["rate"]
+        for r in out.select("lang", "rate").distinct().collect()
+    }
+    # NULL-lang docs are the RARE group: kept at rate 1.0, not dropped
+    assert rates[None] == 1.0
+    assert out.where(F.col("lang").isNull()).count() == 10
+
+
+def test_pack_null_text_is_zero_tokens(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b", "en"), (1, None, "en"), (2, "c d", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    out = pack_documents(docs, budget=4, group_col=None, n_shards=1)
+    rows = {r["doc_id"]: (r["n_tokens"], r["pack_id"]) for r in out.collect()}
+    assert rows[1] == (0, 0)
+    assert rows[2] == (2, 0)  # NULL doc added nothing to the stream
