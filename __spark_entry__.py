@@ -2757,7 +2757,9 @@ GROUP BY p.id_1, p.id_2"""
                  0) AS tb
         FROM ntok),
       packed AS (
-        SELECT doc_id, grp AS "group", n_tokens,
+        -- pack_shards=1 (the deterministic-oracle shape): every doc's
+        -- md5-derived pack shard is floor(u*1) = 0
+        SELECT doc_id, grp AS "group", 0::INT AS pack_shard, n_tokens,
                floor(tb / 256.0)::BIGINT AS pack_id,
                (row_number() OVER (
                    PARTITION BY grp, floor(tb / 256.0)
@@ -2771,7 +2773,7 @@ GROUP BY p.id_1, p.id_2"""
                      ('0x' || substr(md5('shuf0:' || doc_id), 1, 8))::BIGINT
                        / 4294967296.0 AS u
               FROM kept))
-      SELECT p.doc_id, p."group", p.n_tokens, p.pack_id, p.pack_pos,
-             a.shard, a.shard_pos
+      SELECT p.doc_id, p."group", p.pack_shard, p.n_tokens, p.pack_id,
+             p.pack_pos, a.shard, a.shard_pos
       FROM packed p JOIN addr a USING (doc_id)"""
     return o

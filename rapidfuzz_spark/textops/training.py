@@ -252,6 +252,7 @@ def training_export(
     n_shards: int = 16,
     group_col: str = "lang",
     text_col: str = "text",
+    pack_shards: int = 1,
 ) -> DataFrame:
     """The whole last mile in one call: drop eval-set contamination
     (``decontaminate``), rebalance the language mix on the CLEAN corpus
@@ -267,6 +268,14 @@ def training_export(
     stages hand off as narrow (doc_id, …) frames, so the only
     corpus-sized artifacts between stages are single-column joins on
     doc_id.
+
+    ``pack_shards`` bounds the packing window sort (see
+    pack_documents): the default 1 gives ONE pack stream per language —
+    fine up to an executor's worth of (doc_id, n_tokens) pairs per
+    language, the deterministic-oracle shape — but at corpus scale set
+    it so each (group, shard) stream fits an executor; packs never
+    cross shards, so the result is still whole-document packs, just
+    ``pack_shards`` independent streams per language.
     """
     clean = (
         decontaminate(docs, eval_docs, n=decontam_n, text_col=text_col)
@@ -276,8 +285,19 @@ def training_export(
     kept_docs = docs.join(clean, "doc_id")
     kept = temperature_resample(kept_docs, alpha=alpha, group_col=group_col)
     packed = pack_documents(
-        kept, budget=budget, group_col=group_col, n_shards=1, text_col=text_col
-    ).select("doc_id", F.col("grp").alias("group"), "n_tokens", "pack_id", "pack_pos")
+        kept,
+        budget=budget,
+        group_col=group_col,
+        n_shards=pack_shards,
+        text_col=text_col,
+    ).select(
+        "doc_id",
+        F.col("grp").alias("group"),
+        F.col("shard").alias("pack_shard"),
+        "n_tokens",
+        "pack_id",
+        "pack_pos",
+    )
     addressed = shuffle_shards(kept.select("doc_id"), n_shards=n_shards).select(
         "doc_id", "shard", "shard_pos"
     )

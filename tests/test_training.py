@@ -256,6 +256,38 @@ class TestTrainingExport:
             assert r["pack_id"] >= 0 and r["pack_pos"] >= 0
             assert 0 <= r["shard"] < 4 and r["shard_pos"] >= 0
 
+    def test_pack_shards_bounds_streams_without_changing_membership(
+        self, spark
+    ):
+        from rapidfuzz_spark.textops.training import training_export
+
+        rows = [
+            (i, " ".join(f"w{i}_{j}" for j in range(20)), ["en", "fr"][i % 2])
+            for i in range(40)
+        ]
+        docs = _docs(spark, rows)
+        ev = docs.where(F.col("doc_id") == 0)
+        one = training_export(
+            docs, ev, decontam_n=13, alpha=0.5, budget=64, n_shards=4
+        )
+        many = training_export(
+            docs, ev, decontam_n=13, alpha=0.5, budget=64, n_shards=4,
+            pack_shards=4,
+        )
+        # sharded packing changes pack ADDRESSES, never the exported set,
+        # token counts, or reader addresses
+        cols = ["doc_id", "group", "n_tokens", "shard", "shard_pos"]
+        assert sorted(map(tuple, one.select(*cols).collect())) == sorted(
+            map(tuple, many.select(*cols).collect())
+        )
+        m = {r["doc_id"]: r for r in many.collect()}
+        assert {r["pack_shard"] for r in m.values()} > {0}  # streams split
+        assert all(r["pack_shard"] == 0 for r in one.collect())
+        # within every (group, pack_shard) stream, pack_id still starts
+        # at 0 and pack_pos ranks docs within the pack
+        for r in m.values():
+            assert r["pack_id"] >= 0 and r["pack_pos"] >= 0
+
     def test_rates_computed_on_clean_corpus(self, spark):
         from rapidfuzz_spark.textops.training import (
             temperature_resample,

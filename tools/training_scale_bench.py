@@ -12,8 +12,9 @@ owns. Same methodology as the sibling benches: real executor JVMs via
 partitions before the clock (strong scaling, identical tasks at both
 parallelism levels).
 
-    TRAIN_ENTITIES=120000 python tools/training_scale_bench.py 1   # N
-    TRAIN_ENTITIES=120000 python tools/training_scale_bench.py 4   # 4N
+    TRAIN_DOCS=120000 python tools/training_scale_bench.py 1   # N
+    TRAIN_DOCS=120000 python tools/training_scale_bench.py 4   # 4N
+    TRAIN_MODE=decon TRAIN_DOCS=240000 ... # isolate the decon compute
 
 Prints one JSON line per run; results recorded in BENCH.md.
 """
@@ -54,15 +55,19 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    from rapidfuzz_spark.pipeline import ingest, synth
     from rapidfuzz_spark.textops import training
     from rapidfuzz_spark.textops.quality import unigram_logprob
     from rapidfuzz_spark.textops.sampling import md5_uniform
 
-    n_entities = int(os.environ.get("TRAIN_ENTITIES", "120000"))
-    # synthetic language mix (Zipf-ish: one dominant group to give the
-    # temperature resampler real thinning work), derived from the doc_id
-    # hash so the corpus is deterministic
+    # Corpus: web-document-shaped, NOT the 3-4-token ER entity records
+    # (those have zero 8-grams, which would make the decontamination
+    # stage vacuous). Each doc is 80-239 tokens drawn deterministically
+    # from a 50k vocabulary via xxhash64(doc_id, position) — pure
+    # Catalyst, reproducible at any parallelism, and every 8-gram is
+    # (w.h.p.) unique to its document, so decontamination must flag
+    # exactly the eval-set docs themselves: a built-in correctness
+    # invariant checked below alongside the timing.
+    n_docs_target = int(os.environ.get("TRAIN_DOCS", "120000"))
     u_lang = md5_uniform("doc_id", "lang")
     lang = (
         F.when(u_lang < 0.5, "en")
@@ -71,12 +76,23 @@ def main() -> None:
         .when(u_lang < 0.9, "es")
         .otherwise("de")
     )
+    n_tok = (
+        F.lit(80) + (md5_uniform("doc_id", "len") * 160).cast("int")
+    )
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n_tok),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("doc_id"), i), F.lit(50000)),
+            ),
+        ),
+        " ",
+    )
     corpus = (
-        ingest.with_match_text(
-            synth.synth_documents(spark, n_entities=n_entities, seed=42)
-            .drop("entity_id")
-        )
-        .select("doc_id", F.col("norm_text").alias("text"), lang.alias("lang"))
+        spark.range(n_docs_target)
+        .select(F.concat(F.lit("d"), F.col("id")).alias("doc_id"))
+        .select("doc_id", text.alias("text"), lang.alias("lang"))
         .repartition(PARTS)
         .localCheckpoint(eager=True)
     )
@@ -84,16 +100,35 @@ def main() -> None:
     # eval set: a 1% deterministic draw — benchmark-sized relative to the
     # corpus, exercising the broadcast-probe path
     ev = corpus.where(md5_uniform("doc_id", "eval") < 0.01)
+    n_eval = ev.count()
+
+    mode = os.environ.get("TRAIN_MODE", "composite")
 
     def job() -> tuple[int, int]:
+        if mode == "decon":
+            # compute-isolating variant: the corpus-side gram explode +
+            # md5 probe alone (the composite's only all-rows compute);
+            # n-grams per doc ≈ tokens, so this is ~tokens×md5 of work
+            d = training.decontaminate(corpus, ev, n=8)
+            return d.where(F.col("contaminated")).count(), 0
         exported = training.training_export(
-            corpus, ev, decontam_n=8, alpha=0.7, budget=2048, n_shards=64
+            corpus, ev, decontam_n=8, alpha=0.7, budget=2048, n_shards=64,
+            pack_shards=64,
         )
         n_exported = exported.count()
         n_scored = unigram_logprob(corpus).where(
             F.col("mean_logprob").isNotNull()
         ).count()
         return n_exported, n_scored
+
+    # correctness invariant at bench scale: unique-gram corpus ⇒ the
+    # contaminated set is exactly the eval docs (every doc ≥ 8 tokens)
+    n_contam = (
+        training.decontaminate(corpus, ev, n=8)
+        .where(F.col("contaminated"))
+        .count()
+    )
+    assert n_contam == n_eval, (n_contam, n_eval)
 
     job()  # warm-up: Python workers, codegen, broadcast builds
     t0 = time.perf_counter()
@@ -102,10 +137,12 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "mode": "training_export",
+                "mode": mode,
                 "executors": n_exec,
                 "cores_per_executor": cores,
                 "n_docs": n_docs,
+                "n_eval": n_eval,
+                "n_contaminated": n_contam,
                 "n_exported": n_exported,
                 "n_unigram_scored": n_scored,
                 "wall_sec": round(wall, 3),
