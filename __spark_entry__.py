@@ -2647,26 +2647,32 @@ GROUP BY p.id_1, p.id_2"""
       SELECT d.doc_id, coalesce(n_hits, 0)::BIGINT AS n_hits,
              coalesce(n_hits, 0) >= 1 AS contaminated
       FROM documents d LEFT JOIN hits USING (doc_id)"""
+    # group key coalesced to the same chr(0)-sentinel Spark uses so
+    # NULL-lang rows form their own group instead of being dropped by
+    # the inner join's three-valued NULL equality
     o["temp_resample"] = """
       WITH cnt AS (
-        SELECT lang, count(*)::DOUBLE AS n_g FROM documents GROUP BY lang),
+        SELECT coalesce(lang, chr(0) || 'null') AS gkey,
+               count(*)::DOUBLE AS n_g
+        FROM documents GROUP BY 1),
       wts AS (
-        SELECT lang, pow(n_g / sum(n_g) OVER (), -0.5) AS w_g FROM cnt),
+        SELECT gkey, pow(n_g / sum(n_g) OVER (), -0.5) AS w_g FROM cnt),
       rates AS (
-        SELECT lang, round(w_g / max(w_g) OVER (), 6) AS rate FROM wts)
+        SELECT gkey, round(w_g / max(w_g) OVER (), 6) AS rate FROM wts)
       SELECT doc_id, lang, round(u, 6) AS u, rate
       FROM (SELECT d.doc_id, d.lang,
                    ('0x' || substr(md5('s0:' || d.doc_id), 1, 8))::BIGINT
                      / 4294967296.0 AS u,
                    r.rate
-            FROM documents d JOIN rates r USING (lang))
+            FROM documents d
+            JOIN rates r ON coalesce(d.lang, chr(0) || 'null') = r.gkey)
       WHERE u < rate"""
     o["pack_docs"] = r"""
       WITH d AS (
         SELECT doc_id, lang AS grp,
                floor((('0x' || substr(md5('pack:' || doc_id), 1, 8))::BIGINT
                       / 4294967296.0) * 4)::INT AS shard,
-               CASE WHEN trim(text) = '' THEN 0
+               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
                     ELSE len(string_split_regex(trim(text), '\s+'))
                END AS n_tokens
         FROM documents),
@@ -2734,18 +2740,22 @@ GROUP BY p.id_1, p.id_2"""
       clean AS (
         SELECT d.* FROM documents d
         WHERE d.doc_id NOT IN (SELECT doc_id FROM contam)),
-      cnt AS (SELECT lang, count(*)::DOUBLE AS n_g FROM clean GROUP BY lang),
+      cnt AS (
+        SELECT coalesce(lang, chr(0) || 'null') AS gkey,
+               count(*)::DOUBLE AS n_g
+        FROM clean GROUP BY 1),
       wts AS (
-        SELECT lang, pow(n_g / sum(n_g) OVER (), -0.5) AS w_g FROM cnt),
+        SELECT gkey, pow(n_g / sum(n_g) OVER (), -0.5) AS w_g FROM cnt),
       rates AS (
-        SELECT lang, round(w_g / max(w_g) OVER (), 6) AS rate FROM wts),
+        SELECT gkey, round(w_g / max(w_g) OVER (), 6) AS rate FROM wts),
       kept AS (
-        SELECT c.doc_id, c.lang, c.text FROM clean c JOIN rates r USING (lang)
+        SELECT c.doc_id, c.lang, c.text FROM clean c
+        JOIN rates r ON coalesce(c.lang, chr(0) || 'null') = r.gkey
         WHERE ('0x' || substr(md5('s0:' || c.doc_id), 1, 8))::BIGINT
                 / 4294967296.0 < r.rate),
       ntok AS (
         SELECT doc_id, lang AS grp,
-               CASE WHEN trim(text) = '' THEN 0
+               CASE WHEN text IS NULL OR trim(text) = '' THEN 0
                     ELSE len(string_split_regex(trim(text), '\s+'))
                END AS n_tokens
         FROM kept),

@@ -191,9 +191,13 @@ def token_df_stats(
 
     One explode + one hash-aggregate: term_freq collapses map-side
     (partial aggregation), doc_freq is a distinct-count on the same key.
-    The top-N is a global sort of the ALREADY-aggregated vocabulary
-    (O(vocab), not O(corpus)); ties break on the token string so the
-    ranking is total and reproducible."""
+    The top-N runs as a distributed TakeOrderedAndProject (each
+    partition keeps its local top-N, the driver merges N-row heaps) —
+    NOT a global row_number window, which would move the entire
+    vocabulary (hundreds of millions of tokens at corpus scale) onto a
+    single partition; the rank window then runs over only the ``top_n``
+    survivors. Ties break on the token string so the ranking is total
+    and reproducible."""
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -207,11 +211,9 @@ def token_df_stats(
         F.countDistinct("doc_id").alias("doc_freq"),
         F.count("*").alias("term_freq"),
     )
+    top = agg.orderBy(F.desc("term_freq"), F.asc("token")).limit(top_n)
     w = Window.orderBy(F.desc("term_freq"), F.asc("token"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_n)
-    )
+    return top.withColumn("rank", F.row_number().over(w))
 
 
 def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:

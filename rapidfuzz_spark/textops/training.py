@@ -149,6 +149,7 @@ def pack_documents(
     n_shards: int = 1,
     text_col: str = "text",
     key_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Assign every document to a fixed-token-budget training pack:
     documents are concatenated in deterministic ``key_col`` order inside
@@ -159,7 +160,7 @@ def pack_documents(
     budget by at most one document's tail, the usual doc-boundary
     packing rule for LM pretraining batches.
 
-    Returns ``(doc_id, group, shard, n_tokens, pack_id, pack_pos)``
+    Returns ``(doc_id, grp, shard, n_tokens, pack_id, pack_pos)``
     where ``pack_pos`` is the document's 0-based rank within its pack.
     Zero-token documents occupy no space; they attach to the pack at
     their stream position.
@@ -170,12 +171,24 @@ def pack_documents(
     ``n_shards``), so 10^12 docs pack as n_shards independent
     window-partitions instead of one global per-language sort; pick
     n_shards so a shard's (doc_id, n_tokens) pairs fit an executor.
-    Token counts are the same whitespace tokenization as
-    quality.token_counts — swap in a BPE count column upstream if exact
-    model-token budgets are needed.
+    Token counts default to the same whitespace tokenization as
+    quality.token_counts; pass ``tokens_col`` to budget on a precomputed
+    model-token count instead (e.g. a BPE count column — see
+    bpe_token_counts) when exact model-token budgets are needed.
     """
     g = F.col(group_col) if group_col else F.lit("all")
     k = F.col(key_col)
+    if tokens_col is not None:
+        # precomputed (model-tokenizer) counts: NULL still packs as 0 so
+        # the running window sum stays non-NULL
+        ntok = F.coalesce(F.col(tokens_col).cast("int"), F.lit(0))
+    else:
+        # NULL text packs as 0 tokens, same as whitespace-only (size/split
+        # would propagate NULL into the window sum and void the pack_id)
+        ntok = F.when(
+            F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+            F.lit(0),
+        ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
     d = docs.select(
         k.alias("doc_id"),
         g.alias("grp"),
@@ -185,14 +198,7 @@ def pack_documents(
         F.floor(md5_uniform(key_col, "pack") * n_shards)
         .cast("int")
         .alias("shard"),
-        # NULL text packs as 0 tokens, same as whitespace-only (size/split
-        # would propagate NULL into the window sum and void the pack_id)
-        F.when(
-            F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
-            F.lit(0),
-        )
-        .otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
-        .alias("n_tokens"),
+        ntok.alias("n_tokens"),
     )
     stream = Window.partitionBy("grp", "shard").orderBy("doc_id")
     d = d.withColumn(
@@ -253,6 +259,7 @@ def training_export(
     group_col: str = "lang",
     text_col: str = "text",
     pack_shards: int = 1,
+    persist_clean: bool = True,
 ) -> DataFrame:
     """The whole last mile in one call: drop eval-set contamination
     (``decontaminate``), rebalance the language mix on the CLEAN corpus
@@ -262,12 +269,33 @@ def training_export(
     give every document a deterministic training-reader address
     (``shuffle_shards``).
 
-    Returns one row per exported document: ``(doc_id, group, n_tokens,
-    pack_id, pack_pos, shard, shard_pos)``. The composition adds no
-    operator of its own — each stage's scale story is its docstring's;
-    stages hand off as narrow (doc_id, …) frames, so the only
-    corpus-sized artifacts between stages are single-column joins on
-    doc_id.
+    Returns one row per exported document: ``(doc_id, group, pack_shard,
+    n_tokens, pack_id, pack_pos, shard, shard_pos)``. The composition
+    adds no operator of its own — each stage's scale story is its
+    docstring's — but two plan shapes matter here because
+    decontamination (corpus scan + 13-gram explode + broadcast probe)
+    is the dominant cost of the whole export at corpus scale, and a
+    naive composition runs it more than once:
+
+    - The lineage is deliberately LINEAR: the shard address depends
+      only on ``doc_id``, so ``shuffle_shards`` is applied to the
+      packed frame itself (which already carries exactly one row per
+      kept document) instead of branching off the resampled frame and
+      joining back — that removes one whole re-run AND the corpus-sized
+      doc_id join the branch shape needed.
+    - ``temperature_resample`` consumes its input twice by construction
+      (once to aggregate the group rates, once as the corpus side of
+      the rate join), which would still re-run decontamination inside
+      each consumer. ``persist_clean=True`` (default) truncates lineage
+      at the narrow ``clean`` doc_id list with a lazy
+      ``localCheckpoint``: the gram explode + probe materialize ONCE
+      (first action), and every downstream consumer re-joins the
+      checkpointed doc_id RDD against a plain corpus scan — the 13-gram
+      work is never repeated. The checkpoint holds one doc_id column
+      (MEMORY_AND_DISK on executors), orders of magnitude narrower than
+      the corpus; set ``persist_clean=False`` for a fully lazy plan
+      (e.g. single-action dry runs where plan inspection matters more
+      than recompute).
 
     ``pack_shards`` bounds the packing window sort (see
     pack_documents): the default 1 gives ONE pack stream per language —
@@ -282,6 +310,8 @@ def training_export(
         .where(~F.col("contaminated"))
         .select("doc_id")
     )
+    if persist_clean:
+        clean = clean.localCheckpoint(eager=False)
     kept_docs = docs.join(clean, "doc_id")
     kept = temperature_resample(kept_docs, alpha=alpha, group_col=group_col)
     packed = pack_documents(
@@ -298,7 +328,13 @@ def training_export(
         "pack_id",
         "pack_pos",
     )
-    addressed = shuffle_shards(kept.select("doc_id"), n_shards=n_shards).select(
-        "doc_id", "shard", "shard_pos"
+    return shuffle_shards(packed, n_shards=n_shards).select(
+        "doc_id",
+        "group",
+        "pack_shard",
+        "n_tokens",
+        "pack_id",
+        "pack_pos",
+        "shard",
+        "shard_pos",
     )
-    return packed.join(addressed, "doc_id")

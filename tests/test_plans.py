@@ -220,6 +220,36 @@ def test_decontaminate_probe_before_distinct(spark):
     assert "Exchange hashpartitioning" not in scan.split("BroadcastExchange")[0]
 
 
+def test_training_export_single_decontamination_pass(spark):
+    """The decontamination scan (corpus 13-gram explode + broadcast
+    probe) is the dominant cost of the whole export at corpus scale and
+    must run EXACTLY ONCE per export. Round-3 shape ran it 4x: the
+    pack/address branches consumed the resampled frame twice, and
+    temperature_resample itself consumes its input twice (rates
+    aggregation + rate join). Locked here: with persist_clean (default)
+    the final plan contains ZERO gram explodes (they live behind the
+    lazily-checkpointed clean doc_id RDD, materialized once), and
+    without it the linear lineage bounds the re-runs to
+    temperature_resample's two structural consumers — never the
+    branch-induced 4."""
+    from rapidfuzz_spark.textops import training
+    from rapidfuzz_spark.textops.sampling import md5_uniform
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = d.where(md5_uniform("doc_id", "eval") < 0.05)
+    df = training.training_export(d, ev, decontam_n=13, alpha=0.5)
+    p = plan_str(df, "simple")
+    assert p.count("Generate explode") == 0
+    assert "Scan ExistingRDD" in p  # the checkpointed clean doc_id list
+    lazy = training.training_export(
+        d, ev, decontam_n=13, alpha=0.5, persist_clean=False
+    )
+    lp = plan_str(lazy, "simple")
+    # 2 consumers x (corpus grams + eval grams) = 4 explodes max; the
+    # old branched shape doubled this to 8
+    assert lp.count("Generate explode") <= 4
+
+
 def test_temperature_resample_corpus_map_only(spark):
     """Rates are a broadcast-joined tiny frame; the corpus itself must
     flow scan -> filter -> broadcast join with zero corpus-side
