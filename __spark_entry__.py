@@ -1108,6 +1108,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_lsh"] = incremental_lsh
 
+    def incremental_lsh_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Maintained bucket-counts path: the cap comes from a counts
+        table folded per increment (update_bucket_counts), never from a
+        re-census of the base bands — the pair set must equal the
+        re-census path's, i.e. the full-corpus capped LSH set minus
+        base x base."""
+        from rapidfuzz_spark.textops import dedup
+
+        d = _docs(spark, sf_dir)
+
+        def bands(x: DataFrame) -> DataFrame:
+            return dedup.lsh_band_signatures(
+                dedup.minhash_signatures(x, "text", 16, 5), 4
+            )
+
+        base_b = bands(d.where(F.col("doc_id") < 450))
+        new_b = bands(d.where(F.col("doc_id") >= 450))
+        counts = dedup.update_bucket_counts(None, base_b)
+        pairs, _ = dedup.incremental_band_pairs_maintained(
+            base_b, new_b, counts, bucket_cap=4
+        )
+        return pairs
+
+    q["incremental_lsh_counts"] = incremental_lsh_counts
+
     def stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Streaming near-dup discovery across a 3-micro-batch file
         stream: each batch's bands join the accumulated band state, so a
@@ -2574,6 +2599,36 @@ GROUP BY p.id_1, p.id_2"""
       )
       SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
       FROM bands a JOIN bands b USING (band, sig)
+      WHERE a.doc_id < b.doc_id
+        AND (a.doc_id >= 450 OR b.doc_id >= 450)"""
+    # maintained-counts cap == union-census cap: the capped full-corpus
+    # band join minus base x base (hot buckets dropped on BOTH sides)
+    o["incremental_lsh_counts"] = """
+      WITH sh AS (
+        SELECT DISTINCT doc_id, substr(t, i, 5) AS sh
+        FROM (SELECT doc_id, lower(text) AS t,
+                     unnest(range(1, greatest(len(lower(text)) - 4, 1) + 1))
+                       AS i
+              FROM documents)
+      ),
+      mh AS (
+        SELECT doc_id, s.seed, min(md5(s.seed::VARCHAR || ':' || sh)) AS mh
+        FROM sh, generate_series(0, 15) s(seed)
+        GROUP BY doc_id, s.seed
+      ),
+      bands AS (
+        SELECT doc_id, (seed // 4)::INT AS band,
+               md5(string_agg(mh, ',' ORDER BY seed)) AS sig
+        FROM mh GROUP BY doc_id, seed // 4
+      ),
+      hot AS (
+        SELECT band, sig FROM bands GROUP BY band, sig HAVING count(*) > 4),
+      ok AS (
+        SELECT * FROM bands b
+        WHERE NOT EXISTS (SELECT 1 FROM hot h
+                          WHERE h.band = b.band AND h.sig = b.sig))
+      SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2
+      FROM ok a JOIN ok b USING (band, sig)
       WHERE a.doc_id < b.doc_id
         AND (a.doc_id >= 450 OR b.doc_id >= 450)"""
     # cumulative streaming output == the batch LSH pair set: same oracle

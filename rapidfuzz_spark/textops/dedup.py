@@ -558,9 +558,10 @@ def incremental_lsh_candidates(
     survive the increment pushing it over. Note the census this needs
     re-aggregates the base bands per increment: at large base scale,
     maintain the per-bucket counts as a table alongside the persisted
-    bands (they are increment-invariant) and apply the cap yourself,
-    entering at ``incremental_band_pairs(bucket_cap=None)`` — the
-    "never rescan the base" property below then holds unconditionally."""
+    bands (``update_bucket_counts`` per increment) and enter at
+    ``incremental_band_pairs_maintained`` — the cap then comes from the
+    counts table and the base bands are never aggregated, only
+    anti-join-filtered and bucket-joined."""
     base_bands = lsh_band_signatures(
         minhash_signatures(base_docs, text_col, n_hashes, k), rows_per_band
     )
@@ -621,3 +622,64 @@ def incremental_band_pairs(
         )
     )
     return cross.unionByName(self_pairs).dropDuplicates(["id_1", "id_2"])
+
+
+def update_bucket_counts(
+    counts: DataFrame | None, new_bands: DataFrame
+) -> DataFrame:
+    """Maintain the per-(band, sig) bucket census across increments:
+    fold one increment's band signatures into the running counts table.
+    ``counts`` is the census so far (``(band, sig, n)``; None for an
+    empty base) and the return value is the census of base ∪ increment —
+    by induction, folding every increment reproduces exactly the fresh
+    ``groupBy(band, sig).count()`` of all bands ever seen (locked by
+    tests/test_textops.py::test_maintained_counts_match_fresh_census).
+
+    This is the companion table that makes ``bucket_cap`` free for
+    incremental LSH at corpus scale: the census is increment-invariant
+    (signatures are a pure function of text), so it is maintained as a
+    table alongside the persisted bands instead of re-aggregated from
+    10^12 docs' bands on every increment. The only aggregations here
+    touch the increment's bands and the counts table itself (one row
+    per DISTINCT bucket — vastly smaller than the band table, and the
+    merge is partial-agg friendly on the same (band, sig) key)."""
+    inc = new_bands.groupBy("band", "sig").agg(F.count("*").alias("n"))
+    if counts is None:
+        return inc
+    return (
+        counts.unionByName(inc)
+        .groupBy("band", "sig")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def incremental_band_pairs_maintained(
+    base_bands: DataFrame,
+    new_bands: DataFrame,
+    counts: DataFrame | None,
+    bucket_cap: int = 5000,
+    broadcast_increment: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """``incremental_band_pairs`` with the bucket cap served from a
+    MAINTAINED counts table instead of a per-increment re-census of the
+    base: returns ``(pairs, updated_counts)`` where ``updated_counts``
+    is ``update_bucket_counts(counts, new_bands)`` — persist it
+    alongside the band table for the next increment.
+
+    Scale contract this buys: the base band table is never aggregated —
+    its only consumers are a broadcast anti-join against the (tiny,
+    ``n > bucket_cap``) hot-bucket list and the bucket equi-join itself,
+    so each increment's cost is O(increment + matched buckets)
+    regardless of base size (plan-locked by
+    tests/test_plans.py::test_maintained_counts_never_aggregate_base).
+    The pair set is identical to ``incremental_band_pairs(bucket_cap)``
+    with a fresh census, because the updated counts table IS that
+    census (see update_bucket_counts)."""
+    updated = update_bucket_counts(counts, new_bands)
+    hot = updated.where(F.col("n") > bucket_cap).select("band", "sig")
+    base_f = base_bands.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+    new_f = new_bands.join(F.broadcast(hot), ["band", "sig"], "left_anti")
+    pairs = incremental_band_pairs(
+        base_f, new_f, bucket_cap=None, broadcast_increment=broadcast_increment
+    )
+    return pairs, updated

@@ -220,6 +220,39 @@ def test_decontaminate_probe_before_distinct(spark):
     assert "Exchange hashpartitioning" not in scan.split("BroadcastExchange")[0]
 
 
+def test_maintained_counts_never_aggregate_base(spark, tmp_path):
+    """With the maintained counts table, an increment's plan may touch
+    the (10^12-doc-scale) base band table exactly once — the bucket
+    equi-join, fed through a broadcast anti-join against the hot-bucket
+    list — and must contain NO aggregation over it. The re-census path
+    scans the base twice (census + join); this is the scale contract
+    that makes bucket_cap free per increment."""
+    from rapidfuzz_spark.textops import dedup
+
+    base = spark.createDataFrame(
+        [(i, i % 3, f"s{i % 5}") for i in range(50)],
+        "doc_id long, band int, sig string",
+    )
+    base.write.mode("overwrite").parquet(str(tmp_path / "bands"))
+    base_b = spark.read.parquet(str(tmp_path / "bands"))
+    new_b = spark.createDataFrame(
+        [(100, 0, "s0"), (101, 1, "s1")], "doc_id long, band int, sig string"
+    )
+    counts = dedup.update_bucket_counts(None, base_b)
+    counts_tbl = spark.createDataFrame(
+        counts.collect(), "band int, sig string, n long"
+    )  # the persisted census a real caller would maintain
+    pairs, _ = dedup.incremental_band_pairs_maintained(
+        base_b, new_b, counts_tbl, bucket_cap=4
+    )
+    p = plan_str(pairs, "simple")
+    assert p.count("Scan parquet") == 1  # join input only, no census scan
+    # old path for contrast: the fresh census re-scans the base parquet
+    # for the census AND embeds that census subtree in both anti-joins
+    old = dedup.incremental_band_pairs(base_b, new_b, bucket_cap=4)
+    assert plan_str(old, "simple").count("Scan parquet") > 1
+
+
 def test_training_export_single_decontamination_pass(spark):
     """The decontamination scan (corpus 13-gram explode + broadcast
     probe) is the dominant cost of the whole export at corpus scale and

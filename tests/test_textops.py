@@ -896,6 +896,47 @@ def test_incremental_lsh_matches_full_corpus(spark):
     assert got_capped != got  # the cap actually bit on this fixture
 
 
+def test_maintained_counts_match_fresh_census(spark):
+    """The maintained bucket-counts table, folded increment by
+    increment, must BE the fresh census — and the maintained-cap pair
+    set must equal the re-census path's for every increment. This is
+    the invariant that lets corpus-scale incremental LSH apply
+    bucket_cap without ever re-aggregating the base band table."""
+    base_text = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [(i, base_text + f" variant {i % 3}") for i in range(8)]
+    inc1_rows = [(100, base_text + " variant 0"), (101, "unrelated xyz")]
+    inc2_rows = [(200, base_text + " variant 1"), (201, base_text + " variant 0")]
+    mk = lambda r: spark.createDataFrame(r, "doc_id long, text string")
+    bands = lambda d: dedup.lsh_band_signatures(
+        dedup.minhash_signatures(d, "text", 16, 5), 4
+    )
+    base_b, inc1_b, inc2_b = bands(mk(rows)), bands(mk(inc1_rows)), bands(mk(inc2_rows))
+    cap = 4
+    # increment 1: counts start from the base census
+    c0 = dedup.update_bucket_counts(None, base_b)
+    p1, c1 = dedup.incremental_band_pairs_maintained(base_b, inc1_b, c0, cap)
+    want1 = dedup.incremental_band_pairs(base_b, inc1_b, bucket_cap=cap)
+    assert {(r.id_1, r.id_2) for r in p1.collect()} == {
+        (r.id_1, r.id_2) for r in want1.collect()
+    }
+    # increment 2 against base ∪ inc1, counts folded — vs a fresh census
+    base2_b = base_b.unionByName(inc1_b)
+    p2, c2 = dedup.incremental_band_pairs_maintained(base2_b, inc2_b, c1, cap)
+    want2 = dedup.incremental_band_pairs(base2_b, inc2_b, bucket_cap=cap)
+    got2 = {(r.id_1, r.id_2) for r in p2.collect()}
+    assert got2 == {(r.id_1, r.id_2) for r in want2.collect()} and got2
+    # the folded counts table IS the fresh census of everything seen
+    fresh = (
+        base2_b.unionByName(inc2_b).groupBy("band", "sig").count().collect()
+    )
+    assert {(r.band, r.sig): r.n for r in c2.collect()} == {
+        (r.band, r.sig): r["count"] for r in fresh
+    }
+    # the cap actually bit: uncapped pair set differs
+    unc = dedup.incremental_band_pairs(base2_b, inc2_b, bucket_cap=None)
+    assert got2 != {(r.id_1, r.id_2) for r in unc.collect()}
+
+
 def test_repetition_signals(spark):
     rows = [
         (0, "alpha beta gamma delta"),            # no repetition
