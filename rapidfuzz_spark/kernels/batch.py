@@ -810,13 +810,32 @@ def damerau_batch_np(pats: list, texts: list, k=None) -> np.ndarray:
 
 _DL_CUBE_BUDGET = 24 * 1024 * 1024  # bytes; int16 cube sized to stay near L3
 
-_BLOCK_MAX_WORDS = 16  # vectorized path up to 1024-char patterns
+# Vectorized blockwise path up to 64*_BLOCK_MAX_WORDS-char patterns;
+# ABOVE the cap, pairs route to the per-pair CPython big-int Myers
+# kernel BY MEASUREMENT, not as a concession: a W-word big-int op is one
+# interpreter op dispatching an O(W) C limb loop, so the big-int kernel
+# spends O(1) interpreter ops per text char while the cross-pair numpy
+# kernel spends O(W) array ops per char. Measured crossover (BENCH.md
+# §12, 5%-mutated random text, best-of-2/3): block/big-int wall ratio
+# 0.44x at W=8, ~parity W=16-24 (0.92-1.06), then the numpy path LOSES
+# quadratically — 1.23x at W=32, 2.8x at W=63, 4.7x at W=125, 10.9x at
+# W=250. Cap sits at the top of the measured parity zone.
+_BLOCK_MAX_WORDS = 24
 # Chunk width of the blockwise kernels: bounds the (chunk, W, sigma) u64 PM
 # gather table AND sets the numpy vector width of every per-char step.
 # Swept on ~300-char doc pairs: 512 -> 2048 is +32% under 32 concurrent
 # worker processes (111.7k vs 84.6k pairs/s machine-wide jaro-winkler);
 # 8192 wins single-thread but loses under contention (cache working set).
 _BLOCK_CHUNK = 2048
+# Above W=16 the PM gather table + per-char working set outgrow the
+# cache at full chunk width: 1024 measured >= 2048 at W=20 (1.01 vs
+# 1.00 s) and better at W=24 (1.44 vs 1.56 s), and halves the transient
+# PM footprint under 32 concurrent workers.
+_BLOCK_CHUNK_WIDE = 1024
+
+
+def _block_chunk_for(W: int) -> int:
+    return _BLOCK_CHUNK if W <= 16 else _BLOCK_CHUNK_WIDE
 
 
 def _block_bucket(plen: int) -> int:
@@ -831,8 +850,9 @@ def _run_block_groups(groups: dict, out: np.ndarray, kernel) -> None:
     """groups: W -> (indices, pats, texts); runs `kernel` per W in
     memory-bounded chunks and scatters results into `out`."""
     for W, (idx, ps, ts) in groups.items():
-        for lo in range(0, len(idx), _BLOCK_CHUNK):
-            hi = lo + _BLOCK_CHUNK
+        step = _block_chunk_for(W)
+        for lo in range(0, len(idx), step):
+            hi = lo + step
             out[np.asarray(idx[lo:hi], dtype=np.intp)] = kernel(
                 ps[lo:hi], ts[lo:hi], W
             )
@@ -939,7 +959,14 @@ def levenshtein_batch(a_arr, b_arr, k=None, hint=None) -> np.ndarray:
     vectorized Myers; <=64*_BLOCK_MAX_WORDS -> blockwise vectorized Myers
     grouped by word count (Ukkonen-banded when a per-pair distance cutoff
     ``k`` is supplied and the band is narrower than the pattern); else
-    arbitrary-precision Python-int kernel with a per-batch pattern cache.
+    the CPython big-int Myers kernel with a per-batch pattern cache —
+    the MEASURED-fastest kernel above the cap, not a concession: big-int
+    ops run C limb loops with O(1) interpreter dispatch per char vs the
+    numpy path's O(W) array ops per char (crossover sweep at
+    _BLOCK_MAX_WORDS / BENCH.md §12). Long-document corpora should
+    still prefer set-based ops (ngram_jaccard/MinHash-LSH) over
+    pairwise edit distance at scale — but if routed here, this is the
+    fast path, vectorized across Spark's 32 worker processes.
 
     ``k``: optional int64 array of per-pair distance cutoffs. Pairs whose
     distance exceeds their cutoff MAY return a large sentinel instead of
@@ -1036,8 +1063,9 @@ def levenshtein_batch(a_arr, b_arr, k=None, hint=None) -> np.ndarray:
         )
     _run_block_groups(blk, out, myers_batch_block)
     for W, (idx, ps, ts, kk) in blk_banded.items():
-        for lo in range(0, len(idx), _BLOCK_CHUNK):
-            hi = lo + _BLOCK_CHUNK
+        step = _block_chunk_for(W)
+        for lo in range(0, len(idx), step):
+            hi = lo + step
             out[np.asarray(idx[lo:hi], dtype=np.intp)] = myers_batch_block_banded(
                 ps[lo:hi], ts[lo:hi], W, np.asarray(kk[lo:hi], dtype=np.int64)
             )
@@ -1048,11 +1076,12 @@ def levenshtein_batch(a_arr, b_arr, k=None, hint=None) -> np.ndarray:
         band = np.asarray(hh, dtype=np.int64)
         cap = np.asarray(hcap, dtype=np.int64)
         live = np.arange(len(ix), dtype=np.intp)
+        step = _block_chunk_for(W)
         while len(live):
             res = np.empty(len(live), dtype=np.int64)
-            for lo in range(0, len(live), _BLOCK_CHUNK):
-                sl = live[lo : lo + _BLOCK_CHUNK]
-                res[lo : lo + _BLOCK_CHUNK] = myers_batch_block_banded(
+            for lo in range(0, len(live), step):
+                sl = live[lo : lo + step]
+                res[lo : lo + step] = myers_batch_block_banded(
                     list(pa[sl]), list(ta[sl]), W, band[sl]
                 )
             # exact once the result fits the band; at band >= cap the

@@ -507,6 +507,56 @@ class TestBlockwiseBatchKernels:
         for i, (x, y) in enumerate(cases):
             assert got[i] == osa._dist(x, y)
 
+    def test_long_string_routing_contract(self):
+        """Routing contract at/above _BLOCK_MAX_WORDS (the measured
+        blockwise/big-int crossover, BENCH.md §12): results must be
+        IDENTICAL whichever side of the cap a pair lands on — exercised
+        here with lengths straddling the cap (W-1, W, W+1, ~2W words)
+        for every metric that routes through it, plus the lev cutoff
+        and hint variants on the long side."""
+        import random
+
+        import numpy as np
+
+        from rapidfuzz_spark.kernels import batch as B
+        from rapidfuzz_spark.kernels import osa as _osa
+        from rapidfuzz_spark.kernels.common import pm_vector
+        from rapidfuzz_spark.kernels.jaro import jaro_similarity
+        from rapidfuzz_spark.kernels.lcs_indel import lcs_length
+        from rapidfuzz_spark.kernels.levenshtein import myers_distance
+
+        random.seed(23)
+        al = "abcdefghij "
+        W = B._BLOCK_MAX_WORDS
+        cases = []
+        for words in (W - 1, W, W + 1, 2 * W):
+            for _ in range(6):
+                la = words * 64 - random.randrange(0, 30)
+                a = "".join(random.choice(al) for _ in range(la))
+                t = list(a)
+                for _ in range(max(1, la // 15)):
+                    t[random.randrange(la)] = random.choice(al)
+                cases.append((a, "".join(t)))
+        aa = np.array([c[0] for c in cases], dtype=object)
+        bb = np.array([c[1] for c in cases], dtype=object)
+        lev = B.levenshtein_batch(aa, bb)
+        lcs = B.lcs_similarity_batch(aa, bb)
+        osa_d = B.osa_batch(aa, bb)
+        jar = B.jaro_batch(aa, bb)
+        for i, (x, y) in enumerate(cases):
+            p, t = (x, y) if len(x) <= len(y) else (y, x)
+            pm = pm_vector(p)
+            assert lev[i] == myers_distance(p, t, pm)
+            assert lcs[i] == lcs_length(p, t, pm)
+            assert osa_d[i] == _osa.osa_distance_kernel(p, t, pm)
+            assert jar[i] == pytest.approx(jaro_similarity(p, t, pm))
+        # cutoff + hint variants stay exact at and above the cap
+        ks = lev + 2
+        with_k = B.levenshtein_batch(aa, bb, k=ks)
+        assert (with_k == lev).all()
+        with_hint = B.levenshtein_batch(aa, bb, k=ks, hint=np.maximum(lev - 1, 1))
+        assert (with_hint == lev).all()
+
     def test_damerau_vectorized_matches_python(self):
         import numpy as np
 
