@@ -1224,6 +1224,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_docs"] = pack_docs
 
+    def pack_docs_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Model-token budgets end-to-end: toy-BPE counts from an
+        Arrow-batched pandas_udf feed pack_documents(tokens_col=...) so
+        packs are budgeted in MODEL tokens, not whitespace tokens."""
+        from rapidfuzz_spark.textops import training
+
+        docs = _docs(spark, sf_dir)
+        counts = training.toy_bpe_token_counts(docs)
+        return training.pack_documents(
+            docs.join(counts, "doc_id"),
+            budget=64,
+            n_shards=2,
+            tokens_col="bpe_tokens",
+        )
+
+    q["pack_docs_bpe"] = pack_docs_bpe
+
     def shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         from rapidfuzz_spark.textops import training
 
@@ -2742,6 +2759,45 @@ GROUP BY p.id_1, p.id_2"""
              floor(tokens_before / 256.0)::BIGINT AS pack_id,
              (row_number() OVER (
                  PARTITION BY grp, shard, floor(tokens_before / 256.0)
+                 ORDER BY doc_id) - 1)::INT AS pack_pos
+      FROM w"""
+    # toy BPE replay: disjoint-alphabet bigram merges give greedy BPE
+    # the closed form len(word) - sum_rule occurrences(word, rule); the
+    # non-overlapping occurrence count is the replace() length delta
+    o["pack_docs_bpe"] = r"""
+      WITH wrd AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS wd
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''),
+      cnt AS (
+        SELECT doc_id,
+               sum(len(wd)
+                   - (len(wd) - len(replace(wd, 'th', ''))) // 2
+                   - (len(wd) - len(replace(wd, 'er', ''))) // 2
+                   - (len(wd) - len(replace(wd, 'an', ''))) // 2
+                   - (len(wd) - len(replace(wd, 'is', ''))) // 2
+                   - (len(wd) - len(replace(wd, 'ou', ''))) // 2
+               ) AS bpe
+        FROM wrd GROUP BY doc_id),
+      d AS (
+        SELECT dd.doc_id, lang AS grp,
+               floor((('0x' || substr(md5('pack:' || dd.doc_id), 1, 8))::BIGINT
+                      / 4294967296.0) * 2)::INT AS shard,
+               coalesce(cnt.bpe, 0)::INT AS n_tokens
+        FROM documents dd LEFT JOIN cnt USING (doc_id)),
+      w AS (
+        SELECT doc_id, grp, shard, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY grp, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS tokens_before
+        FROM d)
+      SELECT doc_id, grp, shard, n_tokens,
+             floor(tokens_before / 64.0)::BIGINT AS pack_id,
+             (row_number() OVER (
+                 PARTITION BY grp, shard, floor(tokens_before / 64.0)
                  ORDER BY doc_id) - 1)::INT AS pack_pos
       FROM w"""
     o["shuffle_shards"] = """

@@ -19,6 +19,7 @@ never a driver collect.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -32,7 +33,24 @@ __all__ = [
     "pack_documents",
     "shuffle_shards",
     "training_export",
+    "toy_bpe_token_counts",
+    "TOY_BPE_MERGES",
 ]
+
+# Toy BPE merge table for the worked model-token-budget example
+# (toy_bpe_token_counts). Deliberate constraint: every rule is a
+# character bigram and the rules' alphabets are pairwise DISJOINT
+# ({t,h}, {e,r}, {a,n}, {i,s}, {o,u}), which gives greedy BPE a closed
+# form an independent SQL engine can replay exactly:
+#   tokens(word) = len(word) - sum_rule occurrences(word, rule)
+# because (a) a distinct-char bigram cannot overlap itself, (b) rules
+# with disjoint alphabets cannot overlap each other or span a merged
+# symbol, and (c) merging one pair never makes two other symbols
+# adjacent (the merged symbol sits between them) — so the rank-ordered
+# merge loop and the per-rule non-overlapping occurrence counts on the
+# ORIGINAL word coincide. A real tokenizer drops the constraint and the
+# closed form, keeping the same plan shape.
+TOY_BPE_MERGES = ("th", "er", "an", "is", "ou")
 
 
 def decontaminate(
@@ -247,6 +265,73 @@ def shuffle_shards(
     )
     w = Window.partitionBy("shard").orderBy("u", k)
     return d.withColumn("shard_pos", (F.row_number().over(w) - 1))
+
+
+def toy_bpe_token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    merges: tuple = TOY_BPE_MERGES,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bpe_tokens): MODEL-tokenizer token counts for packing —
+    the worked example of feeding ``pack_documents(tokens_col=...)`` a
+    real tokenizer's counts instead of whitespace-token counts. Runs an
+    actual greedy byte-pair-encoding loop per whitespace word (symbols
+    start as characters; repeatedly merge the best-ranked adjacent pair
+    present until none applies) inside one Arrow-batched pandas_udf —
+    the exact plan shape a production tokenizer (sentencepiece/tiktoken
+    count) would use: per-row, stateless, embarrassingly parallel, no
+    shuffle, so it scales as a map stage at any corpus size.
+
+    ``merges`` is the rank-ordered merge table; the default
+    ``TOY_BPE_MERGES`` satisfies the disjoint-alphabet constraint
+    documented at its definition, making the count exactly SQL-
+    replayable (the strict oracle for the ``pack_docs_bpe`` driver
+    query replays it in DuckDB). NULL/whitespace-only text counts 0,
+    the same convention as pack_documents' whitespace path.
+    """
+    import re
+
+    ranks = {m: r for r, m in enumerate(merges)}
+    merge_list = tuple(merges)
+
+    @F.pandas_udf("long")
+    def _count(texts: pd.Series) -> pd.Series:
+        def word_tokens(w: str) -> int:
+            syms = list(w)
+            while True:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get(syms[i] + syms[i + 1])
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    return len(syms)
+                pair = merge_list[best]
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] + syms[i + 1] == pair:
+                        out.append(pair)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+
+        def doc_tokens(t) -> int:
+            if t is None:
+                return 0
+            t = t.strip()
+            if not t:
+                return 0
+            return sum(word_tokens(w) for w in re.split(r"\s+", t))
+
+        return texts.map(doc_tokens)
+
+    return docs.select(
+        F.col(key_col).alias("doc_id"),
+        _count(F.col(text_col)).alias("bpe_tokens"),
+    )
 
 
 def training_export(

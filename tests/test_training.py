@@ -335,3 +335,78 @@ def test_pack_null_text_is_zero_tokens(spark):
     rows = {r["doc_id"]: (r["n_tokens"], r["pack_id"]) for r in out.collect()}
     assert rows[1] == (0, 0)
     assert rows[2] == (2, 0)  # NULL doc added nothing to the stream
+
+
+class TestToyBpe:
+    def test_hand_computed_merges(self, spark):
+        from rapidfuzz_spark.textops.training import toy_bpe_token_counts
+
+        docs = spark.createDataFrame(
+            [
+                # 'the' -> [th,e] = 2; 'fisher' -> [f,is,h,er] = 4
+                (0, "the fisher", "en"),
+                # 'another' -> a,n,o,t,h,e,r: 'an'@0, 'th'@3, 'er'@5
+                # (disjoint) -> [an,o,th,er] = 4
+                (1, "another", "en"),
+                # rank order: 'th' outranks 'er' but they never compete
+                # (disjoint alphabets); 'thth' -> [th,th] = 2
+                (2, "thth isis", "en"),  # isis -> [is,is] = 2 -> total 4
+                (3, "", "en"),
+                (4, None, "en"),
+                (5, "xyz", "en"),  # no rule applies: 3 chars = 3 tokens
+            ],
+            "doc_id bigint, text string, lang string",
+        )
+        got = {r.doc_id: r.bpe_tokens for r in toy_bpe_token_counts(docs).collect()}
+        assert got == {0: 6, 1: 4, 2: 4, 3: 0, 4: 0, 5: 3}
+
+    def test_closed_form_equivalence(self, spark):
+        """The greedy merge loop must equal the disjoint-alphabet closed
+        form len(w) - sum_rule occurrences(w, rule) — the identity the
+        SQL oracle replays."""
+        import random
+        import re as _re
+
+        from rapidfuzz_spark.textops.training import (
+            TOY_BPE_MERGES,
+            toy_bpe_token_counts,
+        )
+
+        random.seed(3)
+        al = "thersaniou xbc"
+        rows = [
+            (i, "".join(random.choice(al) for _ in range(40)), "en")
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+        got = {r.doc_id: r.bpe_tokens for r in toy_bpe_token_counts(docs).collect()}
+        for i, text, _ in rows:
+            want = 0
+            for w in _re.split(r"\s+", text.strip()):
+                if not w:
+                    continue
+                want += len(w) - sum(
+                    (len(w) - len(w.replace(m, ""))) // 2 for m in TOY_BPE_MERGES
+                )
+            assert got[i] == want, (i, text)
+
+    def test_bpe_budget_packing_end_to_end(self, spark):
+        from rapidfuzz_spark.textops.training import (
+            pack_documents,
+            toy_bpe_token_counts,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "the fisher " * 6, "en") for i in range(4)],  # 36 bpe tokens
+            "doc_id bigint, text string, lang string",
+        )
+        d = docs.join(toy_bpe_token_counts(docs), "doc_id")
+        out = {
+            r.doc_id: (r.n_tokens, r.pack_id)
+            for r in pack_documents(
+                d, budget=40, group_col=None, n_shards=1, tokens_col="bpe_tokens"
+            ).collect()
+        }
+        # 36-token docs against a 40 budget: starts at 0,36,72,108 ->
+        # packs 0,0,1,2 (doc boundary rule)
+        assert out == {0: (36, 0), 1: (36, 0), 2: (36, 1), 3: (36, 2)}
