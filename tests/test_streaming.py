@@ -269,6 +269,81 @@ def test_streaming_dedup_suppresses_and_restarts(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stream_neardup_replay_after_uncommitted_batch(spark):
+    """Kill/resume torture for the foreachBatch near-dup query: after a
+    run completes, delete the checkpoint's LAST commit marker —
+    simulating a crash in the at-least-once window where the batch's
+    pairs/bands partitions were already written but the commit wasn't
+    recorded — then resume with one more file. The replayed batch must
+    dynamically overwrite its own partitions (not duplicate pairs, not
+    join against its own earlier attempt), and the cumulative output
+    must still equal the batch LSH pair set, each pair under exactly
+    one batch_id."""
+    from rapidfuzz_spark.streaming import stream_neardup
+    from rapidfuzz_spark.textops import dedup
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    schema = "doc_id long, text string"
+    b0 = spark.createDataFrame(
+        [(0, base + " bank"), (1, base + " bend"), (2, "unrelated aaa bbb")],
+        schema,
+    )
+    b1 = spark.createDataFrame([(3, base + " bank"), (4, "zzz yyy xxx")], schema)
+    b2 = spark.createDataFrame([(5, base + " bend")], schema)
+    tmp = tempfile.mkdtemp(prefix="rf_sndup_r_")
+    try:
+        sdir = os.path.join(tmp, "in")
+        os.makedirs(sdir)
+
+        def feed(i, df):
+            part = os.path.join(tmp, f"c{i}")
+            df.coalesce(1).write.parquet(part)
+            f = next(x for x in os.listdir(part) if x.endswith(".parquet"))
+            dst = os.path.join(sdir, f"{i:02d}.parquet")
+            shutil.move(os.path.join(part, f), dst)
+            os.utime(dst, (1000 + i, 1000 + i))
+
+        def run():
+            stream = (
+                spark.readStream.schema(b0.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(sdir)
+            )
+            q = stream_neardup(
+                stream, os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+            )
+            q.awaitTermination()
+            return spark.read.parquet(os.path.join(tmp, "out", "pairs"))
+
+        feed(0, b0)
+        feed(1, b1)
+        run()
+        # crash window: batch 1's output partitions exist, commit doesn't
+        commits = os.path.join(tmp, "ckpt", "commits")
+        last = sorted(os.listdir(commits))[-1]
+        assert last == "1"
+        os.remove(os.path.join(commits, last))
+        crc = os.path.join(commits, f".{last}.crc")  # Hadoop checksum shadow
+        if os.path.exists(crc):
+            os.remove(crc)
+        feed(2, b2)
+        got = run()  # replays batch 1, then processes batch 2
+        by_batch = {(r.id_1, r.id_2): r.batch_id for r in got.collect()}
+        full = {
+            (r.id_1, r.id_2)
+            for r in dedup.minhash_lsh_candidates(
+                b0.unionByName(b1).unionByName(b2), bucket_cap=None
+            ).collect()
+        }
+        assert set(by_batch) == full
+        # exactly-once across the replay: no pair row duplicated, the
+        # replayed batch's pairs sit under their original batch_id
+        assert len(by_batch) == got.count()
+        assert by_batch[(0, 3)] == 1 and by_batch[(0, 5)] == 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stream_neardup_cumulative_equals_batch(spark):
     """Each pair is emitted exactly once, at the batch where its later
     member arrives; cumulative output == the batch LSH pair set; a
