@@ -17,6 +17,12 @@ STRICT = "--strict" in sys.argv
 if STRICT:
     sys.argv.remove("--strict")
 
+JSON_OUT = None
+if "--json" in sys.argv:
+    i = sys.argv.index("--json")
+    JSON_OUT = sys.argv[i + 1]
+    del sys.argv[i : i + 2]
+
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
@@ -75,12 +81,28 @@ def main() -> None:
     oracles = E.oracle_sql()
     failures = []
     boundaries = []
+    results: dict = {}
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
-        sdf = fn(spark, SF_DIR).toPandas()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as exc:  # noqa: BLE001 — gate artifact records it
+            print(f"{name:28s} FAIL  spark error: {exc}")
+            failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": str(exc)[:300],
+            }
+            continue
         if name not in oracles:
             print(f"{name:28s} rows={len(sdf)} (no oracle — rows-only)")
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(sdf), "oracle_rows": None,
+                "err": "no oracle (rows-only)",
+            }
             continue
         odf = con.sql(oracles[name]).df()
         a, b = canon(sdf), canon(odf)
@@ -114,6 +136,14 @@ def main() -> None:
         print(
             f"{name:28s} {status}  rows {len(a)}/{len(b)} cols {ok_cols} vals {ok_vals}"
         )
+        results[name] = {
+            "rows_match": ok_rows,
+            "schema_match": ok_cols,
+            "hash_match": bool(ok_vals or boundary),
+            "spark_rows": len(a),
+            "oracle_rows": len(b),
+            "err": "float-boundary (<=1e-6)" if boundary else None,
+        }
         if status == "FAIL":
             failures.append(name)
             if ok_rows and ok_cols:
@@ -124,6 +154,12 @@ def main() -> None:
     n = ent.count()
     print(f"entry(): {n} rows, schema: {ent.schema.simpleString()[:120]}")
     spark.stop()
+    if JSON_OUT:
+        import json
+
+        with open(JSON_OUT, "w") as fh:
+            json.dump(results, fh, indent=2)
+        print(f"wrote {len(results)} query results to {JSON_OUT}")
     if boundaries:
         print("FLOAT-BOUNDARY (agree to <=1e-6, not counted as exact):", boundaries)
     if failures:
