@@ -1269,6 +1269,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["training_export_e2e"] = training_export_e2e
 
+    def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PII scrubbing over text with deterministically synthesized
+        PII (the corpus has none): email/ipv4/phone planted by doc_id
+        residue, redacted by the pure-Catalyst regexp chain."""
+        from rapidfuzz_spark.textops import curation
+
+        docs = _docs(spark, sf_dir)
+        wid = F.col("doc_id")
+        txt = F.concat(
+            F.col("text"),
+            F.when(
+                wid % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    wid.cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                wid % 11 == 0,
+                F.concat(
+                    F.lit(" ip 10.0."),
+                    (wid % 250).cast("string"),
+                    F.lit(".7 end"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                wid % 13 == 0,
+                F.concat(
+                    F.lit(" call +141555"),
+                    (10000 + wid % 9999).cast("string"),
+                    F.lit(" soon"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        return curation.redact_pii(docs.select("doc_id", txt.alias("text")))
+
+    q["pii_redact"] = pii_redact
+
+    def decontaminate_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import training
+        from rapidfuzz_spark.textops.sampling import md5_uniform
+
+        docs = _docs(spark, sf_dir)
+        ev = docs.where(md5_uniform("doc_id", "eval") < 0.05)
+        return training.decontaminate_fraction(docs, ev, n=13, max_frac=0.05)
+
+    q["decontaminate_frac"] = decontaminate_frac
+
+    def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Token-weighted dataset mixing: 3 listed sources thinned to a
+        0.5/0.3/0.2 token mix, the other 17 sources dropped (unlisted =
+        no place in the mixture)."""
+        from rapidfuzz_spark.textops import training
+
+        return training.mix_by_source(
+            _docs(spark, sf_dir), {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+        ).select("doc_id", "source", F.round("u", 6).alias("u"), "rate")
+
+    q["mix_sources"] = mix_sources
+
+    def bigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import quality
+
+        return quality.bigram_logprob(_docs(spark, sf_dir))
+
+    q["bigram_lp"] = bigram_lp
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1277,7 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 4
-        "incremental_lsh_counts", "pack_docs_bpe",
+        "incremental_lsh_counts", "pack_docs_bpe", "pii_redact",
+        "decontaminate_frac", "mix_sources", "bigram_lp",
         # round 3 additions the round-3 driver file never covered
         "quota_sample", "neardup_prune", "token_df_topn", "cdc_chunk_dups",
         "curation_keep_list", "stream_dedup", "incremental_lsh",
@@ -2637,6 +2706,120 @@ GROUP BY p.id_1, p.id_2"""
       FROM bands a JOIN bands b USING (band, sig)
       WHERE a.doc_id < b.doc_id
         AND (a.doc_id >= 450 OR b.doc_id >= 450)"""
+    # sequential redaction replay: counts taken on the text as it stands
+    # when each pattern runs (email first, then ipv4 on the email-
+    # redacted text, then phone); patterns are in the Java-regex/RE2
+    # common subset so both engines match identically
+    o["pii_redact"] = r"""
+      WITH d AS (
+        SELECT doc_id, text
+          || CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || doc_id || '@example.com now'
+                  ELSE '' END
+          || CASE WHEN doc_id % 11 = 0
+                  THEN ' ip 10.0.' || (doc_id % 250) || '.7 end'
+                  ELSE '' END
+          || CASE WHEN doc_id % 13 = 0
+                  THEN ' call +141555' || (10000 + doc_id % 9999) || ' soon'
+                  ELSE '' END AS t
+        FROM documents),
+      s1 AS (
+        SELECT doc_id, t,
+               len(regexp_extract_all(
+                   t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                 AS n_email,
+               regexp_replace(
+                   t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '<email>', 'g') AS t1
+        FROM d),
+      s2 AS (
+        SELECT doc_id, n_email,
+               len(regexp_extract_all(
+                   t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+               regexp_replace(
+                   t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                   '<ipv4>', 'g') AS t2
+        FROM s1)
+      SELECT doc_id,
+             regexp_replace(t2, '\+\d{7,15}', '<phone>', 'g') AS redacted,
+             n_email, n_ipv4,
+             len(regexp_extract_all(t2, '\+\d{7,15}')) AS n_phone
+      FROM s2"""
+    o["decontaminate_frac"] = r"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(tk[i:i+12], ' ')) AS h
+        FROM (SELECT doc_id, tk,
+                     unnest(range(1, greatest(len(tk) - 12, 0) + 1)) AS i
+              FROM toks)),
+      ev AS (
+        SELECT DISTINCT h FROM grams
+        WHERE doc_id IN (
+          SELECT doc_id FROM documents
+          WHERE ('0x' || substr(md5('eval:' || doc_id), 1, 8))::BIGINT
+                  / 4294967296.0 < 0.05)),
+      hits AS (
+        SELECT g.doc_id, count(*) AS n_hits
+        FROM grams g JOIN ev USING (h) GROUP BY g.doc_id),
+      base AS (
+        SELECT doc_id, greatest(len(tk) - 12, 0) AS n_grams FROM toks)
+      SELECT b.doc_id, b.n_grams::INT AS n_grams,
+             coalesce(n_hits, 0)::BIGINT AS n_hits,
+             CASE WHEN b.n_grams > 0
+                  THEN round(coalesce(n_hits, 0) / b.n_grams, 6)
+                  ELSE 0.0 END AS frac,
+             CASE WHEN b.n_grams > 0
+                  THEN round(coalesce(n_hits, 0) / b.n_grams, 6)
+                  ELSE 0.0 END >= 0.05 AS contaminated
+      FROM base b LEFT JOIN hits USING (doc_id)"""
+    o["mix_sources"] = """
+      WITH cnt AS (
+        SELECT coalesce(source, chr(0) || 'null') AS gkey,
+               sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END)::DOUBLE AS tok_g
+        FROM documents GROUP BY 1),
+      wts AS (
+        SELECT gkey,
+               (CASE gkey WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3
+                          WHEN 'src2' THEN 0.2 END) / tok_g AS w_g
+        FROM cnt),
+      rates AS (
+        SELECT gkey, round(w_g / max(w_g) OVER (), 6) AS rate FROM wts)
+      SELECT doc_id, source, round(u, 6) AS u, rate
+      FROM (SELECT d.doc_id, d.source,
+                   ('0x' || substr(md5('mix0:' || d.doc_id), 1, 8))::BIGINT
+                     / 4294967296.0 AS u,
+                   r.rate
+            FROM documents d
+            JOIN rates r ON coalesce(d.source, chr(0) || 'null') = r.gkey)
+      WHERE u < rate"""
+    o["bigram_lp"] = r"""
+      WITH toks AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(trim(lower(text)),
+                                                    '\s+'),
+                                 x -> x <> '') AS tk
+              FROM documents),
+             (SELECT unnest(generate_series(1, 100000)) AS i)
+        WHERE i <= len(tk)),
+      bg AS (SELECT doc_id, w1, w2 FROM toks WHERE w2 IS NOT NULL),
+      c12 AS (SELECT w1, w2, count(*)::DOUBLE AS c12 FROM bg
+              GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*)::DOUBLE AS c1 FROM bg GROUP BY w1),
+      per AS (
+        SELECT b.doc_id, count(*) AS n_bigrams,
+               round(avg(ln(c12.c12 / c1.c1)), 6) AS mean_logprob
+        FROM bg b JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        GROUP BY b.doc_id)
+      SELECT d.doc_id, coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+             p.mean_logprob
+      FROM documents d LEFT JOIN per p USING (doc_id)"""
     # maintained-counts cap == union-census cap: the capped full-corpus
     # band join minus base x base (hot buckets dropped on BOTH sides)
     o["incremental_lsh_counts"] = """

@@ -25,7 +25,49 @@ from .dedup import (
 )
 from .quality import quality_features
 
-__all__ = ["curation_keep_list"]
+__all__ = ["curation_keep_list", "redact_pii", "PII_PATTERNS"]
+
+# Redaction rules applied IN ORDER, each to the previous rule's output.
+# Patterns are deliberately written in the common subset of Java regex
+# (Spark) and RE2 (DuckDB/Go scanners) — no lookarounds, no backrefs —
+# so the operator is engine-portable and SQL-oracle-verifiable. Email
+# must run before ipv4 (an address like user@10.0.0.7 redacts as one
+# email, not an email fragment plus an IP).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+\d{7,15}"),
+)
+
+
+def redact_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    patterns: Sequence[tuple[str, str]] = PII_PATTERNS,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, redacted, n_<kind>...): scrub personally identifiable
+    substrings before training export — each pattern's matches are
+    counted and replaced with a ``<kind>`` token, sequentially, so a
+    later pattern never re-matches an earlier redaction's remains.
+
+    Plan shape: a chain of codegen'd ``regexp_replace``/
+    ``regexp_extract_all`` expressions — pure JVM map stage, zero
+    Python, zero shuffle, scales linearly with corpus bytes at any
+    cluster size (the same shape as the quality scorers). NULL text
+    stays NULL with all counts 0.
+    """
+    cur = F.col(text_col)
+    cols = [F.col(key_col).alias("doc_id")]
+    counts = []
+    for kind, pat in patterns:
+        counts.append(
+            F.when(F.col(text_col).isNull(), F.lit(0))
+            .otherwise(F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))))
+            .alias(f"n_{kind}")
+        )
+        cur = F.regexp_replace(cur, pat, f"<{kind}>")
+    return docs.select(*cols, cur.alias("redacted"), *counts)
 
 
 def curation_keep_list(

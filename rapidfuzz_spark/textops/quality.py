@@ -309,6 +309,64 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_bigrams, mean_logprob): corpus-bigram conditional
+    language-model score per document — one order up from
+    ``unigram_logprob``, the signal that separates "rare words" from
+    "rare word SEQUENCES" (shuffled/garbled text keeps its unigram
+    score but collapses under a bigram model).
+
+    The model is the corpus itself, MLE with no smoothing needed in
+    scope: P(w2|w1) = c(w1,w2) / c(w1 as bigram head), so every scored
+    bigram is in-model by construction. ``mean_logprob`` is the mean
+    natural log conditional probability over the document's bigram
+    positions, NULL for documents with < 2 tokens, rounded to 6 dp.
+
+    Plan shape: one (doc_id, pos, token) explode, one lead() window
+    partitioned by doc_id (a document's tokens co-reside by
+    construction — no skew), one bigram-key hash-aggregate and one
+    head-key hash-aggregate (both collapse map-side), joins back on the
+    same keys, then one doc_id aggregate. Same single-corpus-scan,
+    no-global-sort contract as unigram_logprob."""
+    from pyspark.sql.window import Window as W
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("pos", "w1"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bg = toks.withColumn("w2", F.lead("w1").over(w)).where(
+        F.col("w2").isNotNull()
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log(F.col("c12") / F.col("c1"))), 6
+            ).alias("mean_logprob"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "mean_logprob",
+        )
+    )
+
+
 def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, n_tokens, mean_logprob): corpus-unigram language-model
     score per document — the cheap perplexity proxy quality filters rank

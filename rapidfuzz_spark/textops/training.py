@@ -29,7 +29,9 @@ from .sampling import md5_uniform
 
 __all__ = [
     "decontaminate",
+    "decontaminate_fraction",
     "temperature_resample",
+    "mix_by_source",
     "pack_documents",
     "shuffle_shards",
     "training_export",
@@ -107,6 +109,69 @@ def decontaminate(
     )
 
 
+def decontaminate_fraction(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    max_frac: float = 0.1,
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Fraction-based decontamination (the Dolma/RedPajama-style rule:
+    drop a document when MORE THAN a threshold fraction of its n-grams
+    are contaminated, instead of min-hit counting): one row per input
+    document, ``(doc_id, n_grams, n_hits, frac, contaminated)`` with
+    ``contaminated = frac >= max_frac`` (false for docs shorter than
+    ``n`` tokens).
+
+    Definition kept deliberately shuffle-free on the corpus side:
+    ``n_grams`` is the number of n-gram POSITIONS (tokens - n + 1),
+    computable map-side from the token count, and ``n_hits`` counts
+    DISTINCT matched grams (same post-probe aggregation as
+    ``decontaminate``). frac = distinct-hits / positions therefore
+    UNDERESTIMATES the distinct-gram fraction for self-repetitive
+    documents — the conservative direction for a drop rule — and the
+    alternative (per-doc DISTINCT gram counts) would shuffle the entire
+    corpus gram stream before the probe, the exact cost
+    ``decontaminate``'s plan exists to avoid. Rounded to 6 dp so the
+    threshold compare is engine-exact (same policy as
+    temperature_resample's rate).
+    """
+    grams = docs.select(
+        "doc_id", F.explode(word_ngram_hashes(text_col, n=n)).alias("h")
+    )
+    eval_grams = (
+        eval_docs.select(F.explode(word_ngram_hashes(text_col, n=n)).alias("h"))
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    hits = (
+        grams.join(eval_grams, "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_hits"))
+    )
+    toks = F.when(
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    base = docs.select(
+        "doc_id", F.greatest(toks - (n - 1), F.lit(0)).alias("n_grams")
+    )
+    frac = F.when(F.col("n_grams") > 0, F.round(
+        F.coalesce("n_hits", F.lit(0)) / F.col("n_grams"), 6
+    )).otherwise(F.lit(0.0))
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            frac.alias("frac"),
+            (frac >= max_frac).alias("contaminated"),
+        )
+    )
+
+
 def temperature_resample(
     docs: DataFrame,
     alpha: float = 0.7,
@@ -146,6 +211,67 @@ def temperature_resample(
     total = Window.partitionBy()
     w = counts.withColumn(
         "w_g", F.pow(F.col("n_g") / F.sum("n_g").over(total), alpha - 1.0)
+    )
+    rates = w.select(
+        "__gkey",
+        F.round(F.col("w_g") / F.max("w_g").over(total), 6).alias("rate"),
+    )
+    return (
+        docs.withColumn("__gkey", gkey)
+        .join(F.broadcast(rates), "__gkey")
+        .drop("__gkey")
+        .withColumn("u", md5_uniform(key_col, salt))
+        .where(F.col("u") < F.col("rate"))
+    )
+
+
+def mix_by_source(
+    docs: DataFrame,
+    shares: dict,
+    source_col: str = "source",
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    salt: str = "mix0",
+) -> DataFrame:
+    """Deterministic TOKEN-weighted dataset mixing: downsample each
+    source so the kept corpus's expected token mix matches the target
+    ``shares`` (e.g. ``{"web": 0.6, "code": 0.2, "books": 0.2}``) —
+    the "data mixture" knob of LM pretraining, realized without an RNG.
+
+    Per source g: ``rate_g = (share_g / tokens_g) / max_h(share_h /
+    tokens_h)`` — the source whose target share is largest relative to
+    its token supply keeps rate 1.0 (nothing is upsampled; mixing by
+    downsampling only, same policy as temperature_resample), every
+    other source thins toward the target ratio. Sources ABSENT from
+    ``shares`` get no rate and are dropped entirely (SQL three-valued
+    ``u < NULL`` — intentional: an unlisted source has no place in the
+    mix). The acceptance draw is the md5-uniform of the row key, so the
+    selection is reproducible and engine-portable; rates round to 6 dp
+    before the compare (engine-exact boundary).
+
+    Plan shape: one tiny per-source token aggregation (sources are a
+    handful), a window max over that tiny frame, a broadcast join back,
+    a map-side filter — the corpus is scanned once and never shuffled.
+    Differs from sampling.stratified_sample (caller supplies ROW rates)
+    in that rates are DERIVED from target token shares and the measured
+    token supply.
+
+    Returns kept rows with ``u`` and ``rate`` for audit.
+    """
+    gkey = F.coalesce(F.col(source_col).cast("string"), F.lit("\x00null"))
+    toks = F.when(
+        F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""), F.lit(0)
+    ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+    counts = (
+        docs.groupBy(gkey.alias("__gkey"))
+        .agg(F.sum(toks).alias("tok_g"))
+    )
+    share_map = F.create_map(
+        *[F.lit(x) for kv in shares.items() for x in kv]
+    )
+    total = Window.partitionBy()
+    w = counts.withColumn(
+        "w_g", share_map.getItem(F.col("__gkey")) / F.col("tok_g")
     )
     rates = w.select(
         "__gkey",

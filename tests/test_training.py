@@ -337,6 +337,101 @@ def test_pack_null_text_is_zero_tokens(spark):
     assert rows[2] == (2, 0)  # NULL doc added nothing to the stream
 
 
+class TestRedactPii:
+    def test_kinds_counts_and_order(self, spark):
+        from rapidfuzz_spark.textops.curation import redact_pii
+
+        docs = spark.createDataFrame(
+            [
+                (0, "mail a.b+c@example.com and ip 10.0.0.7 call +12345678"),
+                # no alpha TLD -> not an email; the ipv4 rule catches it
+                (1, "user@10.0.0.7 plain"),
+                (2, None),
+                (3, "nothing here"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r.doc_id: r for r in redact_pii(docs).collect()}
+        assert out[0].redacted == "mail <email> and ip <ipv4> call <phone>"
+        assert (out[0].n_email, out[0].n_ipv4, out[0].n_phone) == (1, 1, 1)
+        assert out[1].redacted == "user@<ipv4> plain"
+        assert (out[1].n_email, out[1].n_ipv4) == (0, 1)
+        assert out[2].redacted is None
+        assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
+        assert out[3].redacted == "nothing here" and out[3].n_email == 0
+
+
+class TestDecontaminateFraction:
+    def test_fraction_and_threshold(self, spark):
+        from rapidfuzz_spark.textops.training import decontaminate_fraction
+
+        ev_text = " ".join(f"w{i}" for i in range(3))  # one 3-gram
+        docs = spark.createDataFrame(
+            [
+                (1, ev_text + " t1 t2 t3", "en"),  # 4 positions, 1 hit
+                (2, "clean words only here", "en"),  # 2 positions, 0 hits
+                (3, "ab", "en"),  # < n tokens: 0 positions, clean
+                (4, ev_text, "en"),  # the eval doc: frac 1.0
+            ],
+            "doc_id bigint, text string, lang string",
+        )
+        ev = docs.where(F.col("doc_id") == 4)
+        out = {
+            r.doc_id: r
+            for r in decontaminate_fraction(docs, ev, n=3, max_frac=0.3).collect()
+        }
+        assert (out[1].n_grams, out[1].n_hits, out[1].frac) == (4, 1, 0.25)
+        assert not out[1].contaminated  # 0.25 < 0.3
+        assert (out[2].n_hits, out[2].contaminated) == (0, False)
+        assert (out[3].n_grams, out[3].frac, out[3].contaminated) == (0, 0.0, False)
+        assert out[4].frac == 1.0 and out[4].contaminated
+
+
+class TestMixBySource:
+    def test_token_weighted_rates_and_unlisted_drop(self, spark):
+        from rapidfuzz_spark.textops.training import mix_by_source
+
+        docs = spark.createDataFrame(
+            # srcA: 8 tokens over 2 docs; srcB: 2 tokens; srcC unlisted
+            [
+                (1, "a b c d", "srcA"),
+                (2, "e f g h", "srcA"),
+                (3, "i j", "srcB"),
+                (4, "k l m", "srcC"),
+            ],
+            "doc_id bigint, text string, source string",
+        )
+        kept = mix_by_source(docs, {"srcA": 0.5, "srcB": 0.5}).collect()
+        rates = {r.source: r.rate for r in kept}
+        # w_A = .5/8, w_B = .5/2 -> B keeps rate 1.0, A thins to 1/4
+        assert rates.get("srcB", 1.0) == 1.0
+        assert all(r.rate == 0.25 for r in kept if r.source == "srcA")
+        assert not any(r.source == "srcC" for r in kept)  # unlisted drops
+        # deterministic across calls
+        again = mix_by_source(docs, {"srcA": 0.5, "srcB": 0.5}).collect()
+        assert {r.doc_id for r in kept} == {r.doc_id for r in again}
+
+
+class TestBigramLogprob:
+    def test_hand_computed(self, spark):
+        from rapidfuzz_spark.textops.quality import bigram_logprob
+
+        docs = spark.createDataFrame(
+            [(0, "a b a c", "en"), (1, "a b", "en"), (2, "x", "en"), (3, "", "en")],
+            "doc_id bigint, text string, lang string",
+        )
+        out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+        # corpus bigrams: doc0 (a,b),(b,a),(a,c); doc1 (a,b)
+        # c12: ab=2 ba=1 ac=1; c1: a=3, b=1
+        d0 = (math.log(2 / 3) + math.log(1 / 1) + math.log(1 / 3)) / 3
+        assert out[0].n_bigrams == 3
+        assert out[0].mean_logprob == pytest.approx(round(d0, 6), abs=1e-6)
+        assert out[1].n_bigrams == 1
+        assert out[1].mean_logprob == pytest.approx(round(math.log(2 / 3), 6))
+        assert out[2].n_bigrams == 0 and out[2].mean_logprob is None
+        assert out[3].n_bigrams == 0 and out[3].mean_logprob is None
+
+
 def test_oracle_null_conventions_match_spark(spark):
     """ADVICE r3: the sf0.01 gate corpus has no NULL text/lang, so the
     oracles' NULL conventions were never exercised. This fixture has
