@@ -54,7 +54,11 @@ ALPHAS = [
 ]
 # lengths straddle every routing seam: 0/empty, <=64 one-word, 64..1024
 # blockwise (W buckets at 2/4/8/16 words), >1024 bigint fallback
-LENS = [0, 1, 3, 9, 30, 63, 64, 65, 127, 200, 511, 700, 1023, 1024, 1500]
+# straddles every routing seam: 0/empty, <=64 one-word, the blockwise
+# zone, and BOTH sides of _BLOCK_MAX_WORDS (16 words = 1024 in rounds
+# 1-3; 24 words = 1536 since round 4) into the big-int route
+LENS = [0, 1, 3, 9, 30, 63, 64, 65, 127, 200, 511, 700, 1023, 1024,
+        1500, 1535, 1536, 1537, 2100]
 
 WEIGHTS = [(1, 1, 1), (1, 1, 2), (1, 2, 3), (2, 3, 1), (3, 1, 5), (2, 2, 3), (1, 4, 2)]
 
