@@ -291,6 +291,70 @@ def ivf_cells(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    assign: str = "auto",
+) -> DataFrame:
+    """SemDeDup-style embedding-space deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus's embeddings, and within each
+    cluster prune every vector that is ε-similar to another, keeping
+    one canonical member per similar group. Returns one row per input
+    vector: ``(vec_id, canonical_id, keep)`` with ``canonical_id`` the
+    min vec_id of the vector's transitive ≥-threshold group and
+    ``keep = (canonical_id == vec_id)`` — the same canonical/keep
+    contract as the text-space dedup operators.
+
+    Composition of audited primitives, nothing new to verify in
+    isolation: cells come from ``ivf_cells`` (deterministic hash-order
+    centroids — reproducible on any engine, no k-means state), in-cell
+    pairs from ``dedup.embedding_near_duplicates`` with the cell as the
+    block, transitive grouping from the ER pipeline's large/small-star
+    ``connected_components``.
+
+    Scale: candidate pairs never cross cells — the SemDeDup recall
+    trade, which is what makes the op subquadratic: the self-join is an
+    equi-join on cell, O(sum of cell sizes squared) not O(corpus²).
+    ``n_cells`` is the knob (the paper runs ~11k clusters at 100M+
+    docs); size it so cells fit an executor and pick ``assign='pandas'``
+    past a few hundred cells (Arrow matmul assignment, plan-size-flat).
+    """
+    from ..pipeline.cluster import connected_components
+    from .dedup import embedding_near_duplicates
+
+    cells = ivf_cells(
+        corpus, n_cells=n_cells, id_col=id_col, emb_col=emb_col, assign=assign
+    )
+    e = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(emb_col).alias("embedding")
+    ).join(cells, "vec_id")
+    pairs = embedding_near_duplicates(e, threshold=threshold, block_col="cell")
+    comps = connected_components(
+        pairs.select(
+            F.col("id_1").alias("doc_id_1"), F.col("id_2").alias("doc_id_2")
+        )
+    )
+    return (
+        corpus.select(F.col(id_col).alias("vec_id"))
+        .join(
+            comps.select(
+                F.col("doc_id").alias("vec_id"),
+                F.col("entity_id").alias("canonical_id"),
+            ),
+            "vec_id",
+            "left",
+        )
+        .select(
+            "vec_id",
+            F.coalesce("canonical_id", F.col("vec_id")).alias("canonical_id"),
+        )
+        .withColumn("keep", F.col("canonical_id") == F.col("vec_id"))
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -937,6 +937,38 @@ def test_maintained_counts_match_fresh_census(spark):
     assert got2 != {(r.id_1, r.id_2) for r in unc.collect()}
 
 
+def test_semantic_dedup_transitive_canonical(spark):
+    """SemDeDup keep-list: ε-similarity groups are TRANSITIVE (a~b, b~c
+    => one group even when cos(a,c) < τ), canonical is the min vec_id,
+    and untouched vectors keep themselves. n_cells=1 isolates the
+    pair+closure semantics from centroid assignment (covered by the
+    ann_ivf oracles)."""
+    import math as m
+
+    from rapidfuzz_spark.textops.ann import semantic_dedup
+
+    def v(deg):
+        return [m.cos(m.radians(deg)), m.sin(m.radians(deg))]
+
+    rows = [
+        (0, v(0)),    # chain a
+        (1, v(26)),   # cos(a,b)=.899
+        (2, v(52)),   # cos(b,c)=.899, cos(a,c)=.616 < τ — transitive only
+        (3, v(180)),  # pair d
+        (4, v(198)),  # cos(d,e)=.951
+        (5, v(270)),  # alone
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r.vec_id: (r.canonical_id, r.keep)
+        for r in semantic_dedup(emb, n_cells=1, threshold=0.85).collect()
+    }
+    assert out == {
+        0: (0, True), 1: (0, False), 2: (0, False),
+        3: (3, True), 4: (3, False), 5: (5, True),
+    }
+
+
 def test_repetition_signals(spark):
     rows = [
         (0, "alpha beta gamma delta"),            # no repetition
