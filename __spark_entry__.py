@@ -1350,6 +1350,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semantic_dedup"] = semantic_dedup
 
+    def substring_contam(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import training
+        from rapidfuzz_spark.textops.sampling import md5_uniform
+
+        docs = _docs(spark, sf_dir)
+        ev = docs.where(md5_uniform("doc_id", "eval") < 0.05)
+        return training.substring_contamination(docs, ev, anchor_n=8)
+
+    q["substring_contam"] = substring_contam
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1360,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4
         "incremental_lsh_counts", "pack_docs_bpe", "pii_redact",
         "decontaminate_frac", "mix_sources", "bigram_lp", "semantic_dedup",
+        "substring_contam",
         # round 3 additions the round-3 driver file never covered
         "quota_sample", "neardup_prune", "token_df_topn", "cdc_chunk_dups",
         "curation_keep_list", "stream_dedup", "incremental_lsh",
@@ -2848,6 +2859,31 @@ GROUP BY p.id_1, p.id_2"""
         SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
       SELECT a AS vec_id, min(b) AS canonical_id, min(b) = a AS keep
       FROM reach GROUP BY a"""
+    # token-boundary verbatim containment: the oracle uses the naive
+    # corpus x eval contains() (fine at sf0.01) that the Spark side's
+    # lossless anchor prefilter avoids at scale
+    o["substring_contam"] = r"""
+      WITH nd AS (
+        SELECT doc_id,
+               array_to_string(
+                 list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                             x -> x <> ''), ' ') AS nt
+        FROM documents),
+      ev AS (
+        SELECT doc_id AS eval_id, nt AS et FROM nd
+        WHERE doc_id IN (
+          SELECT doc_id FROM documents
+          WHERE ('0x' || substr(md5('eval:' || doc_id), 1, 8))::BIGINT
+                  / 4294967296.0 < 0.05)
+          AND nt <> '' AND len(string_split(nt, ' ')) >= 8),
+      hits AS (
+        SELECT d.doc_id, count(DISTINCT ev.eval_id) AS n
+        FROM nd d JOIN ev
+          ON contains(' ' || d.nt || ' ', ' ' || ev.et || ' ')
+        GROUP BY d.doc_id)
+      SELECT d.doc_id, coalesce(n, 0)::BIGINT AS n_eval_hits,
+             coalesce(n, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN hits USING (doc_id)"""
     o["bigram_lp"] = r"""
       WITH toks AS (
         SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2

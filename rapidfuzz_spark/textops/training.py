@@ -30,6 +30,7 @@ from .sampling import md5_uniform
 __all__ = [
     "decontaminate",
     "decontaminate_fraction",
+    "substring_contamination",
     "temperature_resample",
     "mix_by_source",
     "pack_documents",
@@ -168,6 +169,91 @@ def decontaminate_fraction(
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
             frac.alias("frac"),
             (frac >= max_frac).alias("contaminated"),
+        )
+    )
+
+
+def substring_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    anchor_n: int = 8,
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Exact-substring decontamination: flag training documents that
+    contain an ENTIRE eval document verbatim (token-boundary,
+    whitespace/case-normalized) — the strict companion to the n-gram
+    overlap rules, catching full-benchmark inclusions that per-gram
+    thresholds can dilute away in long documents. Returns one row per
+    input document: ``(doc_id, n_eval_hits, contaminated)`` where
+    ``n_eval_hits`` counts DISTINCT contained eval documents.
+
+    Containment is on the normalized token sequence (lowercased tokens
+    joined by single spaces, matched with space padding so boundaries
+    never split a token) — the definition an independent SQL engine
+    reproduces with one ``contains()``. Eval documents shorter than
+    ``anchor_n`` tokens are ignored by contract (too short to be a
+    meaningful verbatim inclusion; the n-gram rules own that regime).
+
+    Plan shape at 100 TB: a naive contains() is corpus × eval — never.
+    Instead each eval doc's FIRST ``anchor_n``-token gram is its anchor
+    (a doc containing the eval doc necessarily contains that gram, so
+    the prefilter is lossless): the corpus side is the same single
+    explode + broadcast-probe pass as ``decontaminate``, candidates are
+    the anchor matches (a vanishing fraction), and the full contains()
+    verification runs only on candidates after one doc_id join back for
+    the text. Only matched candidates ever shuffle.
+    """
+    def norm(c):
+        return F.array_join(
+            F.filter(
+                F.split(F.trim(F.lower(c)), r"\s+"), lambda x: x != F.lit("")
+            ),
+            " ",
+        )
+
+    nd = docs.select("doc_id", norm(F.col(text_col)).alias("nt"))
+    ev = (
+        eval_docs.select(
+            F.col("doc_id").alias("eval_id"), norm(F.col(text_col)).alias("et")
+        )
+        .where(F.size(F.split(F.col("et"), " ")) >= anchor_n)
+        .where(F.col("et") != "")
+        .select(
+            "eval_id",
+            "et",
+            F.element_at(
+                word_ngram_hashes(F.col("et"), n=anchor_n), 1
+            ).alias("anchor"),
+        )
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    grams = nd.select(
+        "doc_id", F.explode(word_ngram_hashes(F.col("nt"), n=anchor_n)).alias("h")
+    )
+    cand = (
+        grams.join(ev, grams["h"] == ev["anchor"])
+        .select("doc_id", "eval_id", "et")
+        .distinct()
+    )
+    verified = (
+        cand.join(nd, "doc_id")
+        .where(
+            F.concat(F.lit(" "), F.col("nt"), F.lit(" ")).contains(
+                F.concat(F.lit(" "), F.col("et"), F.lit(" "))
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("eval_id").alias("n_eval_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(verified, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_eval_hits", F.lit(0)).alias("n_eval_hits"),
+            (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
 

@@ -387,6 +387,41 @@ class TestDecontaminateFraction:
         assert out[4].frac == 1.0 and out[4].contaminated
 
 
+class TestSubstringContamination:
+    def test_token_boundary_containment(self, spark):
+        from rapidfuzz_spark.textops.training import substring_contamination
+
+        ev_text = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly anchor_n tokens
+        docs = spark.createDataFrame(
+            [
+                (1, "prefix " + ev_text + " suffix", "en"),  # contains it
+                (2, "prefix " + ev_text.upper() + " x", "en"),  # case-normed
+                # token boundary: 'xw1 w2 ... w8' must NOT match mid-token
+                (3, "xw1 " + ev_text[3:], "en"),
+                # gram overlap but not full containment
+                (4, "w1 w2 w3 w4 w5 w6 w7 DIFFERENT", "en"),
+                (5, "clean words entirely", "en"),
+                (9, ev_text, "en"),  # the eval doc: contains itself
+                (10, "too short eval", "en"),  # eval doc < anchor_n: ignored
+                (11, "has too short eval inside it yes", "en"),
+            ],
+            "doc_id bigint, text string, lang string",
+        )
+        ev = docs.where(F.col("doc_id").isin(9, 10))
+        out = {
+            r.doc_id: (r.n_eval_hits, r.contaminated)
+            for r in substring_contamination(docs, ev, anchor_n=8).collect()
+        }
+        assert out[1] == (1, True)
+        assert out[2] == (1, True)
+        assert out[3] == (0, False)
+        assert out[4] == (0, False)
+        assert out[5] == (0, False)
+        assert out[9] == (1, True)  # self-containment, same as decontaminate
+        assert out[10] == (0, False)  # short eval ignored by contract
+        assert out[11] == (0, False)
+
+
 class TestMixBySource:
     def test_token_weighted_rates_and_unlisted_drop(self, spark):
         from rapidfuzz_spark.textops.training import mix_by_source
