@@ -1360,6 +1360,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["substring_contam"] = substring_contam
 
+    def excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from rapidfuzz_spark.textops import training
+        from rapidfuzz_spark.textops.sampling import md5_uniform
+
+        docs = _docs(spark, sf_dir)
+        ev = docs.where(md5_uniform("doc_id", "eval") < 0.05)
+        return training.excise_contaminated_spans(docs, ev, n=13)
+
+    q["excise_spans"] = excise_spans
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1370,7 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 4
         "incremental_lsh_counts", "pack_docs_bpe", "pii_redact",
         "decontaminate_frac", "mix_sources", "bigram_lp", "semantic_dedup",
-        "substring_contam",
+        "substring_contam", "excise_spans",
         # round 3 additions the round-3 driver file never covered
         "quota_sample", "neardup_prune", "token_df_topn", "cdc_chunk_dups",
         "curation_keep_list", "stream_dedup", "incremental_lsh",
@@ -2859,6 +2869,54 @@ GROUP BY p.id_1, p.id_2"""
         SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
       SELECT a AS vec_id, min(b) AS canonical_id, min(b) = a AS keep
       FROM reach GROUP BY a"""
+    # excision replay: matched gram start i (1-based) covers tokens
+    # [i, i+12]; survivors re-joined in position order
+    o["excise_spans"] = r"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents),
+      grams AS (
+        SELECT doc_id, i, md5(array_to_string(tk[i:i+12], ' ')) AS h
+        FROM (SELECT doc_id, tk,
+                     unnest(range(1, greatest(len(tk) - 12, 0) + 1)) AS i
+              FROM toks)),
+      ev AS (
+        SELECT DISTINCT h FROM grams
+        WHERE doc_id IN (
+          SELECT doc_id FROM documents
+          WHERE ('0x' || substr(md5('eval:' || doc_id), 1, 8))::BIGINT
+                  / 4294967296.0 < 0.05)),
+      matched AS (
+        SELECT doc_id, i FROM grams JOIN ev USING (h)),
+      mc AS (SELECT doc_id, count(*) AS n_matched FROM matched
+             GROUP BY doc_id),
+      tokpos AS (
+        SELECT doc_id, j, tk[j] AS tok
+        FROM toks, (SELECT unnest(generate_series(1, 100000)) AS j)
+        WHERE j <= len(tk)),
+      covered AS (
+        SELECT DISTINCT t.doc_id, t.j
+        FROM tokpos t JOIN matched m
+          ON t.doc_id = m.doc_id AND t.j BETWEEN m.i AND m.i + 12),
+      cc AS (SELECT doc_id, count(*) AS n_removed FROM covered
+             GROUP BY doc_id),
+      surv AS (
+        SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.j) AS clean_text
+        FROM tokpos t
+        WHERE NOT EXISTS (SELECT 1 FROM covered c
+                          WHERE c.doc_id = t.doc_id AND c.j = t.j)
+        GROUP BY t.doc_id)
+      SELECT d.doc_id,
+             coalesce(mc.n_matched, 0)::BIGINT AS n_matched,
+             coalesce(cc.n_removed, 0)::INT AS n_removed,
+             CASE WHEN d.text IS NULL THEN NULL
+                  ELSE coalesce(surv.clean_text, '') END AS clean_text
+      FROM documents d
+      LEFT JOIN mc USING (doc_id)
+      LEFT JOIN cc USING (doc_id)
+      LEFT JOIN surv USING (doc_id)"""
     # token-boundary verbatim containment: the oracle uses the naive
     # corpus x eval contains() (fine at sf0.01) that the Spark side's
     # lossless anchor prefilter avoids at scale

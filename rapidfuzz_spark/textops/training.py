@@ -30,6 +30,7 @@ from .sampling import md5_uniform
 __all__ = [
     "decontaminate",
     "decontaminate_fraction",
+    "excise_contaminated_spans",
     "substring_contamination",
     "temperature_resample",
     "mix_by_source",
@@ -255,6 +256,81 @@ def substring_contamination(
             F.coalesce("n_eval_hits", F.lit(0)).alias("n_eval_hits"),
             (F.coalesce("n_eval_hits", F.lit(0)) > 0).alias("contaminated"),
         )
+    )
+
+
+def excise_contaminated_spans(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Decontamination by EXCISION: instead of dropping a document that
+    shares n-grams with the eval set (``decontaminate``), cut out just
+    the contaminated token spans and keep the rest — the
+    keep-the-document policy pipelines use when documents are long and
+    contamination is localized (a quoted benchmark question inside an
+    otherwise-good page). Returns one row per input document:
+    ``(doc_id, n_matched, n_removed, clean_text)`` where ``n_matched``
+    counts matched n-gram positions, a matched gram at token position p
+    removes tokens [p, p+n-1], overlapping spans merge naturally, and
+    ``clean_text`` is the surviving tokens joined by single spaces.
+
+    Works on the normalized token stream (lowercased, whitespace-split
+    — the shared convention of every gram operator here), so
+    ``clean_text`` is normalized text, not original bytes; pipelines
+    that must preserve raw bytes keep the (doc_id, removed-span) map
+    instead. NULL text stays NULL with zero counts.
+
+    Plan shape: same single corpus explode + broadcast-probe pass as
+    ``decontaminate`` — the only shuffled rows are MATCHED gram
+    positions (vanishing fraction), collected per doc as a sorted
+    start-offset array; the excision itself is a map-side higher-order
+    filter over the token array (exists() against the tiny per-doc
+    match list). The corpus is scanned once and never shuffled.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    g = docs.select(
+        "doc_id",
+        F.posexplode(word_ngram_hashes(text_col, n=n)).alias("gpos", "h"),
+    )
+    eval_grams = (
+        eval_docs.select(F.explode(word_ngram_hashes(text_col, n=n)).alias("h"))
+        .distinct()
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    matched = (
+        g.join(eval_grams, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("gpos")).alias("mstarts"),
+            F.count("*").alias("n_matched"),
+        )
+    )
+    withm = docs.join(matched, "doc_id", "left").select(
+        "doc_id",
+        toks.alias("tk"),
+        F.coalesce("mstarts", F.array().cast("array<int>")).alias("ms"),
+        F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+    )
+    clean = F.filter(
+        F.col("tk"),
+        lambda x, i: ~F.exists(
+            F.col("ms"), lambda s: (i >= s) & (i < s + n)
+        ),
+    )
+    return withm.select(
+        "doc_id",
+        "n_matched",
+        F.when(F.col("tk").isNull(), F.lit(0))
+        .otherwise(F.size("tk") - F.size(clean))
+        .alias("n_removed"),
+        F.array_join(clean, " ").alias("clean_text"),
     )
 
 

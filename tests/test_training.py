@@ -387,6 +387,53 @@ class TestDecontaminateFraction:
         assert out[4].frac == 1.0 and out[4].contaminated
 
 
+class TestExciseContaminatedSpans:
+    def test_spans_merge_and_survivors_keep_order(self, spark):
+        from rapidfuzz_spark.textops.training import excise_contaminated_spans
+
+        ev_text = "w1 w2 w3"  # one 3-gram
+        docs = spark.createDataFrame(
+            [
+                # gram at pos 2 (0-based) covers tokens 2..4
+                (1, "keep1 keep2 w1 w2 w3 keep3", "en"),
+                # overlapping matches: grams at 0 and 1 cover 0..3 (merge)
+                (2, "w1 w2 w3 w2 w3 tail? no", "en"),
+                (3, "totally clean words", "en"),
+                (4, None, "en"),
+                (5, ev_text, "en"),  # fully excised
+            ],
+            "doc_id bigint, text string, lang string",
+        )
+        # doc 2's grams: (w1,w2,w3) @0 matches; (w2,w3,w2) @1 no;
+        # (w3,w2,w3) @2 no -> only tokens 0..2 removed
+        ev = docs.where(F.col("doc_id") == 5)
+        out = {
+            r.doc_id: (r.n_matched, r.n_removed, r.clean_text)
+            for r in excise_contaminated_spans(docs, ev, n=3).collect()
+        }
+        assert out[1] == (1, 3, "keep1 keep2 keep3")
+        assert out[2] == (1, 3, "w2 w3 tail? no")
+        assert out[3] == (0, 0, "totally clean words")
+        assert out[4] == (0, 0, None)
+        assert out[5] == (1, 3, "")
+
+    def test_overlapping_spans_counted_once(self, spark):
+        from rapidfuzz_spark.textops.training import excise_contaminated_spans
+
+        # eval has grams (a b c) and (b c d): doc "x a b c d y" matches
+        # both (pos 1 and 2) -> union cover = tokens 1..4, removed 4 not 6
+        docs = spark.createDataFrame(
+            [(1, "x a b c d y", "en"), (9, "a b c d", "en")],
+            "doc_id bigint, text string, lang string",
+        )
+        ev = docs.where(F.col("doc_id") == 9)
+        out = {
+            r.doc_id: (r.n_matched, r.n_removed, r.clean_text)
+            for r in excise_contaminated_spans(docs, ev, n=3).collect()
+        }
+        assert out[1] == (2, 4, "x y")
+
+
 class TestSubstringContamination:
     def test_token_boundary_containment(self, spark):
         from rapidfuzz_spark.textops.training import substring_contamination
