@@ -1370,6 +1370,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["excise_spans"] = excise_spans
 
+    # -- round-5 operators --------------------------------------------------
+
+    def decon_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """All four decontamination rules from ONE corpus gram pass —
+        bit-for-bit the composition of decontaminate_eval,
+        decontaminate_frac, excise_spans, and substring_contam (at
+        anchor_n = n = 13), plan-locked to a single corpus posexplode."""
+        from rapidfuzz_spark.textops import training
+        from rapidfuzz_spark.textops.sampling import md5_uniform
+
+        docs = _docs(spark, sf_dir)
+        ev = docs.where(md5_uniform("doc_id", "eval") < 0.05)
+        return training.decontamination_report(
+            docs, ev, n=13, min_hits=1, max_frac=0.05
+        )
+
+    q["decon_report"] = decon_report
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1377,6 +1395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round as CORRECTNESS_full_r{N}.json (tools/driver_sim.py --strict
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
+        # round 5
+        "decon_report",
         # round 4
         "incremental_lsh_counts", "pack_docs_bpe", "pii_redact",
         "decontaminate_frac", "mix_sources", "bigram_lp", "semantic_dedup",
@@ -2917,6 +2937,88 @@ GROUP BY p.id_1, p.id_2"""
       LEFT JOIN mc USING (doc_id)
       LEFT JOIN cc USING (doc_id)
       LEFT JOIN surv USING (doc_id)"""
+    # fused 4-rule report: independent replay of every rule — distinct-hit
+    # count, position fraction, positional excision, and naive contains()
+    # containment (the Spark side's single-pass anchor/probe fusion never
+    # appears here); one SELECT so the column set matches exactly
+    o["decon_report"] = r"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents),
+      grams AS (
+        SELECT doc_id, i, md5(array_to_string(tk[i:i+12], ' ')) AS h
+        FROM (SELECT doc_id, tk,
+                     unnest(range(1, greatest(len(tk) - 12, 0) + 1)) AS i
+              FROM toks)),
+      evdocs AS (
+        SELECT doc_id FROM documents
+        WHERE ('0x' || substr(md5('eval:' || doc_id), 1, 8))::BIGINT
+                / 4294967296.0 < 0.05),
+      ev AS (
+        SELECT DISTINCT h FROM grams
+        WHERE doc_id IN (SELECT doc_id FROM evdocs)),
+      matched AS (SELECT doc_id, i, h FROM grams JOIN ev USING (h)),
+      hits AS (
+        SELECT doc_id, count(DISTINCT h) AS n_hits, count(*) AS n_matched
+        FROM matched GROUP BY doc_id),
+      base AS (
+        SELECT doc_id, greatest(coalesce(len(tk), 0) - 12, 0) AS n_grams
+        FROM toks),
+      tokpos AS (
+        SELECT doc_id, j, tk[j] AS tok
+        FROM toks, (SELECT unnest(generate_series(1, 100000)) AS j)
+        WHERE j <= len(tk)),
+      covered AS (
+        SELECT DISTINCT t.doc_id, t.j
+        FROM tokpos t JOIN matched m
+          ON t.doc_id = m.doc_id AND t.j BETWEEN m.i AND m.i + 12),
+      cc AS (SELECT doc_id, count(*) AS n_removed FROM covered
+             GROUP BY doc_id),
+      surv AS (
+        SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.j) AS clean_text
+        FROM tokpos t
+        WHERE NOT EXISTS (SELECT 1 FROM covered c
+                          WHERE c.doc_id = t.doc_id AND c.j = t.j)
+        GROUP BY t.doc_id),
+      nd AS (SELECT doc_id, array_to_string(tk, ' ') AS nt FROM toks),
+      evss AS (
+        SELECT n.doc_id AS eval_id, n.nt AS et FROM nd n
+        WHERE n.doc_id IN (SELECT doc_id FROM evdocs)
+          AND n.nt <> '' AND len(string_split(n.nt, ' ')) >= 13),
+      sshits AS (
+        SELECT d.doc_id, count(DISTINCT e.eval_id) AS n_eval_hits
+        FROM nd d JOIN evss e
+          ON contains(' ' || d.nt || ' ', ' ' || e.et || ' ')
+        GROUP BY d.doc_id)
+      SELECT d.doc_id,
+             b.n_grams::INT AS n_grams,
+             coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+             CASE WHEN b.n_grams > 0
+                  THEN round(coalesce(h.n_hits, 0) / b.n_grams, 6)
+                  ELSE 0.0 END AS frac,
+             coalesce(h.n_matched, 0)::BIGINT AS n_matched,
+             coalesce(cc.n_removed, 0)::INT AS n_removed,
+             CASE WHEN d.text IS NULL THEN NULL
+                  ELSE coalesce(surv.clean_text, '') END AS clean_text,
+             coalesce(s.n_eval_hits, 0)::BIGINT AS n_eval_hits,
+             coalesce(h.n_hits, 0) >= 1 AS contaminated_minhit,
+             (CASE WHEN b.n_grams > 0
+                   THEN round(coalesce(h.n_hits, 0) / b.n_grams, 6)
+                   ELSE 0.0 END) >= 0.05 AS contaminated_frac,
+             coalesce(s.n_eval_hits, 0) > 0 AS contaminated_substring,
+             (coalesce(h.n_hits, 0) >= 1
+              OR (CASE WHEN b.n_grams > 0
+                       THEN round(coalesce(h.n_hits, 0) / b.n_grams, 6)
+                       ELSE 0.0 END) >= 0.05
+              OR coalesce(s.n_eval_hits, 0) > 0) AS contaminated_any
+      FROM documents d
+      LEFT JOIN base b USING (doc_id)
+      LEFT JOIN hits h USING (doc_id)
+      LEFT JOIN cc USING (doc_id)
+      LEFT JOIN surv USING (doc_id)
+      LEFT JOIN sshits s USING (doc_id)"""
     # token-boundary verbatim containment: the oracle uses the naive
     # corpus x eval contains() (fine at sf0.01) that the Spark side's
     # lossless anchor prefilter avoids at scale

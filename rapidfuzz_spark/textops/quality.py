@@ -309,7 +309,73 @@ def repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def salt_hot_tokens(
+    probe: DataFrame,
+    counts: DataFrame,
+    keys: list[str],
+    hot_keys: DataFrame,
+    n_salts: int = 8,
+    salt_src: str = "doc_id",
+) -> DataFrame:
+    """Skew-proof equi-join of a corpus-sized token stream (``probe``)
+    against a one-row-per-key count/vocabulary frame (``counts``):
+    build-side rows for the ``hot_keys`` (the Zipf head — stopwords) are
+    replicated across ``n_salts`` salt values and the probe side picks a
+    deterministic salt from ``xxhash64(salt_src, *keys)``, so the
+    stopword key that would land a whole "the" partition on one task is
+    spread over ``n_salts`` tasks instead. Cold keys keep salt 0 — no
+    replication, no extra rows.
+
+    Same result multiset as ``probe.join(counts, keys)``: every probe
+    row still matches exactly one build row (the replica carrying its
+    salt), locked by tests/test_textops.py. This is the same
+    census-then-salt playbook as pipeline/blocking.py's salted block
+    join, specialized to the build-side-is-an-aggregate shape of the LM
+    scorers, where the census (the count frame itself) is free.
+
+    ``hot_keys`` must be tiny (it broadcasts twice): the head of a Zipf
+    vocabulary above any sane count threshold is at most a few thousand
+    keys regardless of corpus size. AQE's runtime skew split covers the
+    same failure mode reactively (measured in BENCH.md §17); this is the
+    explicit plan-level fix for when the head is known.
+    """
+    hot = F.broadcast(hot_keys.select(*keys).withColumn("__hot", F.lit(True)))
+    build = (
+        counts.join(hot, keys, "left")
+        .withColumn(
+            "__salt",
+            F.explode(
+                F.when(
+                    F.col("__hot"), F.sequence(F.lit(0), F.lit(n_salts - 1))
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("__hot")
+    )
+    probe_s = (
+        probe.join(hot, keys, "left")
+        .withColumn(
+            "__salt",
+            F.when(
+                F.col("__hot"),
+                F.pmod(
+                    F.xxhash64(*[F.col(c) for c in [salt_src, *keys]]),
+                    F.lit(n_salts),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("__hot")
+    )
+    return probe_s.join(build, [*keys, "__salt"]).drop("__salt")
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    salt_hot: tuple[int, int] | None = None,
+) -> DataFrame:
     """(doc_id, n_bigrams, mean_logprob): corpus-bigram conditional
     language-model score per document — one order up from
     ``unigram_logprob``, the signal that separates "rare words" from
@@ -326,8 +392,16 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     partitioned by doc_id (a document's tokens co-reside by
     construction — no skew), one bigram-key hash-aggregate and one
     head-key hash-aggregate (both collapse map-side), joins back on the
-    same keys, then one doc_id aggregate. Same single-corpus-scan,
-    no-global-sort contract as unigram_logprob."""
+    same keys, then one doc_id aggregate. No global sort anywhere; but
+    note the ``bg`` lineage (tokenize + window) has THREE structural
+    consumers (c12, c1, the scored join), so without caching the corpus
+    tokenization executes three times per action — callers who can
+    afford materializing the token stream should persist/localCheckpoint
+    ``docs``' exploded form upstream; this operator deliberately does
+    not (a corpus-sized checkpoint is a bigger cost than two extra
+    map-side scans at 100 TB). The token-key joins are Zipf-head-skewed;
+    ``salt_hot_tokens`` (shared with unigram_logprob) splits the
+    stopword head explicitly — see that helper's docstring."""
     from pyspark.sql.window import Window as W
 
     toks = docs.select(
@@ -345,9 +419,20 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     c12 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    withc12 = bg.join(c12, ["w1", "w2"])
+    if salt_hot is not None:
+        # the c1 (bigram-head) join carries the worst skew — every "the"
+        # position probes one key; salt its Zipf head explicitly. The c12
+        # join's head ("of the") is the square of two head frequencies
+        # over a much larger keyspace — strictly flatter, left to AQE.
+        n_salts, hot_min = salt_hot
+        joined = salt_hot_tokens(
+            withc12, c1, ["w1"], c1.where(F.col("c1") >= hot_min), n_salts
+        )
+    else:
+        joined = withc12.join(c1, "w1")
     scored = (
-        bg.join(c12, ["w1", "w2"])
-        .join(c1, "w1")
+        joined
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
@@ -367,7 +452,11 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    salt_hot: tuple[int, int] | None = None,
+) -> DataFrame:
     """(doc_id, n_tokens, mean_logprob): corpus-unigram language-model
     score per document — the cheap perplexity proxy quality filters rank
     on (CCNet-style: documents whose tokens are improbable under the
@@ -385,8 +474,10 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     hash-aggregate for the vocabulary (term_freq collapses map-side), a
     hash join of the exploded stream back to the vocabulary on the token
     key (both sides co-partitioned on that key; vocabulary is Zipf but
-    the join is build-side-small per key, and AQE's skew split covers
-    the stopword head), then one doc_id aggregate. The corpus text is
+    the join is build-side-small per key — AQE's skew split covers the
+    stopword head reactively, or pass ``salt_hot=(n_salts, hot_min)``
+    to split it explicitly via salt_hot_tokens, measured head-to-head
+    in BENCH.md §17), then one doc_id aggregate. The corpus text is
     scanned once; nothing ever sorts globally and the vocabulary — not
     the corpus — is the only broadcast-sized artifact if the optimizer
     picks a broadcast join instead."""
@@ -401,8 +492,20 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     vocab = toks.groupBy("token").agg(F.count("*").alias("tf"))
     n_total = vocab.agg(F.sum("tf").alias("n_total"))
+    if salt_hot is not None:
+        # salt_hot=(n_salts, hot_min): explicit Zipf-head salting of the
+        # token-key join (see salt_hot_tokens). The hot list is the
+        # vocabulary's own head — a filter over the already-computed
+        # census, so no extra corpus pass beyond the broadcast build
+        # (Catalyst reuses the vocab exchange for both consumers).
+        n_salts, hot_min = salt_hot
+        joined = salt_hot_tokens(
+            toks, vocab, ["token"], vocab.where(F.col("tf") >= hot_min), n_salts
+        )
+    else:
+        joined = toks.join(vocab, "token")
     scored = (
-        toks.join(vocab, "token")
+        joined
         .crossJoin(F.broadcast(n_total))
         .groupBy("doc_id")
         .agg(

@@ -30,6 +30,7 @@ from .sampling import md5_uniform
 __all__ = [
     "decontaminate",
     "decontaminate_fraction",
+    "decontamination_report",
     "excise_contaminated_spans",
     "substring_contamination",
     "temperature_resample",
@@ -120,11 +121,13 @@ def decontaminate_fraction(
     broadcast_eval: bool = True,
 ) -> DataFrame:
     """Fraction-based decontamination (the Dolma/RedPajama-style rule:
-    drop a document when MORE THAN a threshold fraction of its n-grams
+    drop a document when AT LEAST a threshold fraction of its n-grams
     are contaminated, instead of min-hit counting): one row per input
     document, ``(doc_id, n_grams, n_hits, frac, contaminated)`` with
-    ``contaminated = frac >= max_frac`` (false for docs shorter than
-    ``n`` tokens).
+    ``contaminated = frac >= max_frac`` — the boundary is INCLUSIVE,
+    and because ``frac`` is rounded to 6 dp before the compare, a raw
+    fraction within 5e-7 below the threshold rounds up and trips it
+    (false for docs shorter than ``n`` tokens, which have no grams).
 
     Definition kept deliberately shuffle-free on the corpus side:
     ``n_grams`` is the number of n-gram POSITIONS (tokens - n + 1),
@@ -238,8 +241,15 @@ def substring_contamination(
         .select("doc_id", "eval_id", "et")
         .distinct()
     )
+    # the candidate side is anchor matches — a vanishing fraction by the
+    # lossless-prefilter argument above — so the verification join must
+    # BROADCAST it (plan-locked in tests/test_plans.py): left to AQE, a
+    # candidate-count misestimate would turn this into a corpus-wide
+    # doc_id shuffle. decontamination_report avoids even this second
+    # corpus scan by verifying map-side; this standalone op keeps the
+    # two-scan shape for API parity with the other standalone rules.
     verified = (
-        cand.join(nd, "doc_id")
+        F.broadcast(cand).join(nd, "doc_id")
         .where(
             F.concat(F.lit(" "), F.col("nt"), F.lit(" ")).contains(
                 F.concat(F.lit(" "), F.col("et"), F.lit(" "))
@@ -334,6 +344,180 @@ def excise_contaminated_spans(
     )
 
 
+def decontamination_report(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    max_frac: float = 0.1,
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """ALL FOUR decontamination rules — min-hit (``decontaminate``),
+    fraction (``decontaminate_fraction``), verbatim containment
+    (``substring_contamination``), and span excision
+    (``excise_contaminated_spans``) — from ONE corpus gram pass. A real
+    curation run applies several rules; composing the standalone
+    operators re-explodes the corpus once per rule, and the 13-gram
+    explode is the measured dominant cost of the whole training export
+    (BENCH.md §14), so the fused pass is the difference between one and
+    four corpus-dominating stages at 100 TB.
+
+    Returns one row per input document::
+
+        (doc_id, n_grams, n_hits, frac, n_matched, n_removed,
+         clean_text, n_eval_hits, contaminated_minhit,
+         contaminated_frac, contaminated_substring, contaminated_any)
+
+    Each column is bit-for-bit the corresponding standalone operator's
+    output (locked by tests/test_textops.py): ``n_hits``/``frac`` the
+    distinct-hit count and position-fraction, ``n_matched``/
+    ``n_removed``/``clean_text`` the excision triple, ``n_eval_hits``
+    the verified verbatim inclusions. One fusion constraint: the
+    substring rule's anchor length is ``n`` (the shared gram size)
+    instead of an independent ``anchor_n`` — eval docs shorter than
+    ``n`` tokens fall to the gram rules, which own that regime anyway.
+
+    Plan shape — the whole point:
+
+    - The corpus text is gram-exploded EXACTLY ONCE (one
+      ``posexplode``; positions serve excision, hashes serve
+      everything), plan-locked by tests/test_plans.py.
+    - The eval side is ONE union table keyed by gram hash: the distinct
+      eval gram set (rows with NULL eval_id) plus one anchor row per
+      eval doc carrying (eval_id, normalized text). A single broadcast
+      probe join classifies every matched corpus gram as a gram-rule
+      hit, a containment candidate, or both.
+    - ONE per-doc aggregation computes the distinct-hit count, the
+      sorted matched positions, and the candidate eval set
+      (``collect_set`` of the tiny anchor matches) together — matched
+      grams are the only shuffled rows, exactly as in each standalone
+      op.
+    - The containment verification is a map-side higher-order filter
+      (``exists``/``filter`` over the per-doc candidate array) at the
+      final doc_id join-back — the second corpus scan + join the
+      standalone ``substring_contamination`` pays for verification
+      does not exist here.
+
+    The final join back to ``docs`` re-reads (doc_id, text) — a plain
+    column-pruned scan, not a re-explode; same shape as every
+    standalone rule.
+    """
+    def norm(c):
+        return F.array_join(
+            F.filter(
+                F.split(F.trim(F.lower(c)), r"\s+"), lambda x: x != F.lit("")
+            ),
+            " ",
+        )
+
+    # eval side: gram set ∪ anchor rows, one small broadcast table
+    ev_norm = eval_docs.select(
+        F.col("doc_id").cast("string").alias("eval_id"),
+        norm(F.col(text_col)).alias("et"),
+    )
+    eval_grams = (
+        ev_norm.select(F.explode(word_ngram_hashes(F.col("et"), n=n)).alias("h"))
+        .distinct()
+        .select(
+            "h",
+            F.lit(None).cast("string").alias("eval_id"),
+            F.lit(None).cast("string").alias("et"),
+        )
+    )
+    anchors = (
+        ev_norm.where(F.col("et") != "")
+        .where(F.size(F.split(F.col("et"), " ")) >= n)
+        .select(
+            F.element_at(word_ngram_hashes(F.col("et"), n=n), 1).alias("h"),
+            "eval_id",
+            "et",
+        )
+    )
+    probe_tbl = eval_grams.unionByName(anchors)
+    if broadcast_eval:
+        probe_tbl = F.broadcast(probe_tbl)
+
+    # THE corpus gram pass: one posexplode, one probe join, one agg
+    g = docs.select(
+        "doc_id",
+        F.posexplode(word_ngram_hashes(text_col, n=n)).alias("gpos", "h"),
+    )
+    is_gram = F.col("eval_id").isNull()
+    agg = (
+        g.join(probe_tbl, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct(F.when(is_gram, F.col("h"))).alias("n_hits"),
+            F.sort_array(
+                F.collect_list(F.when(is_gram, F.col("gpos")))
+            ).alias("mstarts"),
+            F.count(F.when(is_gram, F.lit(1))).alias("n_matched"),
+            F.collect_set(
+                F.when(~is_gram, F.struct("eval_id", "et"))
+            ).alias("cands"),
+        )
+    )
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    withm = docs.join(agg, "doc_id", "left").select(
+        "doc_id",
+        toks.alias("tk"),
+        norm(F.col(text_col)).alias("nt"),
+        F.col(text_col).isNull().alias("was_null"),
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.coalesce("mstarts", F.array().cast("array<int>")).alias("ms"),
+        F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+        F.coalesce(
+            "cands", F.array().cast("array<struct<eval_id:string,et:string>>")
+        ).alias("cands"),
+    )
+    clean = F.filter(
+        F.col("tk"),
+        lambda x, i: ~F.exists(F.col("ms"), lambda s: (i >= s) & (i < s + n)),
+    )
+    n_grams = F.greatest(F.size("tk") - (n - 1), F.lit(0))
+    frac = F.when(
+        n_grams > 0, F.round(F.col("n_hits") / n_grams, 6)
+    ).otherwise(F.lit(0.0))
+    n_eval_hits = F.size(
+        F.array_distinct(
+            F.filter(
+                F.col("cands"),
+                lambda c: F.concat(F.lit(" "), F.col("nt"), F.lit(" ")).contains(
+                    F.concat(F.lit(" "), c["et"], F.lit(" "))
+                ),
+            )
+        )
+    ).cast("long")
+    out = withm.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        "n_hits",
+        frac.alias("frac"),
+        "n_matched",
+        F.when(F.col("was_null"), F.lit(0))
+        .otherwise(F.size("tk") - F.size(clean))
+        .alias("n_removed"),
+        F.when(F.col("was_null"), F.lit(None).cast("string"))
+        .otherwise(F.array_join(clean, " "))
+        .alias("clean_text"),
+        n_eval_hits.alias("n_eval_hits"),
+        (F.col("n_hits") >= min_hits).alias("contaminated_minhit"),
+        (frac >= max_frac).alias("contaminated_frac"),
+        (n_eval_hits > 0).alias("contaminated_substring"),
+    )
+    return out.withColumn(
+        "contaminated_any",
+        F.col("contaminated_minhit")
+        | F.col("contaminated_frac")
+        | F.col("contaminated_substring"),
+    )
+
+
 def temperature_resample(
     docs: DataFrame,
     alpha: float = 0.7,
@@ -407,7 +591,11 @@ def mix_by_source(
     other source thins toward the target ratio. Sources ABSENT from
     ``shares`` get no rate and are dropped entirely (SQL three-valued
     ``u < NULL`` — intentional: an unlisted source has no place in the
-    mix). The acceptance draw is the md5-uniform of the row key, so the
+    mix), and so is a LISTED source whose measured token supply is zero
+    (an explicit ``tok_g > 0`` guard: share/0 is NULL in Spark but
+    Infinity in engines with IEEE division, where the window max would
+    then zero every other source's rate — the guard pins the portable
+    semantics). The acceptance draw is the md5-uniform of the row key, so the
     selection is reproducible and engine-portable; rates round to 6 dp
     before the compare (engine-exact boundary).
 
@@ -433,7 +621,11 @@ def mix_by_source(
     )
     total = Window.partitionBy()
     w = counts.withColumn(
-        "w_g", share_map.getItem(F.col("__gkey")) / F.col("tok_g")
+        "w_g",
+        F.when(
+            F.col("tok_g") > 0,
+            share_map.getItem(F.col("__gkey")) / F.col("tok_g"),
+        ),
     )
     rates = w.select(
         "__gkey",

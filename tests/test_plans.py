@@ -296,3 +296,63 @@ def test_temperature_resample_corpus_map_only(spark):
     # everything above the broadcast join build side is the corpus path
     corpus_path = p.split("BroadcastExchange")[0]
     assert "Exchange" not in corpus_path
+
+
+def test_decontamination_report_single_corpus_gram_pass(spark):
+    """The fused 4-rule report exists to collapse four corpus gram
+    explodes into ONE: the plan must contain exactly one corpus-side
+    Generate posexplode (positions + hashes for every rule), exactly one
+    eval-side Generate explode (the tiny gram set), and a broadcast
+    probe — the shape that makes multi-rule decontamination a single
+    corpus-dominating stage instead of four at 10^12 docs."""
+    from rapidfuzz_spark.textops import training
+    from rapidfuzz_spark.textops.sampling import md5_uniform
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = d.where(md5_uniform("doc_id", "eval") < 0.05)
+    df = training.decontamination_report(d, ev, n=13, max_frac=0.05)
+    p = plan_str(df, "simple")
+    assert p.count("Generate posexplode") == 1  # THE corpus gram pass
+    assert p.count("Generate explode") == 1  # eval gram set only
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_substring_contamination_verification_broadcasts_candidates(spark):
+    """The verification join-back must BROADCAST the candidate side
+    (anchor matches — vanishing by the lossless-prefilter argument): if
+    it ever became a hash join on doc_id it would shuffle the corpus a
+    second time. Locked explicitly instead of trusting AQE's estimate
+    of a multi-join subtree."""
+    from rapidfuzz_spark.textops import training
+    from rapidfuzz_spark.textops.sampling import md5_uniform
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = d.where(md5_uniform("doc_id", "eval") < 0.05)
+    df = training.substring_contamination(d, ev, anchor_n=8)
+    p = plan_str(df, "simple")
+    # the verification join is the one carrying the Contains() condition:
+    # it must be a BroadcastHashJoin (candidate side built), never a
+    # sort-merge join that would shuffle the corpus text on doc_id
+    verify_lines = [
+        ln for ln in p.splitlines() if "Contains(" in ln and "Join" in ln
+    ]
+    assert verify_lines, "verification join not found in plan"
+    assert all("BroadcastHashJoin" in ln for ln in verify_lines)
+    # and the anchor probe itself is broadcast too
+    assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_salted_token_join_no_extra_corpus_shuffle(spark):
+    """salt_hot_tokens adds two broadcast joins (the hot list) and keys
+    the main join on (token, salt) — it must NOT add a corpus-side
+    exchange beyond the one token-key shuffle the unsalted join has."""
+    from rapidfuzz_spark.textops import quality
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    salted = quality.unigram_logprob(d, salt_hot=(8, 100))
+    p = plan_str(salted, "simple")
+    assert "CartesianProduct" not in p or p.count("CartesianProduct") == 0
+    # the broadcast of the hot head appears at least twice (probe+build)
+    assert p.count("BroadcastExchange") >= 2

@@ -642,3 +642,140 @@ class TestToyBpe:
         # 36-token docs against a 40 budget: starts at 0,36,72,108 ->
         # packs 0,0,1,2 (doc boundary rule)
         assert out == {0: (36, 0), 1: (36, 0), 2: (36, 1), 3: (36, 2)}
+
+
+class TestDecontaminationReport:
+    """The fused one-corpus-pass report must equal the four standalone
+    rules bit-for-bit (the equivalence the fusion's oracle, plan test,
+    and 100 TB cost argument all rest on)."""
+
+    def _fixture(self, spark):
+        ev_text = " ".join(f"w{i}" for i in range(13))
+        long_hit = ev_text + " tail tokens " + ev_text  # two matched positions
+        rows = [
+            (1, long_hit, "en"),
+            (2, "completely different words " * 6, "en"),
+            (3, "short doc", "en"),  # < n tokens: clean everywhere
+            (4, ev_text, "en"),  # verbatim inclusion (== an eval doc)
+            (5, None, "en"),  # NULL text conventions
+            (6, "   ", "en"),  # whitespace-only
+            (7, "prefix " + ev_text + " suffix", "en"),  # contains eval doc
+            (8, "W0 " + ev_text.upper(), "en"),  # case-normalized hit
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+        ev = docs.where(F.col("doc_id") == 4)
+        return docs, ev
+
+    def test_matches_standalone_rules_bit_for_bit(self, spark):
+        from rapidfuzz_spark.textops.training import (
+            decontaminate_fraction,
+            decontamination_report,
+            excise_contaminated_spans,
+            substring_contamination,
+        )
+
+        docs, ev = self._fixture(spark)
+        rep = {
+            r["doc_id"]: r
+            for r in decontamination_report(
+                docs, ev, n=13, min_hits=1, max_frac=0.1
+            ).collect()
+        }
+        mh = {r["doc_id"]: r for r in decontaminate(docs, ev, n=13).collect()}
+        fr = {
+            r["doc_id"]: r
+            for r in decontaminate_fraction(docs, ev, n=13, max_frac=0.1).collect()
+        }
+        ex = {
+            r["doc_id"]: r
+            for r in excise_contaminated_spans(docs, ev, n=13).collect()
+        }
+        ss = {
+            r["doc_id"]: r
+            for r in substring_contamination(docs, ev, anchor_n=13).collect()
+        }
+        assert set(rep) == set(mh) == set(fr) == set(ex) == set(ss)
+        for k, r in rep.items():
+            assert (r["n_hits"], r["contaminated_minhit"]) == (
+                mh[k]["n_hits"],
+                mh[k]["contaminated"],
+            ), k
+            assert (r["n_grams"], r["frac"], r["contaminated_frac"]) == (
+                fr[k]["n_grams"],
+                fr[k]["frac"],
+                fr[k]["contaminated"],
+            ), k
+            assert (r["n_matched"], r["n_removed"], r["clean_text"]) == (
+                ex[k]["n_matched"],
+                ex[k]["n_removed"],
+                ex[k]["clean_text"],
+            ), k
+            assert (r["n_eval_hits"], r["contaminated_substring"]) == (
+                ss[k]["n_eval_hits"],
+                ss[k]["contaminated"],
+            ), k
+            assert r["contaminated_any"] == (
+                r["contaminated_minhit"]
+                | r["contaminated_frac"]
+                | r["contaminated_substring"]
+            )
+
+    def test_expected_values_pinned(self, spark):
+        """Not just self-consistency: pin the fixture's absolute values
+        (doc 1 has 1 distinct hit at 2 positions, excision removes both
+        spans; doc 7's containment verifies; doc 3/5/6 clean)."""
+        from rapidfuzz_spark.textops.training import decontamination_report
+
+        docs, ev = self._fixture(spark)
+        r = {
+            x["doc_id"]: x
+            for x in decontamination_report(
+                docs, ev, n=13, min_hits=1, max_frac=0.1
+            ).collect()
+        }
+        assert r[1]["n_hits"] == 1 and r[1]["n_matched"] == 2
+        assert r[1]["n_removed"] == 26 and r[1]["clean_text"] == "tail tokens"
+        assert r[1]["n_eval_hits"] == 1  # the eval doc appears verbatim
+        assert r[2]["contaminated_any"] is False and r[2]["n_grams"] > 0
+        assert r[3]["n_grams"] == 0 and r[3]["contaminated_any"] is False
+        assert r[4]["n_eval_hits"] == 1 and r[4]["clean_text"] == ""
+        assert r[5]["clean_text"] is None and r[5]["n_removed"] == 0
+        assert r[6]["clean_text"] == "" and r[6]["n_grams"] == 0
+        assert r[7]["contaminated_substring"] is True
+        assert r[8]["contaminated_substring"] is True  # case-insensitive
+        assert r[8]["n_hits"] == 1
+
+    def test_shuffle_probe_path_matches_broadcast(self, spark):
+        from rapidfuzz_spark.textops.training import decontamination_report
+
+        docs, ev = self._fixture(spark)
+        a = sorted(
+            map(tuple, decontamination_report(docs, ev, broadcast_eval=True).collect())
+        )
+        b = sorted(
+            map(tuple, decontamination_report(docs, ev, broadcast_eval=False).collect())
+        )
+        assert a == b
+
+
+def test_mix_by_source_zero_token_source_dropped(spark):
+    """ADVICE r4: a listed source whose texts are all NULL/empty must be
+    dropped by the explicit tok_g > 0 guard (not by engine-specific
+    division-by-zero), and must not distort other sources' rates."""
+    from rapidfuzz_spark.textops.training import mix_by_source
+
+    rows = [
+        (1, "a b c d", "web"),
+        (2, "e f g h i j", "web"),
+        (3, None, "ghost"),
+        (4, "   ", "ghost"),
+        (5, "k l m", "code"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = mix_by_source(docs, {"web": 0.5, "ghost": 0.3, "code": 0.2})
+    kept = out.select("source").distinct().collect()
+    assert {r["source"] for r in kept} <= {"web", "code"}
+    # code: 0.2/3 ≈ 0.0667 > web: 0.5/10 = 0.05 → code rate 1.0
+    rates = {r["source"]: r["rate"] for r in out.select("source", "rate").distinct().collect()}
+    assert rates.get("code") == 1.0
+    assert rates.get("web") == pytest.approx(0.75, abs=1e-6)
