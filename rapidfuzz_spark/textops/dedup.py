@@ -371,6 +371,94 @@ def duplicate_ngram_fraction(
     )
 
 
+def excise_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    keep_canonical: bool = True,
+) -> DataFrame:
+    """Corpus-INTERNAL duplicate-span excision — the removal half of the
+    Lee et al. 2022 substring-dedup pipeline whose signal half is
+    ``duplicate_ngram_fraction``: cut every word ``n``-gram span whose
+    gram occurs in at least ``min_docs`` DISTINCT documents, keeping the
+    rest of each document. Returns one row per input document:
+    ``(doc_id, n_matched, n_removed, clean_text)`` with the same span
+    semantics as training.excise_contaminated_spans (a matched gram at
+    token position p removes tokens [p, p+n-1]; overlapping spans merge;
+    ``clean_text`` is the surviving normalized tokens; NULL text stays
+    NULL with zero counts).
+
+    With ``keep_canonical`` (default, the Lee et al. keep-one policy)
+    the duplicated span SURVIVES in the gram's canonical document — the
+    minimum doc_id among those containing it — and is cut everywhere
+    else, so no text is lost from the corpus, only repeated. Canonicity
+    is per gram position: a document canonical for one gram of an
+    overlapping run but not another keeps only the tokens its own grams
+    cover. ``keep_canonical=False`` cuts every copy (the aggressive
+    boilerplate-removal variant).
+
+    Plan shape at 10^12 docs — the corpus is gram-exploded ONCE, and
+    only 16-byte hashes + int positions ever shuffle (never gram text):
+    the position stream pre-aggregates map-side to one row per
+    (doc, gram) carrying its in-doc position list; the document-
+    frequency census is a count(*)/min() over those unique rows (no
+    count-distinct expansion — same trick as duplicate_ngram_fraction);
+    the dup-gram join back is hash-partitioned on the md5 key, where a
+    boilerplate gram contributes one row per DOCUMENT, not one per
+    occurrence, and AQE's skew split covers the hot hash. The excision
+    itself is the shared map-side higher-order filter. Unlike
+    eval-decontamination there is no broadcast-sized side to probe —
+    the cross-document census shuffle IS the algorithm (you cannot know
+    a span repeats without comparing across documents), which is why
+    this operator's cost anchors the curation pipeline the same way the
+    LSH band join does.
+    """
+    g = docs.select(
+        "doc_id",
+        F.posexplode(word_ngram_hashes(text_col, n=n)).alias("gpos", "h"),
+    )
+    # one row per (doc, gram) with its in-doc positions: the ONLY
+    # corpus-sized shuffle, and it carries ints + hashes only
+    per_doc_gram = g.groupBy("doc_id", "h").agg(
+        F.sort_array(F.collect_list("gpos")).alias("poss")
+    )
+    census = per_doc_gram.groupBy("h").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("canon")
+    )
+    m = per_doc_gram.join(
+        census.where(F.col("n_docs") >= min_docs).select("h", "canon"), "h"
+    )
+    if keep_canonical:
+        m = m.where(F.col("doc_id") != F.col("canon"))
+    per = m.groupBy("doc_id").agg(
+        F.sort_array(F.flatten(F.collect_list("poss"))).alias("mstarts"),
+        F.sum(F.size("poss")).alias("n_matched"),
+    )
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    withm = docs.join(per, "doc_id", "left").select(
+        "doc_id",
+        toks.alias("tk"),
+        F.coalesce("mstarts", F.array().cast("array<int>")).alias("ms"),
+        F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+    )
+    clean = F.filter(
+        F.col("tk"),
+        lambda x, i: ~F.exists(F.col("ms"), lambda s: (i >= s) & (i < s + n)),
+    )
+    return withm.select(
+        "doc_id",
+        "n_matched",
+        F.when(F.col("tk").isNull(), F.lit(0))
+        .otherwise(F.size("tk") - F.size(clean))
+        .alias("n_removed"),
+        F.array_join(clean, " ").alias("clean_text"),
+    )
+
+
 def near_duplicate_prune(
     docs: DataFrame,
     text_col: str = "text",

@@ -1008,3 +1008,74 @@ def test_curation_null_lang_dropped(spark):
     assert out[1].keep
     # NULL lang must fail the allowlist, not slip through 3-valued logic
     assert out[2].drop_reason == "lang" and not out[2].keep
+
+
+def test_excise_duplicate_spans_keep_canonical(spark):
+    """Corpus-internal span excision: a span shared by two docs survives
+    in the min-doc_id (canonical) document and is cut from the other;
+    unique text is untouched; NULL text stays NULL with zero counts."""
+    rows = [
+        (1, "common span here plus unique one"),
+        (2, "prefix common span here suffix words"),
+        (3, "totally different text entirely"),
+        (4, None),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.excise_duplicate_spans(d, n=3, min_docs=2).collect()
+    }
+    assert out[1].n_matched == 0 and out[1].n_removed == 0
+    assert out[1].clean_text == "common span here plus unique one"
+    assert out[2].n_matched == 1 and out[2].n_removed == 3
+    assert out[2].clean_text == "prefix suffix words"
+    assert out[3].n_removed == 0
+    assert out[4].clean_text is None and out[4].n_matched == 0
+
+    # aggressive variant: every copy cut, including the canonical's
+    all_cut = {
+        r.doc_id: r
+        for r in dedup.excise_duplicate_spans(
+            d, n=3, min_docs=2, keep_canonical=False
+        ).collect()
+    }
+    assert all_cut[1].clean_text == "plus unique one"
+    assert all_cut[1].n_matched == 1 and all_cut[1].n_removed == 3
+    assert all_cut[2].clean_text == "prefix suffix words"
+
+
+def test_excise_duplicate_spans_overlap_merge_and_within_doc(spark):
+    """Overlapping dup-gram spans merge into one cut; within-doc repeats
+    of a dup gram are all cut; per-position canonicity (a doc canonical
+    for one gram but not an overlapping one keeps only its own)."""
+    rows = [
+        (10, "a b c d e tail"),   # canonical for all grams of 'a b c d e'
+        (11, "a b c d e other"),  # every gram canon=10 -> cut [0,4]
+        (12, "x a b c x a b c"),  # 'a b c' twice, canon=10 -> both cut
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.excise_duplicate_spans(d, n=3, min_docs=2).collect()
+    }
+    assert out[10].clean_text == "a b c d e tail"
+    assert out[11].clean_text == "other"
+    assert out[11].n_matched == 3 and out[11].n_removed == 5
+    # doc 12: 'a b c' at positions 1 and 5 -> removes 1-3 and 5-7
+    assert out[12].clean_text == "x x"
+    assert out[12].n_matched == 2 and out[12].n_removed == 6
+
+
+def test_excise_duplicate_spans_consistent_with_dup_fraction(spark):
+    """A doc whose duplicate_ngram_fraction signal is 0 must come back
+    unchanged (normalized), and n_removed > 0 implies dup_frac > 0."""
+    rows = [(i, f"row {i} shares the long boilerplate footer text block") for i in range(5)]
+    rows.append((99, "entirely novel sentence with no repeats anywhere at all"))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    ex = {r.doc_id: r for r in dedup.excise_duplicate_spans(d, n=4, min_docs=2).collect()}
+    fr = {r.doc_id: r for r in dedup.duplicate_ngram_fraction(d, n=4, min_docs=2).collect()}
+    for k in ex:
+        if fr[k].dup_frac == 0.0:
+            assert ex[k].n_removed == 0
+        if ex[k].n_removed > 0 and k != min(ex):
+            assert fr[k].dup_frac > 0.0
