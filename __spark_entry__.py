@@ -1271,8 +1271,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         """PII scrubbing over text with deterministically synthesized
-        PII (the corpus has none): email/ipv4/phone planted by doc_id
-        residue, redacted by the pure-Catalyst regexp chain."""
+        PII (the corpus has none): email/ipv4/card/phone planted by
+        doc_id residue, redacted by the pure-Catalyst regexp + Luhn
+        chain. The %19 plant's last digit varies with doc_id, so
+        whether it redacts as a card is decided by the Luhn checksum
+        per document — the oracle must run its own Luhn to agree."""
         from rapidfuzz_spark.textops import curation
 
         docs = _docs(spark, sf_dir)
@@ -1302,6 +1305,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     (10000 + wid % 9999).cast("string"),
                     F.lit(" soon"),
                 ),
+            ).otherwise(F.lit("")),
+            F.when(
+                wid % 17 == 0, F.lit(" pay 4111-1111-1111-1111 now")
+            ).otherwise(F.lit("")),
+            F.when(
+                wid % 19 == 0,
+                F.concat(
+                    F.lit(" acct 4111 1111 1111 111"),
+                    (wid % 10).cast("string"),
+                    F.lit(" maybe"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                wid % 23 == 0, F.lit(" ring (415) 555-0123 soon")
+            ).otherwise(F.lit("")),
+            F.when(
+                wid % 29 == 0, F.lit(" alt 415.555.0123 line")
             ).otherwise(F.lit("")),
         )
         return curation.redact_pii(docs.select("doc_id", txt.alias("text")))
@@ -2776,6 +2796,11 @@ GROUP BY p.id_1, p.id_2"""
     # when each pattern runs (email first, then ipv4 on the email-
     # redacted text, then phone); patterns are in the Java-regex/RE2
     # common subset so both engines match identically
+    # full independent replay including the Luhn mod-10 decision: the
+    # oracle extracts card candidates with the same RE2-subset pattern,
+    # validates each candidate's digits itself (1-based index: even
+    # positions from the right double), and folds replace() over the
+    # survivors — it does NOT know which plants were constructed valid
     o["pii_redact"] = r"""
       WITH d AS (
         SELECT doc_id, text
@@ -2787,6 +2812,18 @@ GROUP BY p.id_1, p.id_2"""
                   ELSE '' END
           || CASE WHEN doc_id % 13 = 0
                   THEN ' call +141555' || (10000 + doc_id % 9999) || ' soon'
+                  ELSE '' END
+          || CASE WHEN doc_id % 17 = 0
+                  THEN ' pay 4111-1111-1111-1111 now'
+                  ELSE '' END
+          || CASE WHEN doc_id % 19 = 0
+                  THEN ' acct 4111 1111 1111 111' || (doc_id % 10) || ' maybe'
+                  ELSE '' END
+          || CASE WHEN doc_id % 23 = 0
+                  THEN ' ring (415) 555-0123 soon'
+                  ELSE '' END
+          || CASE WHEN doc_id % 29 = 0
+                  THEN ' alt 415.555.0123 line'
                   ELSE '' END AS t
         FROM documents),
       s1 AS (
@@ -2805,12 +2842,42 @@ GROUP BY p.id_1, p.id_2"""
                regexp_replace(
                    t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
                    '<ipv4>', 'g') AS t2
-        FROM s1)
+        FROM s1),
+      s3 AS (
+        SELECT doc_id, n_email, n_ipv4, t2,
+               list_filter(
+                 regexp_extract_all(t2, '\b(?:\d[- ]?){12,18}\d\b'),
+                 c -> list_sum(list_transform(
+                        list_reverse(list_filter(
+                          string_split(c, ''),
+                          x -> x BETWEEN '0' AND '9')),
+                        (x, i) -> CASE WHEN i % 2 = 0
+                          THEN CASE WHEN x::INT * 2 > 9
+                               THEN x::INT * 2 - 9 ELSE x::INT * 2 END
+                          ELSE x::INT END)) % 10 = 0
+               ) AS valid_cards
+        FROM s2),
+      s4 AS (
+        SELECT doc_id, n_email, n_ipv4,
+               len(valid_cards) AS n_card,
+               list_reduce(
+                 list_prepend(t2, valid_cards),
+                 (acc, x) -> replace(acc, x, '<card>')) AS t3
+        FROM s3)
       SELECT doc_id,
-             regexp_replace(t2, '\+\d{7,15}', '<phone>', 'g') AS redacted,
-             n_email, n_ipv4,
-             len(regexp_extract_all(t2, '\+\d{7,15}')) AS n_phone
-      FROM s2"""
+             regexp_replace(t3,
+               '\+\d{7,15}'
+               || '|\+\d{1,3}[-. ]\d{2,4}[-. ]\d{3,4}(?:[-. ]\d{1,4})?'
+               || '|\(\d{3}\)[-. ]?\d{3}[-. ]?\d{4}'
+               || '|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b',
+               '<phone>', 'g') AS redacted,
+             n_email, n_ipv4, n_card,
+             len(regexp_extract_all(t3,
+               '\+\d{7,15}'
+               || '|\+\d{1,3}[-. ]\d{2,4}[-. ]\d{3,4}(?:[-. ]\d{1,4})?'
+               || '|\(\d{3}\)[-. ]?\d{3}[-. ]?\d{4}'
+               || '|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS n_phone
+      FROM s4"""
     o["decontaminate_frac"] = r"""
       WITH toks AS (
         SELECT doc_id,

@@ -30,43 +30,113 @@ __all__ = ["curation_keep_list", "redact_pii", "PII_PATTERNS"]
 # Redaction rules applied IN ORDER, each to the previous rule's output.
 # Patterns are deliberately written in the common subset of Java regex
 # (Spark) and RE2 (DuckDB/Go scanners) — no lookarounds, no backrefs —
-# so the operator is engine-portable and SQL-oracle-verifiable. Email
-# must run before ipv4 (an address like user@10.0.0.7 redacts as one
-# email, not an email fragment plus an IP).
+# so the operator is engine-portable and SQL-oracle-verifiable (both
+# engines use leftmost-first alternation, so multi-alternative rules
+# agree too). Ordering is load-bearing: email before ipv4 (an address
+# like user@10.0.0.7 redacts as one email, not an email fragment plus
+# an IP); card before phone (a 13-19 digit Luhn-valid run is a card
+# even when phone-shaped; Luhn-invalid candidates fall through to the
+# phone rule untouched).
+#
+# The third element is an optional checksum validator: "luhn" keeps
+# only regex candidates whose digits pass the Luhn mod-10 check —
+# aggressive digit-run patterns stay precise because the checksum, not
+# the regex, decides. The phone rule covers E.164 (+14155550123),
+# separator-grouped international (+1-415-555-0123), parenthesized US
+# ((415) 555 0123), and plain 3-3-4 US (415.555.0123) forms; a PII
+# scrubber prefers over- to under-matching, so "100 200 3000"-style
+# numeric prose is accepted collateral — callers with cleaner notions
+# of a phone number pass their own rules.
 PII_PATTERNS = (
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
-    ("phone", r"\+\d{7,15}"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", None),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", None),
+    ("card", r"\b(?:\d[- ]?){12,18}\d\b", "luhn"),
+    (
+        "phone",
+        r"\+\d{7,15}"
+        r"|\+\d{1,3}[-. ]\d{2,4}[-. ]\d{3,4}(?:[-. ]\d{1,4})?"
+        r"|\(\d{3}\)[-. ]?\d{3}[-. ]?\d{4}"
+        r"|\b\d{3}[-. ]\d{3}[-. ]\d{4}\b",
+        None,
+    ),
 )
+
+
+def _luhn_ok(cand):
+    """Catalyst Luhn mod-10 check over a candidate string's digits —
+    array expressions only (filter/reverse/transform/aggregate), so the
+    validated rule keeps redact_pii's zero-Python zero-shuffle shape."""
+    digits = F.reverse(
+        F.filter(F.split(cand, ""), lambda ch: ch.rlike("^[0-9]$"))
+    )
+    contrib = F.transform(
+        digits,
+        lambda d, i: F.when(
+            i % 2 == 1,
+            F.when(d.cast("int") * 2 > 9, d.cast("int") * 2 - 9).otherwise(
+                d.cast("int") * 2
+            ),
+        ).otherwise(d.cast("int")),
+    )
+    return F.aggregate(contrib, F.lit(0), lambda a, x: a + x) % 10 == 0
 
 
 def redact_pii(
     docs: DataFrame,
     text_col: str = "text",
-    patterns: Sequence[tuple[str, str]] = PII_PATTERNS,
+    patterns: Sequence[tuple] = PII_PATTERNS,
     key_col: str = "doc_id",
 ) -> DataFrame:
     """(doc_id, redacted, n_<kind>...): scrub personally identifiable
     substrings before training export — each pattern's matches are
     counted and replaced with a ``<kind>`` token, sequentially, so a
     later pattern never re-matches an earlier redaction's remains.
+    Patterns are ``(kind, regex)`` or ``(kind, regex, validator)``;
+    validator ``"luhn"`` keeps only candidates passing the Luhn mod-10
+    checksum (credit-card kinds), replacing each surviving candidate's
+    occurrences with ``<kind>`` and counting every matched occurrence.
 
     Plan shape: a chain of codegen'd ``regexp_replace``/
     ``regexp_extract_all`` expressions — pure JVM map stage, zero
     Python, zero shuffle, scales linearly with corpus bytes at any
-    cluster size (the same shape as the quality scorers). NULL text
-    stays NULL with all counts 0.
+    cluster size (the same shape as the quality scorers); validated
+    kinds add array higher-order functions (filter/aggregate) to the
+    same map stage. NULL text stays NULL with all counts 0.
     """
     cur = F.col(text_col)
     cols = [F.col(key_col).alias("doc_id")]
     counts = []
-    for kind, pat in patterns:
-        counts.append(
-            F.when(F.col(text_col).isNull(), F.lit(0))
-            .otherwise(F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))))
-            .alias(f"n_{kind}")
-        )
-        cur = F.regexp_replace(cur, pat, f"<{kind}>")
+    for entry in patterns:
+        kind, pat = entry[0], entry[1]
+        validator = entry[2] if len(entry) > 2 else None
+        if validator == "luhn":
+            valid = F.filter(
+                F.regexp_extract_all(cur, F.lit(pat), F.lit(0)), _luhn_ok
+            )
+            counts.append(
+                F.when(F.col(text_col).isNull(), F.lit(0))
+                .otherwise(F.size(valid))
+                .alias(f"n_{kind}")
+            )
+            # fold the validated candidates into the text: replace() of
+            # each literal candidate (all its occurrences; a repeated
+            # candidate's second fold is a no-op)
+            cur = F.aggregate(
+                valid,
+                cur,
+                lambda acc, c: F.replace(acc, c, F.lit(f"<{kind}>")),
+            )
+        elif validator is None:
+            counts.append(
+                F.when(F.col(text_col).isNull(), F.lit(0))
+                .otherwise(
+                    F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+                )
+                .alias(f"n_{kind}")
+            )
+            cur = F.regexp_replace(cur, pat, f"<{kind}>")
+        else:
+            raise ValueError(f"unknown validator {validator!r} for {kind}")
     return docs.select(*cols, cur.alias("redacted"), *counts)
 
 

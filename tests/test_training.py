@@ -360,6 +360,50 @@ class TestRedactPii:
         assert (out[2].n_email, out[2].n_ipv4, out[2].n_phone) == (0, 0, 0)
         assert out[3].redacted == "nothing here" and out[3].n_email == 0
 
+    def test_card_luhn_validation_and_phone_formats(self, spark):
+        """The card rule redacts only Luhn-valid candidates (checksum,
+        not regex, decides); the phone rule covers E.164,
+        separator-grouped international, parenthesized US, and plain
+        3-3-4 forms; boundary cases: a 10-digit phone never matches the
+        13-19 digit card rule, a 20-digit run matches neither, and a
+        repeated valid card counts every occurrence."""
+        from rapidfuzz_spark.textops.curation import redact_pii
+
+        docs = spark.createDataFrame(
+            [
+                (0, "pay 4111-1111-1111-1111 now"),  # valid Visa grouping
+                (1, "bad 4111 1111 1111 1112 kept"),  # fails Luhn
+                (2, "amex 3782 822463 10005 ok"),  # valid, 4-6-5 grouping
+                (3, "ring (415) 555-0123 or 415.555.0123 or +1-415-555-0123"),
+                (4, "run 41111111111111111111 too long"),  # 20 digits
+                (5, "twice 4111111111111111 and 4111111111111111"),
+                (6, "short 415-555-0123 phone not card"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {r.doc_id: r for r in redact_pii(docs).collect()}
+        assert out[0].redacted == "pay <card> now" and out[0].n_card == 1
+        assert out[1].redacted == "bad 4111 1111 1111 1112 kept"
+        assert out[1].n_card == 0 and out[1].n_phone == 0
+        assert out[2].redacted == "amex <card> ok" and out[2].n_card == 1
+        assert out[3].redacted == "ring <phone> or <phone> or <phone>"
+        assert out[3].n_phone == 3 and out[3].n_card == 0
+        assert out[4].n_card == 0 and "41111111111111111111" in out[4].redacted
+        assert out[5].n_card == 2 and out[5].redacted == "twice <card> and <card>"
+        assert out[6].redacted == "short <phone> phone not card"
+        assert out[6].n_card == 0 and out[6].n_phone == 1
+
+    def test_custom_two_tuple_patterns_still_work(self, spark):
+        """Back-compat: callers passing (kind, regex) 2-tuples get the
+        plain sequential regexp_replace chain."""
+        from rapidfuzz_spark.textops.curation import redact_pii
+
+        docs = spark.createDataFrame(
+            [(0, "id ABC-123 and ABC-456")], "doc_id bigint, text string"
+        )
+        out = redact_pii(docs, patterns=[("tag", r"ABC-\d{3}")]).collect()[0]
+        assert out.redacted == "id <tag> and <tag>" and out.n_tag == 2
+
 
 class TestDecontaminateFraction:
     def test_fraction_and_threshold(self, spark):
