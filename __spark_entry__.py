@@ -43,6 +43,24 @@ import rapidfuzz_spark.functions as RF
 # (regenerate: python tools/make_fixtures.py — pure function of seed 42)
 _SYNTH_FIXTURE = "/root/repo/tests/fixtures/synth300.parquet"
 
+# Real (overlapping, multi-symbol) BPE merge table for pack_docs_bpe_real:
+# learned once offline by a standard BPE trainer over the sf0.01 document
+# words (40 rank-ordered merges; note the cascades — ('e','r') then
+# ('m','er'), ('at','c') -> ('atc','h') -> ('b','atch')). A fixture
+# constant like the planted-PII strings: the ORACLE does not reuse the
+# Spark kernel, it replays greedy BPE itself via a recursive CTE.
+REAL_BPE_MERGES = (
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"), ("s", "mall"),
+    ("g", "e"), ("l", "ow"),
+)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1408,6 +1426,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decon_report"] = decon_report
 
+    def pack_docs_bpe_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Model-token packing with a REAL (overlapping, multi-symbol)
+        BPE merge table — the general bpe_token_counts kernel, not the
+        toy's disjoint-alphabet closed form. The oracle replays greedy
+        BPE in DuckDB with a recursive CTE over a delimiter-encoded
+        symbol string (replace() of chr(1)x chr(2)chr(1)y chr(2) ==
+        leftmost non-overlapping symbol-pair merge)."""
+        from rapidfuzz_spark.textops import training
+
+        docs = _docs(spark, sf_dir)
+        counts = training.bpe_token_counts(docs, merges=REAL_BPE_MERGES)
+        return training.pack_documents(
+            docs.join(counts, "doc_id"),
+            budget=64,
+            n_shards=2,
+            tokens_col="bpe_tokens",
+        )
+
+    q["pack_docs_bpe_real"] = pack_docs_bpe_real
+
     def excise_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Corpus-internal duplicate-span excision (Lee et al. 2022's
         removal half): word 8-gram spans occurring in >=2 distinct docs
@@ -1428,7 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
-        "decon_report", "excise_dup_spans",
+        "decon_report", "excise_dup_spans", "pack_docs_bpe_real",
         # round 4
         "incremental_lsh_counts", "pack_docs_bpe", "pii_redact",
         "decontaminate_frac", "mix_sources", "bigram_lp", "semantic_dedup",
@@ -3356,6 +3394,72 @@ GROUP BY p.id_1, p.id_2"""
                    - (len(wd) - len(replace(wd, 'ou', ''))) // 2
                ) AS bpe
         FROM wrd GROUP BY doc_id),
+      d AS (
+        SELECT dd.doc_id, lang AS grp,
+               floor((('0x' || substr(md5('pack:' || dd.doc_id), 1, 8))::BIGINT
+                      / 4294967296.0) * 2)::INT AS shard,
+               coalesce(cnt.bpe, 0)::INT AS n_tokens
+        FROM documents dd LEFT JOIN cnt USING (doc_id)),
+      w AS (
+        SELECT doc_id, grp, shard, n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY grp, shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS tokens_before
+        FROM d)
+      SELECT doc_id, grp, shard, n_tokens,
+             floor(tokens_before / 64.0)::BIGINT AS pack_id,
+             (row_number() OVER (
+                 PARTITION BY grp, shard, floor(tokens_before / 64.0)
+                 ORDER BY doc_id) - 1)::INT AS pack_pos
+      FROM w"""
+    # REAL-vocab BPE replay: greedy BPE as a recursive CTE over the
+    # DISTINCT word vocabulary. Each word's symbol sequence is encoded
+    # as chr(1)||sym||chr(2) segments, so replace() of the pattern
+    # chr(1)x chr(2)chr(1)y chr(2) -> chr(1)xy chr(2) is EXACTLY the
+    # leftmost non-overlapping symbol-pair merge (delimiters make
+    # spurious substring matches impossible); each step applies the
+    # min-ranked pair present, terminal states are the rows no rule
+    # touches, and the token count is the chr(1) marker count. Packing
+    # then replays pack_documents' window arithmetic on those counts.
+    rule_vals = ", ".join(
+        f"({r}, '{x}', '{y}')" for r, (x, y) in enumerate(REAL_BPE_MERGES)
+    )
+    o["pack_docs_bpe_real"] = rf"""
+      WITH RECURSIVE rules AS (
+        SELECT * FROM (VALUES {rule_vals}) r(rank, x, y)),
+      wrd AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                  x -> x <> '')) AS wd
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''),
+      vocab AS (SELECT DISTINCT wd AS w FROM wrd),
+      steps AS (
+        SELECT w,
+               chr(1) || array_to_string(string_split(w, ''),
+                                         chr(2) || chr(1)) || chr(2) AS st
+        FROM vocab
+        UNION ALL
+        SELECT s.w,
+               replace(s.st,
+                       chr(1) || r.x || chr(2) || chr(1) || r.y || chr(2),
+                       chr(1) || r.x || r.y || chr(2))
+        FROM steps s JOIN rules r
+          ON r.rank = (SELECT min(r2.rank) FROM rules r2
+                       WHERE contains(s.st, chr(1) || r2.x || chr(2)
+                                            || chr(1) || r2.y || chr(2)))),
+      wtoks AS (
+        SELECT w, len(st) - len(replace(st, chr(1), '')) AS toks
+        FROM steps s
+        WHERE NOT EXISTS (
+          SELECT 1 FROM rules r
+          WHERE contains(s.st, chr(1) || r.x || chr(2)
+                               || chr(1) || r.y || chr(2)))),
+      cnt AS (
+        SELECT doc_id, sum(t.toks) AS bpe
+        FROM wrd JOIN wtoks t ON wrd.wd = t.w
+        GROUP BY doc_id),
       d AS (
         SELECT dd.doc_id, lang AS grp,
                floor((('0x' || substr(md5('pack:' || dd.doc_id), 1, 8))::BIGINT

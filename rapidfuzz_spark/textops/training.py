@@ -38,6 +38,7 @@ __all__ = [
     "pack_documents",
     "shuffle_shards",
     "training_export",
+    "bpe_token_counts",
     "toy_bpe_token_counts",
     "TOY_BPE_MERGES",
 ]
@@ -747,33 +748,41 @@ def shuffle_shards(
     return d.withColumn("shard_pos", (F.row_number().over(w) - 1))
 
 
-def toy_bpe_token_counts(
+def bpe_token_counts(
     docs: DataFrame,
+    merges: tuple,
     text_col: str = "text",
-    merges: tuple = TOY_BPE_MERGES,
     key_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, bpe_tokens): MODEL-tokenizer token counts for packing —
-    the worked example of feeding ``pack_documents(tokens_col=...)`` a
-    real tokenizer's counts instead of whitespace-token counts. Runs an
-    actual greedy byte-pair-encoding loop per whitespace word (symbols
-    start as characters; repeatedly merge the best-ranked adjacent pair
-    present until none applies) inside one Arrow-batched pandas_udf —
-    the exact plan shape a production tokenizer (sentencepiece/tiktoken
-    count) would use: per-row, stateless, embarrassingly parallel, no
-    shuffle, so it scales as a map stage at any corpus size.
+    """(doc_id, bpe_tokens): REAL byte-pair-encoding token counts — the
+    general tokenizer ``pack_documents(tokens_col=...)`` budgets on.
+    ``merges`` is a rank-ordered tuple of ``(x, y)`` SYMBOL pairs, the
+    exact artifact a BPE trainer emits: symbols may be multi-character
+    and alphabets may overlap (``("t","h")`` then ``("th","e")``), so a
+    learned GPT-2/sentencepiece-style merge list drops in unchanged.
 
-    ``merges`` is the rank-ordered merge table; the default
-    ``TOY_BPE_MERGES`` satisfies the disjoint-alphabet constraint
-    documented at its definition, making the count exactly SQL-
-    replayable (the strict oracle for the ``pack_docs_bpe`` driver
-    query replays it in DuckDB). NULL/whitespace-only text counts 0,
-    the same convention as pack_documents' whitespace path.
+    Per whitespace word the kernel runs the canonical greedy loop:
+    while any adjacent symbol pair is in the merge table, merge ALL
+    leftmost non-overlapping occurrences of the best-ranked pair
+    present, then rescan (HuggingFace/GPT-2 ``bpe()`` semantics; for a
+    VALID learned table — one where a pair's symbols exist before the
+    pair's rank — this equals the merge-one-occurrence-at-a-time
+    formulation, which tests/test_training.py uses as the independent
+    reference implementation). Case-sensitive; NULL/whitespace-only
+    text counts 0.
+
+    Plan shape: one Arrow-batched pandas_udf — per-row, stateless,
+    embarrassingly parallel, no shuffle, so it scales as a map stage at
+    any corpus size; the merge table ships in the UDF closure exactly
+    like a production tokenizer's vocab file ships to executors. For a
+    SQL-replayable constrained variant (the strict driver oracle) see
+    ``toy_bpe_token_counts``; the ``pack_docs_bpe_real`` driver query
+    replays THIS general kernel in DuckDB with a recursive-CTE
+    delimited-encoding fold instead.
     """
     import re
 
-    ranks = {m: r for r, m in enumerate(merges)}
-    merge_list = tuple(merges)
+    ranks = {(x, y): r for r, (x, y) in enumerate(merges)}
 
     @F.pandas_udf("long")
     def _count(texts: pd.Series) -> pd.Series:
@@ -782,16 +791,20 @@ def toy_bpe_token_counts(
             while True:
                 best = None
                 for i in range(len(syms) - 1):
-                    r = ranks.get(syms[i] + syms[i + 1])
+                    r = ranks.get((syms[i], syms[i + 1]))
                     if r is not None and (best is None or r < best):
                         best = r
                 if best is None:
                     return len(syms)
-                pair = merge_list[best]
+                x, y = merges[best]
                 out, i = [], 0
                 while i < len(syms):
-                    if i + 1 < len(syms) and syms[i] + syms[i + 1] == pair:
-                        out.append(pair)
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == x
+                        and syms[i + 1] == y
+                    ):
+                        out.append(x + y)
                         i += 2
                     else:
                         out.append(syms[i])
@@ -811,6 +824,40 @@ def toy_bpe_token_counts(
     return docs.select(
         F.col(key_col).alias("doc_id"),
         _count(F.col(text_col)).alias("bpe_tokens"),
+    )
+
+
+def toy_bpe_token_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    merges: tuple = TOY_BPE_MERGES,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, bpe_tokens): MODEL-tokenizer token counts for packing —
+    the worked example of feeding ``pack_documents(tokens_col=...)`` a
+    real tokenizer's counts instead of whitespace-token counts. Runs an
+    actual greedy byte-pair-encoding loop per whitespace word (symbols
+    start as characters; repeatedly merge the best-ranked adjacent pair
+    present until none applies) inside one Arrow-batched pandas_udf —
+    the exact plan shape a production tokenizer (sentencepiece/tiktoken
+    count) would use: per-row, stateless, embarrassingly parallel, no
+    shuffle, so it scales as a map stage at any corpus size.
+
+    ``merges`` is the rank-ordered merge table of character bigrams;
+    the default ``TOY_BPE_MERGES`` satisfies the disjoint-alphabet
+    constraint documented at its definition, making the count exactly
+    SQL-replayable in closed form (the strict oracle for the
+    ``pack_docs_bpe`` driver query replays it in DuckDB as
+    replace-count deltas). NULL/whitespace-only text counts 0, the same
+    convention as pack_documents' whitespace path. Delegates to the
+    general ``bpe_token_counts`` kernel — the toy is exactly the
+    general tokenizer under a constrained merge table.
+    """
+    return bpe_token_counts(
+        docs,
+        merges=tuple((m[0], m[1]) for m in merges),
+        text_col=text_col,
+        key_col=key_col,
     )
 
 

@@ -823,3 +823,132 @@ def test_mix_by_source_zero_token_source_dropped(spark):
     rates = {r["source"]: r["rate"] for r in out.select("source", "rate").distinct().collect()}
     assert rates.get("code") == 1.0
     assert rates.get("web") == pytest.approx(0.75, abs=1e-6)
+
+
+class TestRealBpe:
+    """bpe_token_counts (general symbol-pair merges) verified against an
+    INDEPENDENT reference implementation: a from-scratch BPE trainer
+    produces a valid 60-merge table over 10k+ random words, and a
+    merge-ONE-occurrence-at-a-time tokenizer (the Sennrich formulation,
+    provably equivalent to the kernel's merge-all-per-round for valid
+    learned tables) recomputes every count."""
+
+    @staticmethod
+    def _train(words, n_merges):
+        import collections
+
+        vocab = collections.Counter(tuple(w) for w in words)
+        merges = []
+        for _ in range(n_merges):
+            pairs = collections.Counter()
+            for syms, c in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += c
+            if not pairs:
+                break
+            top = max(pairs.values())
+            best = min(p for p in pairs if pairs[p] == top)
+            merges.append(best)
+            x, y = best
+            nv = collections.Counter()
+            for syms, c in vocab.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == x and syms[i + 1] == y:
+                        out.append(x + y)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nv[tuple(out)] += c
+            vocab = nv
+        return tuple(merges)
+
+    @staticmethod
+    def _ref_tokens_one_at_a_time(w, merges):
+        ranks = {p: r for r, p in enumerate(merges)}
+        syms = list(w)
+        while True:
+            best_rank, best_i = None, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                return len(syms)
+            syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+
+    def test_parity_on_10k_words(self, spark):
+        import random
+
+        from rapidfuzz_spark.textops.training import bpe_token_counts
+
+        rng = random.Random(42)
+        # a 4-letter alphabet has only 16 char bigrams, so a 60-merge
+        # table MUST cascade into multi-character symbol pairs — the
+        # regime the toy's disjoint-alphabet closed form cannot express
+        alphabet = "abcd"
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 12)))
+            for _ in range(10_000)
+        ]
+        merges = self._train(words, 60)
+        # the table is genuinely overlapping/multi-symbol — not the toy
+        assert any(len(x) > 1 or len(y) > 1 for x, y in merges)
+        syms_used = [s for p in merges for s in p]
+        assert len(set("".join(syms_used))) < len(syms_used)  # overlap
+        # one doc per word so every count is independently attributable
+        docs = spark.createDataFrame(
+            list(enumerate(words)), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.bpe_tokens
+            for r in bpe_token_counts(docs, merges=merges).collect()
+        }
+        for i, w in enumerate(words):
+            assert got[i] == self._ref_tokens_one_at_a_time(w, merges), w
+
+    def test_multiword_null_and_whitespace(self, spark):
+        from rapidfuzz_spark.textops.training import bpe_token_counts
+
+        merges = (("a", "b"), ("ab", "c"), ("b", "c"))
+        docs = spark.createDataFrame(
+            [
+                (0, "abc ab c bc"),  # abc->1, ab->1, c->1, bc->1
+                (1, None),
+                (2, "   "),
+                (3, "abcabc"),  # abc abc -> 2
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: r.bpe_tokens
+            for r in bpe_token_counts(docs, merges=merges).collect()
+        }
+        assert got == {0: 4, 1: 0, 2: 0, 3: 2}
+
+    def test_toy_wrapper_delegates_unchanged(self, spark):
+        """toy_bpe_token_counts must stay exactly the constrained closed
+        form its SQL oracle replays: tokens = len - sum(replace deltas)."""
+        from rapidfuzz_spark.textops.training import (
+            TOY_BPE_MERGES,
+            toy_bpe_token_counts,
+        )
+
+        words = ["the", "other", "banana", "issue", "throughout", "zzz"]
+
+        def closed_form(w):
+            n = len(w)
+            for m in TOY_BPE_MERGES:
+                # non-overlapping occurrence count via replace delta
+                n -= (len(w) - len(w.replace(m, ""))) // 2
+            return n
+
+        docs = spark.createDataFrame(
+            list(enumerate(words)), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.bpe_tokens for r in toy_bpe_token_counts(docs).collect()
+        }
+        for i, w in enumerate(words):
+            assert got[i] == closed_form(w), w
