@@ -1446,6 +1446,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_docs_bpe_real"] = pack_docs_bpe_real
 
+    def training_export_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Multi-rule export: drop by the fraction + substring rules,
+        EXCISE matched spans from survivors, pack on post-excision
+        token counts — all decontamination from ONE corpus gram pass
+        (decontamination_report inside training_export)."""
+        from rapidfuzz_spark.textops import training
+        from rapidfuzz_spark.textops.sampling import md5_uniform
+
+        docs = _docs(spark, sf_dir)
+        ev = docs.where(md5_uniform("doc_id", "eval") < 0.05)
+        return training.training_export(
+            docs,
+            ev,
+            decontam_n=13,
+            alpha=0.5,
+            budget=256,
+            n_shards=8,
+            decontam_rules=("fraction", "substring"),
+            excise=True,
+            max_frac=0.05,
+        )
+
+    q["training_export_multi"] = training_export_multi
+
     def excise_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Corpus-internal duplicate-span excision (Lee et al. 2022's
         removal half): word 8-gram spans occurring in >=2 distinct docs
@@ -1467,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     newest_first = [
         # round 5
         "decon_report", "excise_dup_spans", "pack_docs_bpe_real",
+        "training_export_multi",
         # round 4
         "incremental_lsh_counts", "pack_docs_bpe", "pii_redact",
         "decontaminate_frac", "mix_sources", "bigram_lp", "semantic_dedup",
@@ -3509,6 +3534,112 @@ GROUP BY p.id_1, p.id_2"""
       FROM documents d LEFT JOIN per p USING (doc_id)"""
     # composed replay of the full last mile: decontaminate -> resample on
     # the CLEAN corpus -> pack (single stream per language) -> shard
+    # multi-rule export replay: fraction + substring drop rules, span
+    # excision on survivors (pack budgets on raw tokens minus covered
+    # positions), then the same resample/pack/shuffle arithmetic as
+    # training_export_e2e — every rule replayed independently
+    o["training_export_multi"] = r"""
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS tk
+        FROM documents),
+      grams AS (
+        SELECT doc_id, i, md5(array_to_string(tk[i:i+12], ' ')) AS h
+        FROM (SELECT doc_id, tk,
+                     unnest(range(1, greatest(len(tk) - 12, 0) + 1)) AS i
+              FROM toks)),
+      evdocs AS (
+        SELECT doc_id FROM documents
+        WHERE ('0x' || substr(md5('eval:' || doc_id), 1, 8))::BIGINT
+                / 4294967296.0 < 0.05),
+      ev AS (
+        SELECT DISTINCT h FROM grams
+        WHERE doc_id IN (SELECT doc_id FROM evdocs)),
+      matched AS (SELECT doc_id, i, h FROM grams JOIN ev USING (h)),
+      hits AS (
+        SELECT doc_id, count(DISTINCT h) AS n_hits FROM matched
+        GROUP BY doc_id),
+      base AS (
+        SELECT doc_id, greatest(coalesce(len(tk), 0) - 12, 0) AS n_grams
+        FROM toks),
+      nd AS (SELECT doc_id, array_to_string(tk, ' ') AS nt FROM toks),
+      evss AS (
+        SELECT n.doc_id AS eval_id, n.nt AS et FROM nd n
+        WHERE n.doc_id IN (SELECT doc_id FROM evdocs)
+          AND n.nt <> '' AND len(string_split(n.nt, ' ')) >= 13),
+      sshits AS (
+        SELECT d.doc_id, count(DISTINCT e.eval_id) AS n
+        FROM nd d JOIN evss e
+          ON contains(' ' || d.nt || ' ', ' ' || e.et || ' ')
+        GROUP BY d.doc_id),
+      tokpos AS (
+        SELECT doc_id, j
+        FROM toks, (SELECT unnest(generate_series(1, 100000)) AS j)
+        WHERE j <= len(tk)),
+      covered AS (
+        SELECT DISTINCT t.doc_id, t.j
+        FROM tokpos t JOIN matched m
+          ON t.doc_id = m.doc_id AND t.j BETWEEN m.i AND m.i + 12),
+      cc AS (SELECT doc_id, count(*) AS n_removed FROM covered
+             GROUP BY doc_id),
+      clean AS (
+        SELECT d.doc_id, d.lang, d.text,
+               coalesce(cc.n_removed, 0) AS n_removed
+        FROM documents d
+        LEFT JOIN base b USING (doc_id)
+        LEFT JOIN hits h USING (doc_id)
+        LEFT JOIN sshits s USING (doc_id)
+        LEFT JOIN cc USING (doc_id)
+        WHERE NOT (
+          (CASE WHEN b.n_grams > 0
+                THEN round(coalesce(h.n_hits, 0) / b.n_grams, 6)
+                ELSE 0.0 END) >= 0.05
+          OR coalesce(s.n, 0) > 0)),
+      cnt AS (
+        SELECT coalesce(lang, chr(0) || 'null') AS gkey,
+               count(*)::DOUBLE AS n_g
+        FROM clean GROUP BY 1),
+      wts AS (
+        SELECT gkey, pow(n_g / sum(n_g) OVER (), -0.5) AS w_g FROM cnt),
+      rates AS (
+        SELECT gkey, round(w_g / max(w_g) OVER (), 6) AS rate FROM wts),
+      kept AS (
+        SELECT c.doc_id, c.lang, c.text, c.n_removed FROM clean c
+        JOIN rates r ON coalesce(c.lang, chr(0) || 'null') = r.gkey
+        WHERE ('0x' || substr(md5('s0:' || c.doc_id), 1, 8))::BIGINT
+                / 4294967296.0 < r.rate),
+      ntok AS (
+        SELECT doc_id, lang AS grp,
+               (CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+'))
+                END - n_removed) AS n_tokens
+        FROM kept),
+      w AS (
+        SELECT doc_id, grp, n_tokens::INT AS n_tokens,
+               coalesce(sum(n_tokens) OVER (
+                   PARTITION BY grp ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS tb
+        FROM ntok),
+      packed AS (
+        SELECT doc_id, grp AS "group", 0::INT AS pack_shard, n_tokens,
+               floor(tb / 256.0)::BIGINT AS pack_id,
+               (row_number() OVER (
+                   PARTITION BY grp, floor(tb / 256.0)
+                   ORDER BY doc_id) - 1)::INT AS pack_pos
+        FROM w),
+      addr AS (
+        SELECT doc_id, floor(u * 8)::INT AS shard,
+               (row_number() OVER (PARTITION BY floor(u * 8)
+                                   ORDER BY u, doc_id) - 1)::INT AS shard_pos
+        FROM (SELECT doc_id,
+                     ('0x' || substr(md5('shuf0:' || doc_id), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM kept))
+      SELECT p.doc_id, p."group", p.pack_shard, p.n_tokens, p.pack_id,
+             p.pack_pos, a.shard, a.shard_pos
+      FROM packed p JOIN addr a USING (doc_id)"""
     o["training_export_e2e"] = r"""
       WITH toks AS (
         SELECT doc_id,

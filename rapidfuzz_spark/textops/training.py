@@ -872,6 +872,10 @@ def training_export(
     text_col: str = "text",
     pack_shards: int = 1,
     persist_clean: bool = True,
+    decontam_rules: tuple = ("minhit",),
+    excise: bool = False,
+    min_hits: int = 1,
+    max_frac: float = 0.1,
 ) -> DataFrame:
     """The whole last mile in one call: drop eval-set contamination
     (``decontaminate``), rebalance the language mix on the CLEAN corpus
@@ -916,23 +920,83 @@ def training_export(
     it so each (group, shard) stream fits an executor; packs never
     cross shards, so the result is still whole-document packs, just
     ``pack_shards`` independent streams per language.
+
+    **Multi-rule decontamination** (round 5): ``decontam_rules`` picks
+    the drop rules from {"minhit", "fraction", "substring"} and
+    ``excise=True`` additionally CUTS matched spans from surviving
+    documents, with packing budgeted on the post-excision token counts.
+    The default ``("minhit",)`` keeps the classic single-rule path and
+    plan bit-for-bit. With more than one rule (or excision) the export
+    switches to ``decontamination_report`` — every requested rule from
+    the SAME single corpus gram pass, so a 3-rule-plus-excision export
+    still pays exactly ONE corpus-dominating decontamination stage
+    (the whole point of the fusion; composing standalone rules here
+    would re-explode the corpus once per rule). The checkpointed clean
+    list stays narrow either way: (doc_id) classic, (doc_id, n_removed)
+    with excision — never text.
     """
-    clean = (
-        decontaminate(docs, eval_docs, n=decontam_n, text_col=text_col)
-        .where(~F.col("contaminated"))
-        .select("doc_id")
-    )
+    bad = set(decontam_rules) - {"minhit", "fraction", "substring"}
+    if bad:
+        raise ValueError(f"unknown decontam rules: {sorted(bad)}")
+    multi = excise or set(decontam_rules) != {"minhit"}
+    if not multi:
+        clean = (
+            decontaminate(
+                docs, eval_docs, n=decontam_n, min_hits=min_hits,
+                text_col=text_col,
+            )
+            .where(~F.col("contaminated"))
+            .select("doc_id")
+        )
+    else:
+        rep = decontamination_report(
+            docs,
+            eval_docs,
+            n=decontam_n,
+            min_hits=min_hits,
+            max_frac=max_frac,
+            text_col=text_col,
+        )
+        drop = F.lit(False)
+        if "minhit" in decontam_rules:
+            drop = drop | F.col("contaminated_minhit")
+        if "fraction" in decontam_rules:
+            drop = drop | F.col("contaminated_frac")
+        if "substring" in decontam_rules:
+            drop = drop | F.col("contaminated_substring")
+        cols = ["doc_id"] + (["n_removed"] if excise else [])
+        clean = rep.where(~drop).select(*cols)
     if persist_clean:
         clean = clean.localCheckpoint(eager=False)
     kept_docs = docs.join(clean, "doc_id")
     kept = temperature_resample(kept_docs, alpha=alpha, group_col=group_col)
-    packed = pack_documents(
-        kept,
-        budget=budget,
-        group_col=group_col,
-        n_shards=pack_shards,
-        text_col=text_col,
-    ).select(
+    if multi and excise:
+        # budget packs on the POST-excision token counts, computed
+        # map-side from the raw text minus the checkpointed removal
+        # count — the excised text itself never ships through the plan
+        raw_toks = F.when(
+            F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""),
+            F.lit(0),
+        ).otherwise(F.size(F.split(F.trim(F.col(text_col)), r"\s+")))
+        kept = kept.withColumn(
+            "__clean_toks", raw_toks - F.col("n_removed")
+        )
+        packed = pack_documents(
+            kept,
+            budget=budget,
+            group_col=group_col,
+            n_shards=pack_shards,
+            tokens_col="__clean_toks",
+        )
+    else:
+        packed = pack_documents(
+            kept,
+            budget=budget,
+            group_col=group_col,
+            n_shards=pack_shards,
+            text_col=text_col,
+        )
+    packed = packed.select(
         "doc_id",
         F.col("grp").alias("group"),
         F.col("shard").alias("pack_shard"),

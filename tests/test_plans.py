@@ -356,3 +356,32 @@ def test_salted_token_join_no_extra_corpus_shuffle(spark):
     assert "CartesianProduct" not in p or p.count("CartesianProduct") == 0
     # the broadcast of the hot head appears at least twice (probe+build)
     assert p.count("BroadcastExchange") >= 2
+
+
+def test_training_export_multi_rule_single_gram_pass(spark):
+    """The multi-rule export must inherit decontamination_report's
+    one-corpus-pass property: with the default lazy checkpoint the
+    final plan has ZERO gram explodes (they live behind the narrow
+    checkpointed clean list), and fully lazy the corpus gram pass is
+    bounded by temperature_resample's two structural consumers — never
+    one pass per rule (3 rules + excision would be 4x otherwise)."""
+    from rapidfuzz_spark.textops import training
+    from rapidfuzz_spark.textops.sampling import md5_uniform
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    ev = d.where(md5_uniform("doc_id", "eval") < 0.05)
+    kw = dict(
+        decontam_n=13, alpha=0.5,
+        decontam_rules=("minhit", "fraction", "substring"),
+        excise=True, max_frac=0.05,
+    )
+    df = training.training_export(d, ev, **kw)
+    p = plan_str(df, "simple")
+    assert p.count("Generate posexplode") == 0
+    assert p.count("Generate explode") == 0
+    assert "Scan ExistingRDD" in p  # the checkpointed clean list
+    lazy = training.training_export(d, ev, persist_clean=False, **kw)
+    lp = plan_str(lazy, "simple")
+    # 2 resample consumers x (1 corpus posexplode + 1 eval explode)
+    assert lp.count("Generate posexplode") <= 2
+    assert lp.count("Generate explode") <= 2

@@ -952,3 +952,74 @@ class TestRealBpe:
         }
         for i, w in enumerate(words):
             assert got[i] == closed_form(w), w
+
+
+class TestTrainingExportMulti:
+    def _fixture(self, spark):
+        # eval doc is 20 tokens (8 distinct 13-grams), so a doc can
+        # share a 13-gram WITHOUT containing the whole eval doc
+        ev_text = " ".join(f"w{i}" for i in range(20))
+        part = " ".join(f"w{i}" for i in range(13))  # first 13 tokens
+        filler = " ".join(f"f{i}" for i in range(300))
+        rows = [
+            # contains the full eval doc verbatim -> substring drop
+            (1, ev_text + " " + ev_text, "en"),
+            # one 13-gram hit buried in 300 filler tokens: frac 1/301
+            # under 0.05 and NOT a full containment -> SURVIVES both
+            # rules but gets its 13 matched tokens excised
+            (2, filler + " " + part, "en"),
+            (3, "clean " + filler, "en"),
+            (4, ev_text, "en"),  # the eval doc: dropped (contains itself)
+            (5, "totally unrelated words here " * 10, "fr"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+        ev = docs.where(F.col("doc_id") == 4)
+        return docs, ev
+
+    def test_fraction_substring_with_excision(self, spark):
+        from rapidfuzz_spark.textops.training import training_export
+
+        docs, ev = self._fixture(spark)
+        out = {
+            r["doc_id"]: r
+            for r in training_export(
+                docs, ev, decontam_n=13, alpha=1.0, budget=10_000,
+                n_shards=1, decontam_rules=("fraction", "substring"),
+                excise=True, max_frac=0.05,
+            ).collect()
+        }
+        assert 1 not in out and 4 not in out  # dropped by the rules
+        assert set(out) == {2, 3, 5}
+        # doc 2 survives but its matched span is excised from the budget
+        assert out[2]["n_tokens"] == 300
+        assert out[3]["n_tokens"] == 301
+        # classic single-rule export would have dropped doc 2 entirely
+        classic = {
+            r["doc_id"]
+            for r in training_export(
+                docs, ev, decontam_n=13, alpha=1.0, budget=10_000, n_shards=1
+            ).collect()
+        }
+        assert 2 not in classic
+
+    def test_default_path_unchanged(self, spark):
+        """decontam_rules=('minhit',), excise=False must produce exactly
+        the classic export (same plan family, same rows)."""
+        from rapidfuzz_spark.textops.training import training_export
+
+        docs, ev = self._fixture(spark)
+        a = sorted(map(tuple, training_export(
+            docs, ev, decontam_n=13, alpha=0.5, budget=64, n_shards=4
+        ).collect()))
+        b = sorted(map(tuple, training_export(
+            docs, ev, decontam_n=13, alpha=0.5, budget=64, n_shards=4,
+            decontam_rules=("minhit",), excise=False,
+        ).collect()))
+        assert a == b
+
+    def test_unknown_rule_rejected(self, spark):
+        from rapidfuzz_spark.textops.training import training_export
+
+        docs, ev = self._fixture(spark)
+        with pytest.raises(ValueError, match="unknown decontam rules"):
+            training_export(docs, ev, decontam_rules=("minhit", "bogus"))
