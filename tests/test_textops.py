@@ -1079,3 +1079,23 @@ def test_excise_duplicate_spans_consistent_with_dup_fraction(spark):
             assert ex[k].n_removed == 0
         if ex[k].n_removed > 0 and k != min(ex):
             assert fr[k].dup_frac > 0.0
+
+
+def test_salt_hot_tokens_result_identical(spark):
+    """Explicit Zipf-head salting is a partitioning choice, not a
+    semantic one: unigram/bigram_logprob with salt_hot must equal the
+    unsalted join row-for-row (the contract BENCH.md §17's skew
+    measurement rests on)."""
+    rows = [(i, "the of and the of and word" + str(i) + " tail") for i in range(60)]
+    rows.append((100, None))
+    rows.append((101, "   "))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, quality.unigram_logprob(d).collect()))
+    b = sorted(map(tuple, quality.unigram_logprob(d, salt_hot=(4, 50)).collect()))
+    assert a == b
+    # hot_min above every count: salting machinery engaged, zero hot keys
+    c = sorted(map(tuple, quality.unigram_logprob(d, salt_hot=(4, 10_000)).collect()))
+    assert a == c
+    x = sorted(map(tuple, quality.bigram_logprob(d).collect()))
+    y = sorted(map(tuple, quality.bigram_logprob(d, salt_hot=(4, 50)).collect()))
+    assert x == y
