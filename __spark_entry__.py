@@ -1470,6 +1470,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["training_export_multi"] = training_export_multi
 
+    def stream_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Streaming decontamination across a 3-micro-batch file stream:
+        each arriving doc intersects its distinct 13-grams with the
+        static eval gram literal — map-side, zero state, so the
+        cumulative output equals the batch operator and the batch SQL
+        oracle applies verbatim."""
+        import os
+        import shutil
+        import tempfile
+
+        from rapidfuzz_spark.streaming import (
+            collect_eval_grams,
+            stream_decontaminate,
+        )
+        from rapidfuzz_spark.textops.sampling import md5_uniform
+
+        d = _docs(spark, sf_dir).select("doc_id", "text")
+        ev_grams = collect_eval_grams(
+            d.where(md5_uniform("doc_id", "eval") < 0.05), n=13
+        )
+        n = d.count()
+        rn = F.row_number().over(Window.orderBy("doc_id"))
+        chunked = d.withColumn("chunk", ((rn - 1) * 3 / F.lit(n)).cast("int"))
+        tmp = tempfile.mkdtemp(prefix="rf_sdecon_q_")
+        stream_dir = os.path.join(tmp, "stream_in")
+        os.makedirs(stream_dir)
+        for i in range(3):
+            part_dir = os.path.join(tmp, f"c{i}")
+            chunked.where(F.col("chunk") == i).drop("chunk").coalesce(
+                1
+            ).write.parquet(part_dir)
+            part = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(stream_dir, f"{i:02d}.parquet")
+            shutil.move(os.path.join(part_dir, part), dst)
+            os.utime(dst, (1000 + 100 * i, 1000 + 100 * i))
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        query = (
+            stream_decontaminate(stream, ev_grams, n=13)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(tmp, "out"))
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        pdf = spark.read.parquet(os.path.join(tmp, "out")).toPandas()
+        shutil.rmtree(tmp, ignore_errors=True)
+        return spark.createDataFrame(
+            pdf, "doc_id bigint, n_hits bigint, contaminated boolean"
+        )
+
+    q["stream_decontam"] = stream_decontam
+
     def excise_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Corpus-internal duplicate-span excision (Lee et al. 2022's
         removal half): word 8-gram spans occurring in >=2 distinct docs
@@ -1491,7 +1550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     newest_first = [
         # round 5
         "decon_report", "excise_dup_spans", "pack_docs_bpe_real",
-        "training_export_multi",
+        "training_export_multi", "stream_decontam",
         # round 4
         "incremental_lsh_counts", "pack_docs_bpe", "pii_redact",
         "decontaminate_frac", "mix_sources", "bigram_lp", "semantic_dedup",
@@ -3707,4 +3766,7 @@ GROUP BY p.id_1, p.id_2"""
       SELECT p.doc_id, p."group", p.pack_shard, p.n_tokens, p.pack_id,
              p.pack_pos, a.shard, a.shard_pos
       FROM packed p JOIN addr a USING (doc_id)"""
+    # map-side streaming decontamination is batch-split invariant by
+    # construction: cumulative output == the batch operator == its oracle
+    o["stream_decontam"] = o["decontaminate_eval"]
     return o

@@ -5,6 +5,7 @@ applyInPandasWithState. Batch shapes of both run under the driver's SQL
 value oracle; the streaming shapes are exercised by tests/test_streaming.
 """
 
+from .decontam import collect_eval_grams, stream_decontaminate
 from .neardup import stream_neardup
 from .sessions import native_sessions
 from .stateful import first_touch_stream, streaming_dedup
@@ -14,4 +15,6 @@ __all__ = [
     "first_touch_stream",
     "streaming_dedup",
     "stream_neardup",
+    "collect_eval_grams",
+    "stream_decontaminate",
 ]

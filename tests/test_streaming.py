@@ -415,3 +415,71 @@ def test_stream_neardup_cumulative_equals_batch(spark):
         assert got2 == full3 and (0, 5) in got2 - pairs
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stream_decontaminate_equals_batch(spark):
+    """Map-side streaming decontamination must equal the batch
+    decontaminate operator on the same corpus (the batch-split
+    invariance its oracle aliasing rests on), both through an actual
+    2-micro-batch stream and applied directly as a batch projection."""
+    from rapidfuzz_spark.streaming import (
+        collect_eval_grams,
+        stream_decontaminate,
+    )
+    from rapidfuzz_spark.textops.training import decontaminate
+
+    ev_text = " ".join(f"w{i}" for i in range(13))
+    rows = [
+        (1, ev_text + " tail tokens here"),
+        (2, "completely different words " * 5),
+        (3, "short doc"),
+        (4, ev_text),
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ev = docs.where(F.col("doc_id") == 4)
+    grams = collect_eval_grams(ev, n=13)
+    assert len(grams) == 1
+
+    batch_ref = sorted(map(tuple, decontaminate(docs, ev, n=13).collect()))
+    as_batch = sorted(
+        map(tuple, stream_decontaminate(docs, grams, n=13).collect())
+    )
+    assert as_batch == batch_ref
+
+    tmp = tempfile.mkdtemp(prefix="rf_sdecon_t_")
+    try:
+        stream_dir = os.path.join(tmp, "in")
+        os.makedirs(stream_dir)
+        for i, half in enumerate(
+            [docs.where(F.col("doc_id") <= 2), docs.where(F.col("doc_id") > 2)]
+        ):
+            part_dir = os.path.join(tmp, f"c{i}")
+            half.coalesce(1).write.parquet(part_dir)
+            part = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(part_dir, part),
+                os.path.join(stream_dir, f"{i:02d}.parquet"),
+            )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        q = (
+            stream_decontaminate(stream, grams, n=13)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(tmp, "out"))
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        streamed = sorted(
+            map(tuple, spark.read.parquet(os.path.join(tmp, "out")).collect())
+        )
+        assert streamed == batch_ref
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
