@@ -336,7 +336,7 @@ def salt_hot_tokens(
     ``hot_keys`` must be tiny (it broadcasts twice): the head of a Zipf
     vocabulary above any sane count threshold is at most a few thousand
     keys regardless of corpus size. AQE's runtime skew split covers the
-    same failure mode reactively (measured in BENCH.md §17); this is the
+    same failure mode reactively (measured in BENCH.md §18); this is the
     explicit plan-level fix for when the head is known.
     """
     hot = F.broadcast(hot_keys.select(*keys).withColumn("__hot", F.lit(True)))
@@ -477,7 +477,7 @@ def unigram_logprob(
     the join is build-side-small per key — AQE's skew split covers the
     stopword head reactively, or pass ``salt_hot=(n_salts, hot_min)``
     to split it explicitly via salt_hot_tokens, measured head-to-head
-    in BENCH.md §17), then one doc_id aggregate. The corpus text is
+    in BENCH.md §18), then one doc_id aggregate. The corpus text is
     scanned once; nothing ever sorts globally and the vocabulary — not
     the corpus — is the only broadcast-sized artifact if the optimizer
     picks a broadcast join instead."""

@@ -1084,7 +1084,7 @@ def test_excise_duplicate_spans_consistent_with_dup_fraction(spark):
 def test_salt_hot_tokens_result_identical(spark):
     """Explicit Zipf-head salting is a partitioning choice, not a
     semantic one: unigram/bigram_logprob with salt_hot must equal the
-    unsalted join row-for-row (the contract BENCH.md §17's skew
+    unsalted join row-for-row (the contract BENCH.md §18's skew
     measurement rests on)."""
     rows = [(i, "the of and the of and word" + str(i) + " tail") for i in range(60)]
     rows.append((100, None))
