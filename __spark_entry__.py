@@ -1541,6 +1541,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["excise_dup_spans"] = excise_dup_spans
 
+    def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gopher-style hard quality gates (Rae et al. 2021 A1.1):
+        word-count / mean-word-length / symbol-ratio / alpha-word /
+        stopword rules as booleans + a composite keep flag. Thresholds
+        chosen so each data-dependent rule splits the corpus."""
+        from rapidfuzz_spark.textops import quality
+
+        return quality.gopher_rules(
+            _docs(spark, sf_dir),
+            min_words=30,
+            min_mean_word_len=4.0,
+            min_stopwords=1,
+        )
+
+    q["gopher_rules"] = gopher_rules
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1549,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
+        "gopher_rules",
         "decon_report", "excise_dup_spans", "pack_docs_bpe_real",
         "training_export_multi", "stream_decontam",
         # round 4
@@ -3769,4 +3786,40 @@ GROUP BY p.id_1, p.id_2"""
     # map-side streaming decontamination is batch-split invariant by
     # construction: cumulative output == the batch operator == its oracle
     o["stream_decontam"] = o["decontaminate_eval"]
+    o["gopher_rules"] = r"""
+      WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS words,
+               len(regexp_extract_all(text, '#|\.\.\.|…')) AS n_sym
+        FROM documents),
+      f AS (
+        SELECT doc_id, len(words) AS n_words,
+               round(coalesce(
+                 list_sum(list_transform(words, x -> len(x)))::DOUBLE
+                   / nullif(len(words), 0), 0.0), 6) AS mwl,
+               round(coalesce(n_sym::DOUBLE / nullif(len(words), 0),
+                              0.0), 6) AS sym_r,
+               round(coalesce(
+                 len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                   ::DOUBLE / nullif(len(words), 0), 0.0), 6) AS aw_f,
+               len(list_intersect(list_distinct(words),
+                   ['the','be','to','of','and','that','have','with']))
+                 AS n_stop
+        FROM w),
+      g AS (
+        SELECT *,
+               (n_words >= 30 AND n_words <= 100000) AS p_words,
+               (mwl >= 4.0 AND mwl <= 10.0) AS p_wl,
+               (sym_r <= 0.1) AS p_sym,
+               (aw_f >= 0.8) AS p_alpha,
+               (n_stop >= 1) AS p_stop
+        FROM f)
+      SELECT doc_id, n_words, mwl AS mean_word_len, sym_r AS symbol_ratio,
+             aw_f AS alpha_word_frac, n_stop AS n_stopwords,
+             p_words AS pass_words, p_wl AS pass_word_len,
+             p_sym AS pass_symbol, p_alpha AS pass_alpha,
+             p_stop AS pass_stop,
+             (p_words AND p_wl AND p_sym AND p_alpha AND p_stop) AS keep
+      FROM g"""
     return o

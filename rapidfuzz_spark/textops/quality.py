@@ -524,3 +524,99 @@ def unigram_logprob(
             "mean_logprob",
         )
     )
+
+
+# Gopher rule-filter stopword list (Rae et al. 2021, appendix A1.1): a doc
+# must contain at least `min_stopwords` DISTINCT words from this set.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+    stopwords: tuple[str, ...] = GOPHER_STOPWORDS,
+) -> DataFrame:
+    """Gopher-style document quality rule flags (Rae et al. 2021,
+    "Scaling Language Models", appendix A1.1) — the standard doc-level
+    rule filter a pre-training curation pass runs BEFORE any pairwise
+    work:
+
+    - ``pass_words``: word count in [min_words, max_words]
+    - ``pass_word_len``: mean word length in [min_mean_word_len,
+      max_mean_word_len]
+    - ``pass_symbol``: symbol-to-word ratio (``#`` / ``...`` / ``…``)
+      <= max_symbol_ratio
+    - ``pass_alpha``: fraction of words containing an alphabetic char
+      >= min_alpha_word_frac
+    - ``pass_stop``: >= min_stopwords DISTINCT stopwords present
+    - ``keep``: AND of all five
+
+    Complements quality_features (composite score) and
+    repetition_signals (within-doc repetition): these are the hard
+    boolean gates. Scale: a single narrow projection — zero shuffles,
+    zero joins, all higher-order array functions inside whole-stage
+    codegen; at 100 TB this is an embarrassingly parallel scan whose
+    cost is the parquet read itself. Ratios are rounded to 6 dp; the
+    rule compares use the ROUNDED values so any engine reproducing the
+    arithmetic reproduces the booleans bit-for-bit (no boundary jitter
+    from double noise).
+    """
+    t = F.col(text_col)
+    words = F.filter(
+        F.split(F.trim(F.lower(t)), r"\s+"), lambda x: x != F.lit("")
+    )
+    n_words = F.size(words)
+    nz = F.nullif(n_words, F.lit(0)).cast("double")
+    word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    mean_wl = F.round(
+        F.coalesce(word_chars.cast("double") / nz, F.lit(0.0)), 6
+    )
+    n_sym = F.regexp_count(t, F.lit(r"#|\.\.\.|…"))
+    sym_r = F.round(F.coalesce(n_sym.cast("double") / nz, F.lit(0.0)), 6)
+    n_alpha_w = F.size(
+        F.filter(words, lambda x: x.rlike("[a-z]"))
+    )
+    alpha_f = F.round(
+        F.coalesce(n_alpha_w.cast("double") / nz, F.lit(0.0)), 6
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in stopwords]),
+        )
+    )
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_r.alias("symbol_ratio"),
+        alpha_f.alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords"),
+    )
+    p_words = (F.col("n_words") >= min_words) & (
+        F.col("n_words") <= max_words
+    )
+    p_wl = (F.col("mean_word_len") >= min_mean_word_len) & (
+        F.col("mean_word_len") <= max_mean_word_len
+    )
+    p_sym = F.col("symbol_ratio") <= max_symbol_ratio
+    p_alpha = F.col("alpha_word_frac") >= min_alpha_word_frac
+    p_stop = F.col("n_stopwords") >= min_stopwords
+    return out.select(
+        "*",
+        p_words.alias("pass_words"),
+        p_wl.alias("pass_word_len"),
+        p_sym.alias("pass_symbol"),
+        p_alpha.alias("pass_alpha"),
+        p_stop.alias("pass_stop"),
+        (p_words & p_wl & p_sym & p_alpha & p_stop).alias("keep"),
+    )

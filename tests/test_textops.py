@@ -1099,3 +1099,44 @@ def test_salt_hot_tokens_result_identical(spark):
     x = sorted(map(tuple, quality.bigram_logprob(d).collect()))
     y = sorted(map(tuple, quality.bigram_logprob(d, salt_hot=(4, 50)).collect()))
     assert x == y
+
+
+def test_gopher_rules(spark):
+    docs = spark.createDataFrame(
+        [
+            # passes everything: 6 words >= min, mean wl in range, no
+            # symbols, all-alpha words, contains 'the' and 'of'
+            (1, "the cost of good coffee rises"),
+            # too few words + no stopwords
+            (2, "abc def"),
+            # symbol-heavy: 3 '...' over 4 words = 0.75 > 0.1
+            (3, "the end ... is ... near ..."),
+            # numeric words: alpha fraction 2/6 < 0.8
+            (4, "the 12 34 56 78 count"),
+            # empty text: every count 0, every rule fails
+            (5, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in quality.gopher_rules(
+            docs, min_words=4, min_stopwords=1
+        ).collect()
+    }
+    assert out[1].keep and all(
+        out[1][c]
+        for c in (
+            "pass_words", "pass_word_len", "pass_symbol",
+            "pass_alpha", "pass_stop",
+        )
+    )
+    assert out[1].n_words == 6 and out[1].n_stopwords == 2
+    assert not out[2].pass_words and not out[2].pass_stop
+    # 7 words ('...' tokens count as words), 3 symbol hits -> 3/7
+    assert out[3].symbol_ratio == pytest.approx(3 / 7, abs=1e-6)
+    assert not out[3].pass_symbol and out[3].pass_stop
+    assert out[4].alpha_word_frac == pytest.approx(2 / 6, abs=1e-6)
+    assert not out[4].pass_alpha
+    assert out[5].n_words == 0 and not out[5].keep
+    assert out[5].mean_word_len == 0.0 and out[5].symbol_ratio == 0.0
