@@ -1557,6 +1557,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["gopher_rules"] = gopher_rules
 
+    def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SimHash Hamming<=k near-duplicate pair join (Manku et al. 2007):
+        64-bit sketches, pigeonhole banding into k+1 = 4 bands (lossless
+        for the Hamming predicate), equi-join on (band, bits), map-side
+        Hamming verify. The oracle replays the sketch bit-for-bit and
+        verifies via the naive all-pairs definition."""
+        from rapidfuzz_spark.textops import dedup
+
+        return dedup.simhash_near_duplicates(
+            _docs(spark, sf_dir), bits=64, max_hamming=3
+        )
+
+    q["simhash_neardup"] = simhash_neardup
+
+    def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CCNet-style head/middle/tail perplexity partitioning (Wenzek
+        et al. 2020): corpus-unigram LM score per doc, equal-frequency
+        terciles via ONE distributed exact-percentile aggregate (no
+        global sort/ntile), map-side bucket assignment against the
+        broadcast 6dp-rounded cutpoints."""
+        from rapidfuzz_spark.textops import quality
+
+        return quality.perplexity_buckets(_docs(spark, sf_dir))
+
+    q["ccnet_buckets"] = ccnet_buckets
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1565,7 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
-        "gopher_rules",
+        "simhash_neardup", "ccnet_buckets", "gopher_rules",
         "decon_report", "excise_dup_spans", "pack_docs_bpe_real",
         "training_export_multi", "stream_decontam",
         # round 4
@@ -3822,4 +3848,65 @@ GROUP BY p.id_1, p.id_2"""
              p_stop AS pass_stop,
              (p_words AND p_wl AND p_sym AND p_alpha AND p_stop) AS keep
       FROM g"""
+    # independent replay: the naive all-pairs Hamming-threshold definition
+    # (the banded join is pigeonhole-equivalent to it — that equivalence is
+    # exactly what this oracle checks)
+    o["simhash_neardup"] = r"""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, tok FROM (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+          FROM documents)
+        WHERE len(tok) > 0
+      ),
+      votes AS (
+        SELECT doc_id, p.pos,
+               sum(CASE WHEN substr(concat(md5(tok), md5(concat('1:', tok))),
+                               p.pos, 1)
+                        IN ('8','9','a','b','c','d','e','f')
+                        THEN 1 ELSE -1 END) AS s
+        FROM toks, generate_series(1, 64) p(pos)
+        GROUP BY doc_id, p.pos
+      ),
+      sk AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY pos) AS h
+        FROM votes GROUP BY doc_id
+      ),
+      pairs AS (
+        SELECT a.doc_id AS id_1, b.doc_id AS id_2,
+               len(list_filter(range(1, 65),
+                               i -> substr(a.h, i, 1) <> substr(b.h, i, 1)))
+                 AS hamming
+        FROM sk a JOIN sk b ON a.doc_id < b.doc_id)
+      SELECT id_1, id_2, hamming FROM pairs WHERE hamming <= 3"""
+    o["ccnet_buckets"] = r"""
+      WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(trim(lower(text)),
+                                                     '\s+'),
+                                  x -> x <> '')) AS token
+        FROM documents),
+      vocab AS (SELECT token, count(*)::DOUBLE AS tf FROM toks GROUP BY token),
+      tot AS (SELECT sum(tf) AS n_total FROM vocab),
+      per AS (
+        SELECT t.doc_id, count(*) AS n_tokens,
+               round(avg(ln(v.tf / (SELECT n_total FROM tot))), 6)
+                 AS mean_logprob
+        FROM toks t JOIN vocab v USING (token) GROUP BY t.doc_id),
+      scored AS (
+        SELECT d.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+               p.mean_logprob
+        FROM documents d LEFT JOIN per p USING (doc_id)),
+      cuts AS (
+        SELECT list_transform(quantile_cont(mean_logprob, [1.0/3, 2.0/3]),
+                              c -> round(c, 6)) AS cs
+        FROM scored WHERE mean_logprob IS NOT NULL)
+      SELECT doc_id, n_tokens, mean_logprob,
+             CASE WHEN mean_logprob IS NULL THEN NULL
+                  ELSE ['tail','middle','head'][
+                    1 + len(list_filter((SELECT cs FROM cuts),
+                                        c -> mean_logprob > c))]
+             END AS bucket
+      FROM scored"""
     return o

@@ -234,6 +234,94 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     )
 
 
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 64,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """All document pairs whose ``bits``-bit SimHash sketches differ in at
+    most ``max_hamming`` bit positions — the classic Charikar/Manku-style
+    near-duplicate join (Manku, Jain & Sarma, WWW 2007): split each sketch
+    into ``max_hamming + 1`` bands; by pigeonhole, any pair within the
+    Hamming budget agrees EXACTLY on at least one band, so an equi-join on
+    (band_index, band_bits) finds every qualifying pair (no recall loss —
+    unlike MinHash LSH this banding is lossless for the Hamming predicate),
+    and a per-pair Hamming verify discards the false candidates. Output:
+    one row per unordered pair, ``(id_1, id_2, hamming)`` with
+    ``id_1 < id_2`` and ``hamming <= max_hamming``.
+
+    Plan shape at 100 TB: sketches come from :func:`simhash` (one token
+    explode + partial-agg); the candidate generation is ONE equi-join
+    keyed on (band, 16-bit substring) — docs never pair across band
+    buckets, so cost is sum over buckets of C(bucket, 2), not C(N, 2).
+    Degenerate corpora (boilerplate-dominated, tiny shared vocabularies)
+    produce hot band buckets exactly as hot blocking keys do in
+    pipeline/blocking.py; ``max_bucket`` applies the same census drop-cap
+    (buckets larger than the cap are dropped BEFORE the self-join, trading
+    recall for a hard bound on candidate volume — at the default None the
+    join is exact). The verify is a map-side zip over the two bitstrings
+    on the pair row (codegen, no UDF, no extra shuffle beyond the pair
+    dedup on (id_1, id_2))."""
+    n_bands = max_hamming + 1
+    # lazy lineage cut: both sides of the self-join read the SAME sketch
+    # materialization instead of re-running the token explode + 2 aggs
+    # twice (the training_export recompute lesson — training.py:970)
+    sk = simhash(docs, text_col=text_col, bits=bits).localCheckpoint(
+        eager=False
+    )
+    base, rem = divmod(bits, n_bands)
+    bands, start = [], 1
+    for i in range(n_bands):
+        ln = base + (1 if i < rem else 0)
+        bands.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.substring("simhash", start, ln).alias("key"),
+            )
+        )
+        start += ln
+    banded = sk.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*bands)).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    if max_bucket is not None:
+        census = banded.groupBy("band", "key").agg(
+            F.count("*").alias("__bucket_n")
+        )
+        banded = (
+            banded.join(census, ["band", "key"])
+            .where(F.col("__bucket_n") <= max_bucket)
+            .drop("__bucket_n")
+        )
+    left = banded.select(
+        "band", "key", F.col("doc_id").alias("id_1"), F.col("simhash").alias("h1")
+    )
+    right = banded.select(
+        "band", "key", F.col("doc_id").alias("id_2"), F.col("simhash").alias("h2")
+    )
+    cand = (
+        left.join(right, ["band", "key"])
+        .where(F.col("id_1") < F.col("id_2"))
+        .dropDuplicates(["id_1", "id_2"])
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("h1", ""), F.split("h2", ""), lambda a, b: a != b
+            ),
+            lambda x: x,
+        )
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_1", "id_2", "hamming")
+    )
+
+
 def ngram_jaccard(
     pairs: DataFrame, t1: str = "t1", t2: str = "t2", n: int = 3
 ) -> Column:

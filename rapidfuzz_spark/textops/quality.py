@@ -526,6 +526,70 @@ def unigram_logprob(
     )
 
 
+def perplexity_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    salt_hot: tuple[int, int] | None = None,
+) -> DataFrame:
+    """CCNet-style perplexity partitioning (Wenzek et al. 2020): score
+    every document with the corpus-unigram LM (:func:`unigram_logprob`,
+    the cheap perplexity proxy), then split the corpus into
+    ``len(labels)`` equal-frequency buckets by score — ``head`` = highest
+    mean log-probability (lowest perplexity, cleanest), ``tail`` = lowest.
+    Output: ``(doc_id, n_tokens, mean_logprob, bucket)``; token-less
+    documents have NULL score and NULL bucket (they carry no evidence —
+    route them to the Gopher gates, which fail them outright).
+
+    Scale shape — the part that matters at 100 TB: bucketing is NOT a
+    global sort or ntile (a global ORDER BY window collapses to one
+    partition). Cutpoints are ONE distributed exact-percentile aggregate
+    over the scores (partial-agg friendly), broadcast back as a 1-row
+    frame, and the bucket label is a map-side comparison against them.
+    Boundary determinism: scores are already rounded to 6 dp by
+    unigram_logprob; cutpoints are rounded to 6 dp BEFORE the compare,
+    and a score exactly equal to a cutpoint goes to the LOWER (worse)
+    bucket — both engines replay the same arithmetic bit-for-bit.
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share the
+    (n-1)*p linear-interpolation convention, verified by the driver
+    oracle. ``salt_hot`` forwards to unigram_logprob's Zipf-head
+    salting."""
+    n_buckets = len(labels)
+    # lazy lineage cut: the cutpoint aggregate AND the labeled output both
+    # consume the scored frame — without this the LM join lineage runs
+    # twice per action. The checkpoint is narrow (3 cols, one row per doc).
+    scored = unigram_logprob(
+        docs, text_col=text_col, salt_hot=salt_hot
+    ).localCheckpoint(eager=False)
+    ps = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.where(F.col("mean_logprob").isNotNull()).agg(
+        F.transform(
+            F.percentile("mean_logprob", ps), lambda c: F.round(c, 6)
+        ).alias("__cuts")
+    )
+    # ascending cutpoints; index = # cutpoints strictly below the score,
+    # so labels must be listed worst-first for element_at
+    asc_labels = F.array(*[F.lit(s) for s in reversed(labels)])
+    idx = F.aggregate(
+        F.col("__cuts"),
+        F.lit(0),
+        lambda acc, c: acc
+        + F.when(F.col("mean_logprob") > c, 1).otherwise(0),
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "mean_logprob",
+            F.when(
+                F.col("mean_logprob").isNotNull(),
+                F.element_at(asc_labels, idx + 1),
+            ).alias("bucket"),
+        )
+    )
+
+
 # Gopher rule-filter stopword list (Rae et al. 2021, appendix A1.1): a doc
 # must contain at least `min_stopwords` DISTINCT words from this set.
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

@@ -1140,3 +1140,81 @@ def test_gopher_rules(spark):
     assert not out[4].pass_alpha
     assert out[5].n_words == 0 and not out[5].keep
     assert out[5].mean_word_len == 0.0 and out[5].symbol_ratio == 0.0
+
+
+def test_simhash_near_duplicates_equals_naive(spark):
+    # 12 docs over a small shared vocab so sketches cluster: the banded
+    # join must reproduce the naive all-pairs Hamming threshold exactly
+    # (pigeonhole equivalence), including identical-doc hamming=0 pairs.
+    vocab = "alpha beta gamma delta epsilon zeta eta theta".split()
+    rows = [
+        (i, " ".join(vocab[j % len(vocab)] for j in range(i, i + 5)))
+        for i in range(10)
+    ] + [(10, rows_dup := " ".join(vocab[:5])), (11, rows_dup)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        map(
+            tuple,
+            dedup.simhash_near_duplicates(
+                d, bits=32, max_hamming=4
+            ).collect(),
+        )
+    )
+    sk = {r.doc_id: r.simhash for r in dedup.simhash(d, bits=32).collect()}
+    ids = sorted(sk)
+    naive = sorted(
+        (a, b, hd)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (hd := sum(x != y for x, y in zip(sk[a], sk[b]))) <= 4
+    )
+    assert got == naive and len(naive) > 0
+    assert (10, 11, 0) in got  # identical docs agree on every bit
+
+
+def test_simhash_near_duplicates_bucket_cap(spark):
+    # with max_bucket=1 every band bucket holding >1 doc is dropped, so
+    # no candidate can ever form -> empty output even for exact dups
+    d = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here")],
+        "doc_id long, text string",
+    )
+    assert (
+        dedup.simhash_near_duplicates(d, bits=32, max_hamming=2).count() == 1
+    )
+    assert (
+        dedup.simhash_near_duplicates(
+            d, bits=32, max_hamming=2, max_bucket=1
+        ).count()
+        == 0
+    )
+
+
+def test_perplexity_buckets(spark):
+    # 9 scoreable docs with strictly ordered mean logprobs: doc i repeats
+    # token t_i (tf controlled by an extra "filler" doc giving distinct
+    # frequencies), so terciles split 3/3/3 with head = most frequent
+    # tokens. Plus an empty doc -> NULL score, NULL bucket.
+    toks = [f"t{i}" for i in range(9)]
+    filler = " ".join(t for i, t in enumerate(toks) for _ in range(i + 1))
+    d = spark.createDataFrame(
+        [(i, toks[i]) for i in range(9)] + [(9, filler), (10, "  ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in quality.perplexity_buckets(d).collect()}
+    assert out[10].bucket is None and out[10].mean_logprob is None
+    # doc 9 (the filler) has a mid-range mixed score; the 9 single-token
+    # docs are ordered worst (t0, rarest) -> best (t8, most frequent)
+    singles = [out[i] for i in range(9)]
+    scores = [r.mean_logprob for r in singles]
+    assert scores == sorted(scores)
+    by_bucket = {}
+    for r in singles:
+        by_bucket.setdefault(r.bucket, []).append(r.doc_id)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert max(by_bucket["tail"]) < min(by_bucket["middle"]) < min(
+        by_bucket["head"]
+    )
+    # 10 scoreable docs -> equal-frequency within 1 across the terciles
+    sizes = sorted(len(v) for v in by_bucket.values())
+    assert sizes[-1] - sizes[0] <= 1 + 1  # filler doc may join any tercile
