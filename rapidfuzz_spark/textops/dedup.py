@@ -189,48 +189,59 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     One md5 supplies 32 nibbles; for bits > 32 the hash material is
     extended with independent blocks md5('<i>:' || token) — without this,
     positions 33+ would read substring('') and every doc's tail bits
-    would silently vote to constant 0."""
+    would silently vote to constant 0.
+
+    Plan shape: ZERO shuffles. The token set already sits on the row, so
+    the hash material is computed once per distinct token (an inner
+    ``transform``) and the ``bits`` majority votes fold over it with a
+    nested ``aggregate`` — the whole sketch is one map-side projection
+    inside whole-stage codegen. (The original formulation exploded
+    (doc, token, pos) — corpus_tokens x bits rows — through two hash
+    aggregates; at 10^12 docs that shuffle dwarfed the banded join this
+    sketch feeds. Same output bit-for-bit: the driver oracle
+    `simhash_sketch` and the banding equivalence tests pin it.)
+
+    Documents with no tokens are excluded, matching the exploded
+    formulation (they carry no vote evidence)."""
     n_blocks = (bits + 31) // 32
-    hexpr = "md5(tok)"
-    for i in range(1, n_blocks):
-        hexpr = f"concat({hexpr}, md5(concat('{i}:', tok)))"
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.lower(text_col), r"\s+"))
-        ).alias("tok"),
-    ).where(F.length("tok") > 0)
-    votes = (
-        toks.withColumn("pos", F.explode(F.sequence(F.lit(1), F.lit(bits))))
-        .select(
-            "doc_id",
-            "pos",
-            F.when(
-                F.expr(f"substring({hexpr}, pos, 1)").isin(*list("89abcdef")), 1
-            )
-            .otherwise(-1)
-            .alias("v"),
+
+    def hex_material(tok: Column) -> Column:
+        h = F.md5(tok)
+        for i in range(1, n_blocks):
+            h = F.concat(h, F.md5(F.concat(F.lit(f"{i}:"), tok)))
+        return h
+
+    toks = F.array_distinct(
+        F.filter(
+            F.split(F.lower(text_col), r"\s+"),
+            lambda x: F.length(x) > 0,
         )
-        .groupBy("doc_id", "pos")
-        .agg(F.sum("v").alias("s"))
     )
-    return votes.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            "pos",
-                            F.when(F.col("s") > 0, F.lit("1"))
-                            .otherwise(F.lit("0"))
-                            .alias("bit"),
-                        )
-                    )
-                ),
-                lambda x: x["bit"],
-            ),
-            "",
-        ).alias("simhash")
+    high = list("89abcdef")
+    sketch = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(bits)),
+            lambda pos: F.when(
+                F.aggregate(
+                    F.col("__hexes"),
+                    F.lit(0),
+                    lambda acc, h: acc
+                    + F.when(
+                        F.substring(h, pos, F.lit(1)).isin(*high), 1
+                    ).otherwise(-1),
+                )
+                > 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+        "",
+    )
+    return (
+        docs.select(
+            "doc_id", F.transform(toks, hex_material).alias("__hexes")
+        )
+        .where(F.size("__hexes") > 0)
+        .select("doc_id", sketch.alias("simhash"))
     )
 
 

@@ -385,3 +385,31 @@ def test_training_export_multi_rule_single_gram_pass(spark):
     # 2 resample consumers x (1 corpus posexplode + 1 eval explode)
     assert lp.count("Generate posexplode") <= 2
     assert lp.count("Generate explode") <= 2
+
+
+def test_simhash_sketch_map_only(spark):
+    """The SimHash sketch is a pure projection: the token set already
+    sits on the row, so the hash material + 64 majority votes fold
+    map-side with nested higher-order functions — ZERO exchanges. (The
+    exploded (doc, token, pos) formulation shuffled corpus_tokens x bits
+    rows through two hash aggregates; this test pins the shuffle-free
+    shape that replaced it.)"""
+    from rapidfuzz_spark.textops import dedup
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_str(dedup.simhash(d, bits=64), "simple")
+    assert "Exchange" not in p and "HashAggregate" not in p
+
+
+def test_simhash_neardup_single_banded_join(spark):
+    """The pair stage must be one equi-join on (band, key) — never a
+    cartesian/nested-loop — plus the pair dedup; with the map-only
+    sketch the whole operator carries at most two exchanges."""
+    from rapidfuzz_spark.textops import dedup
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = plan_str(
+        dedup.simhash_near_duplicates(d, bits=64, max_hamming=3), "simple"
+    )
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert p.count("Exchange") - p.count("BroadcastExchange") <= 2
