@@ -1583,6 +1583,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ccnet_buckets"] = ccnet_buckets
 
+    def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Lloyd-refined IVF cell assignment: 2 k-means rounds from the
+        deterministic hash-order seed — per-round one map-side argmax +
+        one dim+1-column hash aggregate shuffling n_cells rows; the
+        oracle replays both rounds as nested CTEs (rounded member sums
+        -> rounded means -> rounded-cosine argmax, ties to lowest
+        cell)."""
+        from rapidfuzz_spark.textops import ann
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return ann.kmeans_cells(emb, n_cells=8, iters=2)
+
+    q["kmeans_cells"] = kmeans_cells
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1591,7 +1605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
-        "simhash_neardup", "ccnet_buckets", "gopher_rules",
+        "kmeans_cells", "simhash_neardup", "ccnet_buckets", "gopher_rules",
         "decon_report", "excise_dup_spans", "pack_docs_bpe_real",
         "training_export_multi", "stream_decontam",
         # round 4
@@ -3909,4 +3923,57 @@ GROUP BY p.id_1, p.id_2"""
                                         c -> mean_logprob > c))]
              END AS bucket
       FROM scored"""
+
+    # full 2-round Lloyd replay, CTE chain generated per iteration:
+    # assignment (rounded-cosine argmax, ties to lowest cell) -> per-cell
+    # per-coordinate rounded sums -> rounded means -> coalesce empty
+    # cells back to the previous centroid. Mirrors refine_centroids'
+    # arithmetic exactly: round(sum,6) in the agg, round(s/n,6) for the
+    # mean, no normalization (cosine is scale-invariant).
+    def _lloyd_round(k: int, dim: int) -> str:
+        return f"""
+      a{k} AS (
+        SELECT vec_id, cell FROM (
+          SELECT e.vec_id, c.cell, row_number() OVER (
+              PARTITION BY e.vec_id
+              ORDER BY round(list_cosine_similarity(
+                         e.embedding::DOUBLE[], c.cv), 6) DESC,
+                       c.cell) AS rn
+          FROM embeddings e, c{k - 1} c WHERE e.embedding IS NOT NULL)
+        WHERE rn = 1),
+      s{k} AS (
+        SELECT a.cell, p.pos, round(sum(e.embedding[p.pos]), 6) AS s,
+               count(*) AS n
+        FROM a{k} a JOIN embeddings e USING (vec_id),
+             generate_series(1, {dim}) p(pos)
+        GROUP BY a.cell, p.pos),
+      m{k} AS (
+        SELECT cell, list(round(s / n, 6) ORDER BY pos) AS cv
+        FROM s{k} GROUP BY cell),
+      c{k} AS (
+        SELECT p.cell, coalesce(m.cv, p.cv) AS cv
+        FROM c{k - 1} p LEFT JOIN m{k} m USING (cell))"""
+
+    _KM_ITERS, _KM_CELLS, _KM_DIM = 2, 8, 64
+    o["kmeans_cells"] = (
+        f"""
+      WITH c0 AS (
+        SELECT cell, cv FROM (
+          SELECT embedding::DOUBLE[] AS cv,
+                 row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)
+                   - 1 AS cell
+          FROM embeddings WHERE embedding IS NOT NULL)
+        WHERE cell < {_KM_CELLS}),"""
+        + ",".join(
+            _lloyd_round(k, _KM_DIM) for k in range(1, _KM_ITERS + 1)
+        )
+        + f"""
+      SELECT vec_id, cell FROM (
+        SELECT e.vec_id, c.cell, row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY round(list_cosine_similarity(
+                       e.embedding::DOUBLE[], c.cv), 6) DESC,
+                     c.cell) AS rn
+        FROM embeddings e, c{_KM_ITERS} c) WHERE rn = 1"""
+    )
     return o

@@ -422,3 +422,95 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select("qid", "cid", "cos_sim", "rnk")
     )
+
+
+def refine_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    assign: str = "auto",
+) -> list:
+    """Lloyd-refined centroid matrix for the IVF index: start from the
+    deterministic hash-order seed (:func:`_ivf_centroids`) and run
+    ``iters`` k-means rounds — assign every vector to its best rounded
+    cosine centroid, recompute each centroid as the element-wise MEAN of
+    its members. No L2 normalization: cosine is scale-invariant, so the
+    plain mean assigns identically to the spherical-k-means normalized
+    mean while staying exactly replayable (a norm would add an
+    engine-order-dependent sum of squares).
+
+    Determinism / engine portability: per-coordinate member sums are
+    rounded to 6 dp IN the aggregation, the mean divides those rounded
+    sums by the member count, and the quotient re-rounds half-away-from-
+    zero to 6 dp (the same policy as Spark/DuckDB ``round``) — every
+    engine that replays this arithmetic reproduces the centroid doubles
+    bit-for-bit, and assignments compare 6 dp-rounded cosines with ties
+    to the lowest cell, as everywhere else in this module. Cells that
+    lose all members keep their previous centroid. NULL vectors take no
+    part in refinement (they carry no position).
+
+    Plan shape per iteration at 100 TB: one map-side assignment (the
+    centroid literal / Arrow matmul — zero shuffle), one hash aggregate
+    of dim+1 partial-agg-friendly columns shuffling ``n_cells`` rows,
+    and a model-sized driver collect (n_cells x dim doubles — the same
+    bounded-collect contract as the seed pick). Nothing corpus-sized
+    ever reaches the driver, and the corpus is scanned once per
+    iteration (the irreducible minimum for Lloyd)."""
+    import math
+
+    cents = _ivf_centroids(corpus, n_cells, id_col, emb_col)
+    if not cents:
+        return cents
+    dim = len(cents[0])
+
+    def half_up(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    vecs = corpus.select(F.col(emb_col).alias("e")).where(
+        F.col("e").isNotNull()
+    )
+    for _ in range(iters):
+        assigned = vecs.select(
+            "e", _assign_scores(F.col("e"), cents, assign).alias("scores")
+        ).withColumn("cell", F.expr(f"element_at({_RANKED_CELLS}, 1)"))
+        stats = assigned.groupBy("cell").agg(
+            F.count("*").alias("n"),
+            *[
+                F.round(F.sum(F.element_at("e", i + 1)), 6).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        new = {
+            r["cell"]: [half_up(r[f"s{i}"] / r["n"]) for i in range(dim)]
+            for r in stats.collect()
+            if r["n"]
+        }
+        cents = [new.get(c, cents[c]) for c in range(len(cents))]
+    return cents
+
+
+def kmeans_cells(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    assign: str = "auto",
+) -> DataFrame:
+    """(vec_id, cell): IVF cell assignment under Lloyd-refined centroids
+    (:func:`refine_centroids`) — same map-side argmax projection as
+    :func:`ivf_cells`, sharper cells. NULL vectors score 0.0 against
+    every centroid and land in cell 0 by the lowest-cell tie rule."""
+    cents = refine_centroids(
+        corpus, n_cells, iters, id_col, emb_col, assign
+    )
+    return (
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            _assign_scores(F.col(emb_col), cents, assign).alias("scores"),
+        )
+        .withColumn("cell", F.expr(f"element_at({_RANKED_CELLS}, 1)"))
+        .select("vec_id", "cell")
+    )

@@ -207,6 +207,54 @@ def test_ivf_pandas_null_embedding_scores_zero(spark):
         assert cells[2] == 0, assign
 
 
+def test_kmeans_iters0_is_seed_and_deterministic(vecs):
+    """refine_centroids(iters=0) is exactly the hash-order seed, so
+    kmeans_cells degenerates to ivf_cells; assignments are reproducible
+    under repartitioning (no RNG, no order dependence)."""
+    seed = ann._ivf_centroids(vecs, 4, "vec_id", "embedding")
+    assert ann.refine_centroids(vecs, n_cells=4, iters=0) == seed
+    got = {(r.vec_id, r.cell) for r in ann.kmeans_cells(vecs, n_cells=4, iters=2).collect()}
+    assert len(got) == 20  # every vector assigned exactly one cell
+    again = {
+        (r.vec_id, r.cell)
+        for r in ann.kmeans_cells(vecs.repartition(7), n_cells=4, iters=2).collect()
+    }
+    assert got == again
+
+
+def test_kmeans_separates_planted_clusters(spark):
+    """Two tight, well-separated clusters: after Lloyd refinement the two
+    cells are exactly the two clusters, and each refined centroid is the
+    6-dp rounded member mean."""
+    a = [[1.0, 0.0, 0.125], [0.9, 0.1, 0.125], [1.1, -0.1, 0.125]]
+    b = [[-0.5, 2.0, 0.25], [-0.4, 2.2, 0.25], [-0.6, 1.8, 0.25]]
+    rows = [(i, v) for i, v in enumerate(a + b)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cells = {r.vec_id: r.cell for r in ann.kmeans_cells(emb, n_cells=2, iters=3).collect()}
+    assert len({cells[0], cells[1], cells[2]}) == 1
+    assert len({cells[3], cells[4], cells[5]}) == 1
+    assert cells[0] != cells[3]
+    cents = ann.refine_centroids(emb, n_cells=2, iters=3)
+    by_cell = {cells[0]: a, cells[3]: b}
+    for c, members in by_cell.items():
+        want = [round(sum(col) / len(col), 6) for col in zip(*members)]
+        assert cents[c] == pytest.approx(want, abs=1e-9)
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    """All vectors identical: both seed centroids coincide, every vector
+    ties to cell 0, and the memberless cell 1 must carry its previous
+    centroid forward instead of degenerating (no NaN / shrinkage)."""
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(4)] + [(9, None)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = ann.refine_centroids(emb, n_cells=2, iters=2)
+    assert cents == [[1.0, 2.0], [1.0, 2.0]]
+    cells = {r.vec_id: r.cell for r in ann.kmeans_cells(emb, n_cells=2, iters=2).collect()}
+    assert set(cells.values()) == {0}  # ties -> lowest cell; NULL -> cell 0
+
+
 def test_language_id_shapes(spark):
     docs = spark.createDataFrame(
         [(i, "abc def ghi " * 5, "en") if i % 2 else (i, "xyz uvw rst " * 5, "fr")
