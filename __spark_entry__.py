@@ -1597,6 +1597,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kmeans_cells"] = kmeans_cells
 
+    def fs_em_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Fellegi-Sunter probabilistic linkage (Splink-style): gamma
+        comparison vectors on within-nation customer pairs (JW name
+        levels, exact segment, banded balance), 3 EM rounds on the
+        18-row pattern census (driver-side, 6-dp engine-replayable
+        arithmetic), posterior attached as a codegen CASE-product. The
+        oracle replays the ENTIRE fit — census, every E/M step, the
+        final posterior — as generated SQL CTEs."""
+        from rapidfuzz_spark.pipeline import problink
+
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+        )
+        a, b = c.alias("a"), c.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        ).select(
+            F.col("a.c_custkey").alias("id_1"),
+            F.col("b.c_custkey").alias("id_2"),
+            problink.similarity_level(
+                RF.jaro_winkler_similarity(
+                    F.col("a.c_name"), F.col("b.c_name")
+                ),
+                0.97,
+                0.95,
+            ).alias("g_name"),
+            problink.exact_level(
+                F.col("a.c_mktsegment"), F.col("b.c_mktsegment")
+            ).alias("g_seg"),
+            problink.numeric_band_level(
+                F.col("a.c_acctbal"), F.col("b.c_acctbal"), 100.0, 1000.0
+            ).alias("g_bal"),
+        )
+        return problink.fs_em_linkage(
+            pairs, ["g_name", "g_seg", "g_bal"], [3, 2, 3], iters=3
+        )
+
+    q["fs_em_linkage"] = fs_em_linkage
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1605,7 +1646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
-        "kmeans_cells", "simhash_neardup", "ccnet_buckets", "gopher_rules",
+        "fs_em_linkage", "kmeans_cells", "simhash_neardup",
+        "ccnet_buckets", "gopher_rules",
         "decon_report", "excise_dup_spans", "pack_docs_bpe_real",
         "training_export_multi", "stream_decontam",
         # round 4
@@ -3975,5 +4017,98 @@ GROUP BY p.id_1, p.id_2"""
                        e.embedding::DOUBLE[], c.cv), 6) DESC,
                      c.cell) AS rn
         FROM embeddings e, c{_KM_ITERS} c) WHERE rn = 1"""
+    )
+
+    # Fellegi-Sunter EM replay: the whole fit — gamma census, every
+    # E-step (per-pattern responsibility) and M-step (6dp-rounded
+    # weighted counts -> clamped probability quotients), the final
+    # posterior projection — as generated CTEs mirroring
+    # pipeline/problink.em_fit's arithmetic: IEEE-exact * and / between
+    # 6dp half-away-from-zero roundings, left-assoc products, clamp to
+    # [1e-6, 0.999999] AFTER rounding, params always DOUBLE.
+    _FS_FIELDS = [("g_name", 3), ("g_seg", 2), ("g_bal", 3)]
+    _FS_ITERS = 3
+    _FS_INIT = {
+        3: ((0.05, 0.15, 0.8), (0.7, 0.25, 0.05)),
+        2: ((0.1, 0.9), (0.9, 0.1)),
+    }
+
+    def _fs_case(tab: str, f: int, g: str, n: int) -> str:
+        whens = " ".join(f"WHEN {L} THEN p.{tab}_{f}_{L}" for L in range(n))
+        return f"(CASE {g} {whens} END)"
+
+    def _fs_post(src: str) -> str:
+        km = " * ".join(
+            _fs_case("m", f, g, n) for f, (g, n) in enumerate(_FS_FIELDS)
+        )
+        ku = " * ".join(
+            _fs_case("u", f, g, n) for f, (g, n) in enumerate(_FS_FIELDS)
+        )
+        return (
+            f"round(p.lam * ({km}) / "
+            f"(p.lam * ({km}) + (1::DOUBLE - p.lam) * ({ku})), 6)"
+        )
+
+    def _fs_clamp(x: str) -> str:
+        return f"least(greatest({x}, 0.000001::DOUBLE), 0.999999::DOUBLE)"
+
+    def _fs_iter(k: int) -> str:
+        gcols = ", ".join(g for g, _ in _FS_FIELDS)
+        params = [
+            f"{_fs_clamp(f'round(round(sum(t), 6) / (SELECT N FROM tot), 6)')}"
+            " AS lam"
+        ]
+        for tab, tcol in (("m", "t"), ("u", "tu")):
+            den = f"round(sum({tcol}), 6)"
+            for f, (g, n) in enumerate(_FS_FIELDS):
+                for L in range(n):
+                    num = (
+                        f"round(coalesce(sum({tcol}) "
+                        f"FILTER (WHERE {g} = {L}), 0), 6)"
+                    )
+                    params.append(
+                        _fs_clamp(f"round({num} / {den}, 6)")
+                        + f" AS {tab}_{f}_{L}"
+                    )
+        return f"""
+      w{k} AS (
+        SELECT {gcols}, n, {_fs_post('pc')} AS w
+        FROM pc, p{k - 1} p),
+      t{k} AS (
+        SELECT *, round(w * n, 6) AS t,
+               round((1::DOUBLE - w) * n, 6) AS tu FROM w{k}),
+      p{k} AS (
+        SELECT {', '.join(params)} FROM t{k})"""
+
+    _fs_p0 = ["0.05::DOUBLE AS lam"]
+    for tab, which in (("m", 0), ("u", 1)):
+        for f, (g, n) in enumerate(_FS_FIELDS):
+            for L, v in enumerate(_FS_INIT[n][which]):
+                _fs_p0.append(f"{v!r}::DOUBLE AS {tab}_{f}_{L}")
+
+    o["fs_em_linkage"] = (
+        f"""
+      WITH pairs AS (
+        SELECT a.c_custkey AS id_1, b.c_custkey AS id_2,
+               CASE WHEN round(jaro_winkler_similarity(a.c_name, b.c_name), 6)
+                         >= 0.97 THEN 2
+                    WHEN round(jaro_winkler_similarity(a.c_name, b.c_name), 6)
+                         >= 0.95 THEN 1 ELSE 0 END AS g_name,
+               CASE WHEN a.c_mktsegment = b.c_mktsegment
+                    THEN 1 ELSE 0 END AS g_seg,
+               CASE WHEN abs(a.c_acctbal - b.c_acctbal) <= 100.0 THEN 2
+                    WHEN abs(a.c_acctbal - b.c_acctbal) <= 1000.0 THEN 1
+                    ELSE 0 END AS g_bal
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey),
+      pc AS (SELECT g_name, g_seg, g_bal, count(*)::DOUBLE AS n
+             FROM pairs GROUP BY 1, 2, 3),
+      tot AS (SELECT sum(n) AS N FROM pc),
+      p0 AS (SELECT {', '.join(_fs_p0)}),"""
+        + ",".join(_fs_iter(k) for k in range(1, _FS_ITERS + 1))
+        + f"""
+      SELECT id_1, id_2, g_name, g_seg, g_bal,
+             {_fs_post('pairs')} AS posterior
+      FROM pairs, p{_FS_ITERS} p"""
     )
     return o
