@@ -1638,6 +1638,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["fs_em_linkage"] = fs_em_linkage
 
+    def meta_block_wep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Meta-blocking with CBS weights + Weighted Edge Pruning
+        (Papadakis et al. TKDE 2014): candidate-pair weight = number of
+        shared token blocks, prune below the global mean weight. The
+        weight aggregation is the SAME shuffle the plain pipeline pays
+        for pair dedup, so the pruning signal is free; the mean is one
+        exact sum/count division (bit-reproducible boundary)."""
+        from rapidfuzz_spark.pipeline import blocking
+
+        d = _docs(spark, sf_dir)
+        keys = d.select(
+            F.explode(F.array_distinct(F.split("text", " "))).alias(
+                "block_key"
+            ),
+            "doc_id",
+        ).where(F.length("block_key") >= 2)
+        return blocking.meta_block_wep(keys)
+
+    q["meta_block_wep"] = meta_block_wep
+
+    def bcubed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """B-cubed extrinsic cluster evaluation (Bagga & Baldwin 1998)
+        of the JW>=0.85 connected-components clustering against the
+        corpus `source` partition: per-doc precision/recall collapsed
+        to (pred, truth)-cell aggregates, integer-micro accumulation so
+        the doc means are bit-reproducible. The oracle replays the
+        closure (recursive CTE) and the whole cell arithmetic."""
+        from rapidfuzz_spark.pipeline import cluster, metrics
+
+        p = _pairs(spark, sf_dir)
+        edges = p.select(
+            F.col("id_1").alias("doc_id_1"),
+            F.col("id_2").alias("doc_id_2"),
+            F.round(RF.jaro_winkler_similarity("t1", "t2"), 6).alias("jw"),
+        ).where(F.col("jw") >= 0.85)
+        comps = cluster.connected_components(edges)
+        d = _docs(spark, sf_dir)
+        assign = (
+            d.join(comps, "doc_id", "left")
+            .select(
+                F.coalesce("entity_id", "doc_id").alias("pred"),
+                F.col("source").alias("truth"),
+            )
+        )
+        return metrics.bcubed(assign)
+
+    q["bcubed_eval"] = bcubed_eval
+
+    def golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-entity golden record over the JW>=0.85 clustering:
+        representative member = longest text (ties to min doc_id),
+        surviving lang/source = per-cluster mode (ties to min value) —
+        all windowless aggregate survivorship. The oracle replays
+        closure + survivorship rules in SQL."""
+        from rapidfuzz_spark.pipeline import cluster
+
+        p = _pairs(spark, sf_dir)
+        edges = p.select(
+            F.col("id_1").alias("doc_id_1"),
+            F.col("id_2").alias("doc_id_2"),
+            F.round(RF.jaro_winkler_similarity("t1", "t2"), 6).alias("jw"),
+        ).where(F.col("jw") >= 0.85)
+        comps = cluster.connected_components(edges)
+        d = _docs(spark, sf_dir)
+        assigned = d.join(comps, "doc_id", "left").withColumn(
+            "entity_id", F.coalesce("entity_id", "doc_id")
+        )
+        return cluster.golden_records(
+            assigned, fields=["lang", "source"], rep_len_col="text"
+        )
+
+    q["golden_records"] = golden_records
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1646,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
+        "meta_block_wep", "bcubed_eval", "golden_records",
         "fs_em_linkage", "kmeans_cells", "simhash_neardup",
         "ccnet_buckets", "gopher_rules",
         "decon_report", "excise_dup_spans", "pack_docs_bpe_real",
@@ -4110,5 +4184,111 @@ GROUP BY p.id_1, p.id_2"""
       SELECT id_1, id_2, g_name, g_seg, g_bal,
              {_fs_post('pairs')} AS posterior
       FROM pairs, p{_FS_ITERS} p"""
+    )
+    # meta-blocking: CBS edge weights from the token blocking graph,
+    # WEP keep-flag against the exact sum/count mean (one double
+    # division of exact integers — bit-reproducible across engines)
+    o["meta_block_wep"] = """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+      ),
+      e AS (
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+               count(*) AS cbs
+        FROM toks a JOIN toks b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+        WHERE len(a.tok) >= 2
+        GROUP BY 1, 2
+      ),
+      w AS (SELECT sum(cbs) / count(*) AS w_bar FROM e)
+      SELECT doc_id_1, doc_id_2, cbs, cbs >= w_bar AS kept
+      FROM e, w"""
+    # shared JW>=0.85 closure (identical to er_cluster_cc's oracle) for
+    # the two cluster-consuming operators below
+    _closure = f"""
+      WITH RECURSIVE e AS (
+        SELECT id_1 AS a, id_2 AS b FROM (
+          SELECT id_1, id_2, round(jaro_winkler_similarity(t1, t2), 6) AS jw
+          FROM ({_PAIRS_SQL}))
+        WHERE jw >= 0.85
+      ),
+      sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      reach(a, b) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+      ),
+      ent AS (SELECT a AS doc_id, min(b) AS entity_id FROM reach GROUP BY a)"""
+    # B-cubed replay: per-doc precision/recall collapsed to
+    # (pred, truth)-cell sums with integer-micro accumulation — the
+    # exact arithmetic metrics.bcubed performs (one rounded division
+    # per cell, exact BIGINT sums, one final division + 6-dp round)
+    o["bcubed_eval"] = (
+        _closure
+        + """,
+      asg AS (
+        SELECT ent.entity_id AS pred, d.source AS truth
+        FROM documents d JOIN ent USING (doc_id)
+      ),
+      cells AS (SELECT pred, truth, count(*) AS n_pt FROM asg GROUP BY 1, 2),
+      np AS (SELECT pred, count(*) AS n_p FROM asg GROUP BY 1),
+      nt AS (SELECT truth, count(*) AS n_t FROM asg GROUP BY 1),
+      c AS (
+        SELECT n_pt,
+               n_pt * CAST(round(1000000.0 * n_pt / n_p) AS BIGINT) AS p_micro,
+               n_pt * CAST(round(1000000.0 * n_pt / n_t) AS BIGINT) AS r_micro
+        FROM cells JOIN np USING (pred) JOIN nt USING (truth)
+      ),
+      s AS (SELECT sum(n_pt) AS n, sum(p_micro) AS p_sum,
+                   sum(r_micro) AS r_sum FROM c),
+      v AS (SELECT round(p_sum / (n * 1000000.0), 6) AS p,
+                   round(r_sum / (n * 1000000.0), 6) AS r FROM s)
+      SELECT 'bcubed_f1' AS stat,
+             CASE WHEN p + r = 0 THEN 0.0
+                  ELSE round(2 * p * r / (p + r), 6) END AS value FROM v
+      UNION ALL SELECT 'bcubed_precision', p FROM v
+      UNION ALL SELECT 'bcubed_recall', r FROM v"""
+    )
+    # golden-record replay: longest-text representative (ties min
+    # doc_id) + per-field mode survivorship (ties min value), all as
+    # max-then-filter aggregates — the same windowless shape as the
+    # Spark plan
+    o["golden_records"] = (
+        _closure
+        + """,
+      asg AS (
+        SELECT d.doc_id, ent.entity_id, d.text, d.lang, d.source
+        FROM documents d JOIN ent USING (doc_id)
+      ),
+      bl AS (SELECT entity_id, max(len(text)) AS best_len,
+                    count(*) AS n_members
+             FROM asg GROUP BY 1),
+      rep AS (
+        SELECT a.entity_id, min(a.doc_id) AS rep_doc_id,
+               min(bl.n_members) AS n_members
+        FROM asg a JOIN bl ON a.entity_id = bl.entity_id
+                          AND len(a.text) = bl.best_len
+        GROUP BY a.entity_id
+      ),
+      lc AS (SELECT entity_id, lang, count(*) AS cnt FROM asg
+             WHERE lang IS NOT NULL GROUP BY 1, 2),
+      lt AS (SELECT entity_id, max(cnt) AS best FROM lc GROUP BY 1),
+      lv AS (SELECT lc.entity_id, min(lang) AS lang
+             FROM lc JOIN lt ON lc.entity_id = lt.entity_id
+                            AND lc.cnt = lt.best
+             GROUP BY lc.entity_id),
+      sc AS (SELECT entity_id, source, count(*) AS cnt FROM asg
+             WHERE source IS NOT NULL GROUP BY 1, 2),
+      st AS (SELECT entity_id, max(cnt) AS best FROM sc GROUP BY 1),
+      sv AS (SELECT sc.entity_id, min(source) AS source
+             FROM sc JOIN st ON sc.entity_id = st.entity_id
+                            AND sc.cnt = st.best
+             GROUP BY sc.entity_id)
+      SELECT rep.entity_id, rep.rep_doc_id, rep.n_members,
+             lv.lang, sv.source
+      FROM rep
+      LEFT JOIN lv USING (entity_id)
+      LEFT JOIN sv USING (entity_id)"""
     )
     return o

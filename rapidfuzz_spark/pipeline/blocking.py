@@ -548,3 +548,68 @@ def candidate_pairs(
         # duplicates still collapse exactly once
         out = out.unionByName(extra_pairs.select("doc_id_1", "doc_id_2"))
     return out.dropDuplicates(["doc_id_1", "doc_id_2"])
+
+
+def meta_block_wep(keys: DataFrame, drop_cap: int | None = None) -> DataFrame:
+    """Meta-blocking with CBS edge weights and Weighted Edge Pruning
+    (Papadakis et al., "Meta-Blocking: Taking Entity Resolution to the
+    Next Level", TKDE 2014).
+
+    The blocking graph's edges are the candidate pairs; each edge's
+    weight is the Common Blocks Scheme count (number of blocking keys
+    the two docs share). WEP keeps edges whose weight is >= the global
+    mean edge weight — redundancy-positive blocking (token keys emit
+    the same pair from every shared token) makes the shared-key count a
+    cheap similarity proxy, so pruning below the mean discards the
+    pairs least likely to survive scoring BEFORE any string kernel runs.
+
+    Scale shape: the CBS aggregation is the SAME exchange the plain
+    pipeline already pays for pair dedup — ``candidate_pairs`` ends in
+    dropDuplicates(doc_id_1, doc_id_2), and groupBy(same keys).count()
+    is the identical hash-partition shuffle with a count attached, so
+    the weights are free. Partial aggregation halves the shuffled rows
+    map-side wherever a pair repeats within a partition. The mean is a
+    single scalar aggregate broadcast back (one tiny exchange), and the
+    keep flag is evaluated map-side. At 10^12 docs WEP typically cuts
+    the scored-pair volume by an order of magnitude at negligible
+    recall loss (the redundant pairs it keeps are exactly the ones with
+    corroborating evidence) — it is the standard pair-pruning lever for
+    dirty ER at web scale.
+
+    Engine-replayable boundary: w_bar = sum(cbs)/count(*) — the sum is
+    an exact BIGINT in both Spark and DuckDB, the single double
+    division is IEEE-exact, so ``cbs >= w_bar`` is bit-reproducible
+    (no floating accumulation order anywhere).
+
+    ``drop_cap``: oversized blocks (stopword keys) are removed BEFORE
+    pair generation, mirroring ``candidate_pairs``'s census drop-cap —
+    block filtering in the meta-blocking literature.
+
+    Input: (block_key, doc_id) rows. Output: one row per candidate
+    pair — (doc_id_1, doc_id_2, cbs, kept).
+    """
+    k = keys.select("block_key", "doc_id")
+    if drop_cap is not None:
+        sizes = k.groupBy("block_key").agg(F.count("*").alias("bn"))
+        k = k.join(
+            F.broadcast(sizes.where(F.col("bn") > drop_cap)),
+            "block_key",
+            "left_anti",
+        )
+    left = k.select("block_key", F.col("doc_id").alias("doc_id_1"))
+    right = k.select("block_key", F.col("doc_id").alias("doc_id_2"))
+    edges = (
+        left.join(right, "block_key")
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        .groupBy("doc_id_1", "doc_id_2")
+        .agg(F.count("*").alias("cbs"))
+    )
+    w_bar = edges.agg(
+        (F.sum("cbs") / F.count("*")).alias("w_bar")
+    )
+    return edges.crossJoin(F.broadcast(w_bar)).select(
+        "doc_id_1",
+        "doc_id_2",
+        "cbs",
+        (F.col("cbs") >= F.col("w_bar")).alias("kept"),
+    )

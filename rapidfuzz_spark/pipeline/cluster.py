@@ -102,3 +102,79 @@ def assign_entities(docs: DataFrame, components: DataFrame) -> DataFrame:
     return docs.join(components, "doc_id", "left").withColumn(
         "entity_id", F.coalesce("entity_id", "doc_id")
     )
+
+
+def golden_records(
+    assigned: DataFrame,
+    fields: list[str],
+    rep_len_col: str = "text",
+) -> DataFrame:
+    """Per-entity golden record: deterministic survivorship over a
+    clustered corpus (the canonicalization step every production MDM /
+    record-linkage pipeline runs after clustering — pick one surviving
+    value per attribute and a representative source row per entity).
+
+    ``assigned``: (doc_id, entity_id, <fields...>, rep_len_col) — e.g.
+    ``assign_entities`` output joined back to the source attributes.
+
+    Rules (all deterministic, total orders — resume-safe and
+    engine-replayable):
+    - representative row: the member with the LONGEST ``rep_len_col``
+      (most-complete-record heuristic), ties to the smallest doc_id;
+    - per-field survivor: the most frequent non-NULL value in the
+      cluster (mode), ties to the lexicographically smallest value;
+      all-NULL fields survive as NULL.
+
+    Scale shape: the representative is ONE max_by aggregate over a
+    (length, doc_id) struct — partial-agg map-side, no window, no sort
+    (a row_number window would shuffle doc-level rows into per-entity
+    sorted groups; max_by ships one struct per entity per map task).
+    Each field's mode is a groupBy(entity, value) count (cells, not
+    docs) followed by the same max_by on (count, reversed-value) — so
+    doc-level rows cross the wire once per field at cell granularity.
+    All aggregates hash-partition on entity_id; with bounded cluster
+    sizes nothing here skews.
+    """
+    # max_by over a struct orders lexicographically: (len DESC, doc_id
+    # ASC) becomes max of (len, -doc_id)... doc_id may be a string, so
+    # instead: max of (len, MAX) then min doc_id among members at that
+    # len — two aggregates, still no window.
+    base = assigned.select(
+        "entity_id",
+        F.col("doc_id"),
+        F.length(F.col(rep_len_col)).alias("_rep_len"),
+        *fields,
+    )
+    best_len = base.groupBy("entity_id").agg(
+        F.max("_rep_len").alias("_best_len"),
+        F.count("*").alias("n_members"),
+    )
+    rep = (
+        base.join(best_len, "entity_id")
+        .where(F.col("_rep_len") == F.col("_best_len"))
+        .groupBy("entity_id")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            # constant within the entity after the join; min (not first)
+            # keeps the aggregate formally deterministic
+            F.min("n_members").alias("n_members"),
+        )
+    )
+    out = rep
+    for f in fields:
+        cells = (
+            base.where(F.col(f).isNotNull())
+            .groupBy("entity_id", f)
+            .agg(F.count("*").alias("_cnt"))
+        )
+        # mode with min-value tie-break, windowless: keep cells at the
+        # per-entity max count, then take the min value among them
+        top = cells.groupBy("entity_id").agg(F.max("_cnt").alias("_best"))
+        survivor = (
+            cells.join(top, "entity_id")
+            .where(F.col("_cnt") == F.col("_best"))
+            .groupBy("entity_id")
+            .agg(F.min(f).alias(f))
+        )
+        out = out.join(survivor, "entity_id", "left")
+    return out.select("entity_id", "rep_doc_id", "n_members", *fields)

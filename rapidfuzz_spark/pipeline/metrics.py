@@ -95,3 +95,82 @@ def write_run_metrics(
         "run_id string, metric string, value double",
     )
     df.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+
+def bcubed(assign: DataFrame) -> DataFrame:
+    """B-cubed extrinsic clustering evaluation (Bagga & Baldwin 1998;
+    the ER-standard alternative to pairwise F1 — it weights every DOC
+    equally instead of every PAIR, so one giant over-merged cluster
+    can't dominate the score the way it dominates pairwise counts).
+
+    ``assign``: one row per doc — (doc_id, pred, truth) cluster labels.
+
+    Per doc d: precision(d) = |C_pred(d) ∩ C_truth(d)| / |C_pred(d)|
+    and recall(d) symmetrically; B³P / B³R are the doc means, F their
+    harmonic mean. Every doc of the intersection cell (p, t) has the
+    SAME per-doc scores, so the doc sum collapses to a sum over cells:
+    Σ_d prec(d) = Σ_{(p,t)} n_pt · n_pt / n_p. The plan therefore never
+    touches doc-level rows after the first aggregation — one
+    groupBy(pred, truth) (partial-agg map-side), then a join of the
+    cell table against the two cluster-size tables on their own keys,
+    then one scalar aggregate. At 10^12 docs the shuffled volume is
+    one row per (pred, truth) cell, not per doc.
+
+    Engine-replayable arithmetic: the per-doc ratio n_pt/n_p is one
+    IEEE-exact division of exact BIGINTs; it is scaled to integer
+    micros (round half-up, matching DuckDB's half-away-from-zero on
+    the positive domain) BEFORE the sum, so the accumulation is exact
+    integer math with no float ordering; the final mean is a single
+    division rounded to 6 dp. F1 is computed from the two already-
+    rounded means, so all three stats are bit-reproducible.
+
+    Output: 3 rows — (stat ∈ {bcubed_precision, bcubed_recall,
+    bcubed_f1}, value).
+    """
+    cells = assign.groupBy("pred", "truth").agg(F.count("*").alias("n_pt"))
+    n_p = assign.groupBy("pred").agg(F.count("*").alias("n_p"))
+    n_t = assign.groupBy("truth").agg(F.count("*").alias("n_t"))
+    contrib = (
+        cells.join(n_p, "pred")
+        .join(n_t, "truth")
+        .select(
+            "n_pt",
+            (
+                F.col("n_pt")
+                * F.round(
+                    F.lit(1000000.0) * F.col("n_pt") / F.col("n_p")
+                ).cast("long")
+            ).alias("p_micro"),
+            (
+                F.col("n_pt")
+                * F.round(
+                    F.lit(1000000.0) * F.col("n_pt") / F.col("n_t")
+                ).cast("long")
+            ).alias("r_micro"),
+        )
+    )
+    row = contrib.agg(
+        F.sum("n_pt").alias("n"),
+        F.sum("p_micro").alias("p_sum"),
+        F.sum("r_micro").alias("r_sum"),
+    ).collect()[0]
+    from .problink import _r6
+
+    n = row.n or 0
+    if n == 0:
+        prec = rec = f1 = 0.0
+    else:
+        # one exact-integer / exact-integer double division each, then
+        # the 6-dp half-away round (problink._r6 — Python's banker's
+        # round would disagree with the engines on exact half-ties)
+        prec = _r6(row.p_sum / (n * 1000000.0))
+        rec = _r6(row.r_sum / (n * 1000000.0))
+        f1 = _r6(2 * prec * rec / (prec + rec)) if prec + rec else 0.0
+    spark = assign.sparkSession
+    return spark.createDataFrame(
+        [
+            ("bcubed_f1", float(f1)),
+            ("bcubed_precision", float(prec)),
+            ("bcubed_recall", float(rec)),
+        ],
+        "stat string, value double",
+    )

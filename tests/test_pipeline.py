@@ -626,3 +626,136 @@ def test_hybrid_soft_tfidf_jw_f1(spark, corpus, tmp_path):
         entities.select("doc_id", "entity_id"), truth
     )
     assert res["f1"] >= 0.99, res
+
+
+# ---------------------------------------------------------------- round 5b:
+# meta-blocking, B-cubed, golden records
+
+
+def test_meta_block_wep_cbs_counts_and_pruning(spark):
+    # docs 1,2 share two tokens; 1,3 and 2,3 share one each ->
+    # mean = (2+1+1)/3 = 4/3; only (1,2) survives WEP
+    keys = spark.createDataFrame(
+        [
+            ("alpha", 1), ("beta", 1),
+            ("alpha", 2), ("beta", 2),
+            ("alpha", 3),
+        ],
+        "block_key string, doc_id int",
+    )
+    rows = {
+        (r.doc_id_1, r.doc_id_2): (r.cbs, r.kept)
+        for r in blocking.meta_block_wep(keys).collect()
+    }
+    assert rows == {(1, 2): (2, True), (1, 3): (1, False), (2, 3): (1, False)}
+
+
+def test_meta_block_wep_drop_cap_removes_stopword_block(spark):
+    # 'the' hits every doc; with drop_cap=2 the 4-doc block vanishes and
+    # only the small block's pair remains
+    keys = spark.createDataFrame(
+        [("the", i) for i in range(1, 5)] + [("rare", 1), ("rare", 2)],
+        "block_key string, doc_id int",
+    )
+    out = blocking.meta_block_wep(keys, drop_cap=2).collect()
+    assert {(r.doc_id_1, r.doc_id_2, r.cbs) for r in out} == {(1, 2, 1)}
+    # without the cap the stopword block contributes all 6 pairs
+    assert blocking.meta_block_wep(keys).count() == 6
+
+
+def test_meta_block_wep_mean_boundary_is_inclusive(spark):
+    # two pairs with weights 1 and 1 -> mean exactly 1.0; both kept
+    keys = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("b", 4)],
+        "block_key string, doc_id int",
+    )
+    out = blocking.meta_block_wep(keys).collect()
+    assert all(r.kept for r in out) and len(out) == 2
+
+
+def test_bcubed_perfect_and_known_values(spark):
+    # identical partitions -> all three stats 1.0
+    perfect = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "b", "y")],
+        "doc_id int, pred string, truth string",
+    )
+    vals = {r.stat: r.value for r in metrics.bcubed(perfect).collect()}
+    assert vals == {
+        "bcubed_f1": 1.0,
+        "bcubed_precision": 1.0,
+        "bcubed_recall": 1.0,
+    }
+    # textbook example: pred merges truth clusters {1,2} and {3} into
+    # one; P = mean(2/3, 2/3, 1/3) = 5/9, R = 1.0
+    merged = spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", "x"), (3, "a", "y")],
+        "doc_id int, pred string, truth string",
+    )
+    vals = {r.stat: r.value for r in metrics.bcubed(merged).collect()}
+    assert vals["bcubed_recall"] == 1.0
+    assert abs(vals["bcubed_precision"] - 5 / 9) < 1e-6
+    p, r = vals["bcubed_precision"], vals["bcubed_recall"]
+    assert abs(vals["bcubed_f1"] - 2 * p * r / (p + r)) < 1e-6
+
+
+def test_bcubed_over_segmentation_hits_precision_not_recall_symmetry(spark):
+    # splitting one truth cluster into singletons: precision stays 1,
+    # recall drops — the mirror of the merge case above
+    split = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "x"), (3, "c", "x")],
+        "doc_id int, pred string, truth string",
+    )
+    vals = {r.stat: r.value for r in metrics.bcubed(split).collect()}
+    assert vals["bcubed_precision"] == 1.0
+    assert abs(vals["bcubed_recall"] - 1 / 3) < 1e-6
+
+
+def test_bcubed_repartition_invariant(spark):
+    import random
+
+    rnd = random.Random(9)
+    rows = [
+        (i, f"p{rnd.randrange(4)}", f"t{rnd.randrange(3)}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, pred string, truth string")
+    a = {r.stat: r.value for r in metrics.bcubed(df.repartition(1)).collect()}
+    b = {r.stat: r.value for r in metrics.bcubed(df.repartition(17)).collect()}
+    assert a == b  # exact equality — integer-micro accumulation
+
+
+def test_golden_records_survivorship_rules(spark):
+    assigned = spark.createDataFrame(
+        [
+            # entity 10: rep = doc 2 (longest text); lang mode 'en';
+            # source tie 'A'/'B' -> min 'A'
+            (1, 10, "short", "en", "A"),
+            (2, 10, "longest text", "en", "B"),
+            (3, 10, "mid txt", "de", None),
+            # entity 20: singleton, NULL lang survives as NULL
+            (7, 20, "solo", None, "C"),
+        ],
+        "doc_id int, entity_id int, text string, lang string, source string",
+    )
+    out = {
+        r.entity_id: r
+        for r in cluster.golden_records(
+            assigned, fields=["lang", "source"]
+        ).collect()
+    }
+    assert out[10].rep_doc_id == 2
+    assert out[10].n_members == 3
+    assert out[10].lang == "en"
+    assert out[10].source == "A"
+    assert out[20].rep_doc_id == 7
+    assert out[20].lang is None
+    assert out[20].source == "C"
+
+
+def test_golden_records_rep_tie_breaks_to_min_doc_id(spark):
+    assigned = spark.createDataFrame(
+        [(5, 1, "same", "en", "A"), (3, 1, "same", "en", "A")],
+        "doc_id int, entity_id int, text string, lang string, source string",
+    )
+    out = cluster.golden_records(assigned, fields=["lang", "source"]).collect()
+    assert len(out) == 1 and out[0].rep_doc_id == 3 and out[0].n_members == 2
