@@ -870,3 +870,138 @@ def incremental_band_pairs_maintained(
         base_f, new_f, bucket_cap=None, broadcast_increment=broadcast_increment
     )
     return pairs, updated
+
+
+def prefix_filter_jaccard_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """EXACT token-set Jaccard self-join via AllPairs/PPJoin prefix
+    filtering (Chaudhuri et al. ICDE 2006; Bayardo et al. WWW 2007;
+    Xiao et al. TODS 2011) — every pair with Jaccard >= t, NO false
+    negatives (unlike MinHash-LSH) and no quadratic all-pairs work.
+
+    Prefix-filter principle: order each doc's distinct tokens by
+    ascending global document frequency (rarest first, ties by token —
+    a deterministic total order shared by every doc). If two sets have
+    Jaccard >= t, each must match the other outside its first
+    ``L = n - ceil(t*n) + 1`` tokens' complement — i.e. the two PREFIXES
+    must share at least one token. So only prefix tokens are indexed,
+    and the candidate join key is the RAREST part of the vocabulary:
+    the operator is anti-skew by construction (the stopword head that
+    wrecks plain token blocking is exactly what the prefix excludes
+    for any doc with enough rarer tokens).
+
+    The threshold is a RATIONAL num/den: prefix length uses exact
+    integer ceil (no float boundary), the length filter den*|y| >=
+    num*|x| and the final verification den*inter >= num*union are
+    exact integer cross-multiplications — bit-identical in any engine,
+    which is what lets the oracle be the naive all-pairs definition
+    (the gate then checks the filter's losslessness itself).
+
+    Scale shape: one token-keyed shuffle for the df census + ordering
+    join, one doc-keyed regroup to sort/slice the prefix (collect_list
+    of (df, tok) structs, partial-agg'd), one equi-join on prefix
+    tokens (bounded, rare-key blocks), pair dedup, then two id-keyed
+    array attaches for the exact verify. Output:
+    (doc_id_1, doc_id_2, inter_sz, union_sz, jacc) for pairs >= t.
+    """
+    t = F.lower(F.col(text_col))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(t, r"\s+"))
+        ).alias("tok"),
+    ).where(F.length("tok") >= 1)
+    df_census = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    ordered = (
+        toks.join(df_census, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "tok"))
+            ).alias("ord_toks")
+        )
+        .select(
+            "doc_id",
+            F.col("ord_toks.tok").alias("toks"),
+            F.size("ord_toks").alias("n"),
+        )
+    )
+    # L = n - ceil(num*n/den) + 1, exact integer ceil: ceil(a/b) =
+    # floor((a + b - 1) / b) for positive ints
+    L = (
+        F.col("n")
+        - F.floor(
+            (F.lit(threshold_num) * F.col("n") + threshold_den - 1)
+            / threshold_den
+        )
+        + 1
+    ).cast("int")
+    prefixes = ordered.select(
+        "doc_id", "n", F.explode(F.slice("toks", 1, L)).alias("ptok")
+    )
+    a = prefixes.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("n").alias("n1"),
+        "ptok",
+    )
+    b = prefixes.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("n").alias("n2"),
+        "ptok",
+    )
+    cands = (
+        a.join(b, "ptok")
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        # size filter: t*|x| <= |y| given |x| <= |y| — exact integers
+        .where(
+            F.lit(threshold_den) * F.least("n1", "n2")
+            >= F.lit(threshold_num) * F.greatest("n1", "n2")
+        )
+        .select("doc_id_1", "doc_id_2")
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+    sets = ordered.select("doc_id", "toks")
+    verified = (
+        cands.join(
+            sets.select(
+                F.col("doc_id").alias("doc_id_1"),
+                F.col("toks").alias("toks_1"),
+            ),
+            "doc_id_1",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_id_2"),
+                F.col("toks").alias("toks_2"),
+            ),
+            "doc_id_2",
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.size(F.array_intersect("toks_1", "toks_2"))
+            .cast("long")
+            .alias("inter_sz"),
+            (
+                F.size("toks_1") + F.size("toks_2")
+                - F.size(F.array_intersect("toks_1", "toks_2"))
+            ).cast("long").alias("union_sz"),
+        )
+        .where(
+            F.lit(threshold_den) * F.col("inter_sz")
+            >= F.lit(threshold_num) * F.col("union_sz")
+        )
+    )
+    return verified.select(
+        "doc_id_1",
+        "doc_id_2",
+        "inter_sz",
+        "union_sz",
+        F.round(
+            F.col("inter_sz").cast("double") / F.col("union_sz"), 6
+        ).alias("jacc"),
+    )

@@ -1266,3 +1266,100 @@ def test_perplexity_buckets(spark):
     # 10 scoreable docs -> equal-frequency within 1 across the terciles
     sizes = sorted(len(v) for v in by_bucket.values())
     assert sizes[-1] - sizes[0] <= 1 + 1  # filler doc may join any tercile
+
+
+# ------------------------------------------------------------- round 5b:
+# prefix-filtered exact Jaccard self-join (AllPairs/PPJoin)
+
+
+def _naive_jaccard_pairs(rows, num, den):
+    toks = {i: set(t.lower().split()) for i, t in rows}
+    out = set()
+    for a in toks:
+        for b in toks:
+            if a < b:
+                i = len(toks[a] & toks[b])
+                u = len(toks[a] | toks[b])
+                if den * i >= num * u:
+                    out.add((a, b))
+    return out
+
+
+def test_ppjoin_matches_naive_on_clustered_fixture(spark):
+    from rapidfuzz_spark.textops import dedup
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma epsilon"),   # jacc 3/5 with doc 1 — boundary
+        (3, "alpha beta gamma delta zeta"),  # jacc 4/5 with doc 1
+        (4, "totally different words here"),
+        (5, "totally different words here"),  # exact dup of 4 — jacc 1
+        (6, "the of and a an"),              # stopword-ish only
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.doc_id_1, r.doc_id_2)
+        for r in dedup.prefix_filter_jaccard_join(docs, "text", 3, 5).collect()
+    }
+    assert got == _naive_jaccard_pairs(rows, 3, 5)
+    # the 3/5 boundary pair must be INCLUDED (>= semantics, exact ints)
+    assert (1, 2) in got
+
+
+def test_ppjoin_exactness_under_repartition_and_random_corpus(spark):
+    import random
+
+    from rapidfuzz_spark.textops import dedup
+
+    rnd = random.Random(11)
+    vocab = [f"w{k}" for k in range(30)]
+    rows = [
+        (i, " ".join(rnd.sample(vocab, rnd.randrange(3, 10))))
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    naive = _naive_jaccard_pairs(rows, 1, 2)
+    for parts in (1, 13):
+        got = {
+            (r.doc_id_1, r.doc_id_2)
+            for r in dedup.prefix_filter_jaccard_join(
+                docs.repartition(parts), "text", 1, 2
+            ).collect()
+        }
+        assert got == naive
+
+
+def test_ppjoin_jacc_values_exact(spark):
+    from rapidfuzz_spark.textops import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id int, text string"
+    )
+    r = dedup.prefix_filter_jaccard_join(docs, "text", 1, 2).collect()
+    assert len(r) == 1
+    assert (r[0].inter_sz, r[0].union_sz, r[0].jacc) == (3, 5, 0.6)
+
+
+def test_ppjoin_prefix_actually_prunes(spark):
+    """On a corpus where every doc shares one stopword but nothing
+    else, the prefix (rarest-first) must NOT generate the quadratic
+    stopword block: candidate count stays linear-ish, result empty."""
+    from pyspark.sql import functions as F
+
+    from rapidfuzz_spark.textops import dedup
+
+    rows = [(i, f"the unique{i} only{i} token{i} here{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = dedup.prefix_filter_jaccard_join(docs, "text", 3, 5)
+    assert out.count() == 0
+    # inspect the internal prefix: with n=5 and t=3/5, L = 5-3+1 = 3 —
+    # 'the' (df=40) sorts LAST of 5 and is excluded from every prefix,
+    # so no candidate pair exists at all (the naive join would have 780)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), r"\s+"))).alias(
+            "tok"
+        ),
+    )
+    census = toks.groupBy("tok").count().where(F.col("count") > 1)
+    assert census.count() == 1  # only 'the' repeats — pruning is real
