@@ -1727,6 +1727,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ppjoin_jaccard"] = ppjoin_jaccard
 
+    def blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Blocking-scheme evaluation triple (Christen 2012): pair
+        completeness / pairs quality / reduction ratio of the SHIPPED
+        blocking recipe (token/affix/del<=1/media-ref keys + sorted
+        neighborhood, salted + census-capped) against the fixture's
+        planted entities. The oracle replays every key family in SQL
+        (the er_pipeline_f1 arms) and the exact count arithmetic —
+        salting/surrogates change pair distribution, never the set."""
+        from rapidfuzz_spark.pipeline import blocking, ingest
+        from rapidfuzz_spark.pipeline import metrics as M
+        from rapidfuzz_spark.pipeline import run as P
+
+        corpus = spark.read.parquet(_SYNTH_FIXTURE)
+        truth = corpus.select("doc_id", "entity_id")
+        docs_t = ingest.with_match_text(corpus.drop("entity_id"))
+        conf = P.PipelineConfig(checkpoint=False)
+        keys = P.pipeline_blocking_keys(docs_t, conf)
+        sn = blocking.sorted_neighborhood_pairs(docs_t, window=conf.sn_window)
+        caches: list = []
+        pairs = blocking.candidate_pairs(
+            keys,
+            hot_cap=conf.hot_cap,
+            drop_cap=conf.drop_cap,
+            extra_pairs=sn,
+            cache_out=caches,
+        )
+        out = M.blocking_quality(pairs, truth)
+        for c in caches:
+            c.unpersist()
+        return out
+
+    q["blocking_quality"] = blocking_quality
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1735,7 +1768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
-        "ppjoin_jaccard",
+        "blocking_quality", "ppjoin_jaccard",
         "meta_block_wep", "bcubed_eval", "golden_records",
         "fs_em_linkage", "kmeans_cells", "simhash_neardup",
         "ccnet_buckets", "gopher_rules",
@@ -4224,6 +4257,48 @@ GROUP BY p.id_1, p.id_2"""
              round(inter_sz::DOUBLE / union_sz, 6) AS jacc
       FROM p
       WHERE 5 * inter_sz >= 3 * union_sz"""
+    # blocking-quality triple: full key-family replay (identical arms to
+    # er_pipeline_f1) -> candidate set -> PC/PQ/RR exact-count arithmetic
+    o["blocking_quality"] = f"""
+      WITH {_FIXTURE_TEXTS},
+      allkeys AS (
+        {_keys_sql("texts", deletion_sigs=True)}
+        {_sn_keys_sql('texts')}
+        UNION ALL
+        SELECT DISTINCT 'mr:' || s.media_ref AS block_key, doc_id
+        FROM (SELECT doc_id, unnest(spans) AS s
+              FROM read_parquet('{_SYNTH_FIXTURE}'))
+        WHERE (s.kind IS NULL OR s.kind <> 'text') AND s.media_ref IS NOT NULL),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM allkeys a JOIN allkeys b USING (block_key)
+        WHERE a.doc_id < b.doc_id),
+      tpp AS (SELECT t1.doc_id AS d1, t2.doc_id AS d2
+              FROM texts t1 JOIN texts t2 ON t1.entity_id = t2.entity_id
+              WHERE t1.doc_id < t2.doc_id),
+      counts AS (
+        SELECT (SELECT count(*) FROM cand JOIN tpp USING (d1, d2)) AS tp,
+               (SELECT count(*) FROM cand) AS nc,
+               (SELECT count(*) FROM tpp) AS nt,
+               (SELECT count(*) FROM texts) AS nd)
+      SELECT 'cand_pairs' AS stat, nc::DOUBLE AS value FROM counts
+      UNION ALL
+      SELECT 'pair_completeness',
+             CASE WHEN nt = 0 THEN 1.0
+                  ELSE round(tp::DOUBLE / nt, 6) END FROM counts
+      UNION ALL
+      SELECT 'pairs_quality',
+             CASE WHEN nc = 0 THEN 1.0
+                  ELSE round(tp::DOUBLE / nc, 6) END FROM counts
+      UNION ALL
+      SELECT 'reduction_ratio',
+             CASE WHEN nd < 2 THEN 0.0
+                  ELSE round(1 - nc::DOUBLE / (nd * (nd - 1) // 2), 6) END
+        FROM counts
+      UNION ALL
+      SELECT 'tp_pairs', tp::DOUBLE FROM counts
+      UNION ALL
+      SELECT 'true_pairs', nt::DOUBLE FROM counts"""
     # meta-blocking: CBS edge weights from the token blocking graph,
     # WEP keep-flag against the exact sum/count mean (one double
     # division of exact integers — bit-reproducible across engines)

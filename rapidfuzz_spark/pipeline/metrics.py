@@ -174,3 +174,56 @@ def bcubed(assign: DataFrame) -> DataFrame:
         ],
         "stat string, value double",
     )
+
+def blocking_quality(pairs: DataFrame, truth: DataFrame) -> DataFrame:
+    """Blocking-scheme evaluation (Christen, "Data Matching", 2012 ch.7
+    — the standard pre-scoring quality triple every ER survey reports):
+
+    - pair completeness PC = |cand ∩ true| / |true|   (candidate recall
+      — the ceiling on the whole pipeline's recall),
+    - pairs quality     PQ = |cand ∩ true| / |cand|   (candidate
+      precision — how much scoring work is wasted),
+    - reduction ratio   RR = 1 − |cand| / C(n,2)      (how much of the
+      quadratic all-pairs space blocking removed).
+
+    ``pairs``: candidate pairs (doc_id_1 < doc_id_2, deduped);
+    ``truth``: (doc_id, entity_id) labels.
+
+    All three are single IEEE divisions of exact counts, 6-dp
+    half-away rounded — bit-reproducible. The counts are distributed
+    joins/aggregates; only the five scalars reach the driver. At
+    10^12 docs C(n,2) overflows doubles' integer range but not Python
+    ints (driver-side exact), and the true-pair self-join stays safe
+    because entity sizes are bounded (same argument as
+    cluster_pairwise_f1).
+
+    Output: (stat, value double) rows — the three ratios plus the raw
+    cand/true/tp counts.
+    """
+    from .problink import _r6
+
+    n_docs = truth.count()
+    n_cand = pairs.select("doc_id_1", "doc_id_2").count()
+    t = _pairs_within(truth, "entity_id")
+    n_true = t.count()
+    n_tp = (
+        pairs.select("doc_id_1", "doc_id_2")
+        .join(t, ["doc_id_1", "doc_id_2"])
+        .count()
+    )
+    total = n_docs * (n_docs - 1) // 2
+    pc = _r6(n_tp / n_true) if n_true else 1.0
+    pq = _r6(n_tp / n_cand) if n_cand else 1.0
+    rr = _r6(1 - n_cand / total) if total else 0.0
+    spark = pairs.sparkSession
+    return spark.createDataFrame(
+        [
+            ("cand_pairs", float(n_cand)),
+            ("pair_completeness", float(pc)),
+            ("pairs_quality", float(pq)),
+            ("reduction_ratio", float(rr)),
+            ("tp_pairs", float(n_tp)),
+            ("true_pairs", float(n_true)),
+        ],
+        "stat string, value double",
+    )

@@ -759,3 +759,32 @@ def test_golden_records_rep_tie_breaks_to_min_doc_id(spark):
     )
     out = cluster.golden_records(assigned, fields=["lang", "source"]).collect()
     assert len(out) == 1 and out[0].rep_doc_id == 3 and out[0].n_members == 2
+
+
+def test_blocking_quality_planted_counts(spark):
+    # 4 docs, truth = {1,2},{3},{4}; candidates = (1,2),(1,3) ->
+    # tp=1, true=1, cand=2; PC=1, PQ=0.5, RR=1-2/6
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_id_1 int, doc_id_2 int"
+    )
+    truth = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 30)], "doc_id int, entity_id int"
+    )
+    vals = {r.stat: r.value for r in metrics.blocking_quality(pairs, truth).collect()}
+    assert vals["cand_pairs"] == 2.0
+    assert vals["true_pairs"] == 1.0
+    assert vals["tp_pairs"] == 1.0
+    assert vals["pair_completeness"] == 1.0
+    assert vals["pairs_quality"] == 0.5
+    assert vals["reduction_ratio"] == round(1 - 2 / 6, 6)
+
+
+def test_blocking_quality_missed_true_pair(spark):
+    # blocking that misses the only true pair: PC=0, PQ=0
+    pairs = spark.createDataFrame([(3, 4)], "doc_id_1 int, doc_id_2 int")
+    truth = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 30)], "doc_id int, entity_id int"
+    )
+    vals = {r.stat: r.value for r in metrics.blocking_quality(pairs, truth).collect()}
+    assert vals["pair_completeness"] == 0.0
+    assert vals["pairs_quality"] == 0.0
