@@ -1760,6 +1760,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["blocking_quality"] = blocking_quality
 
+    def cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-entity cluster diagnostics over the JW>=0.85 clustering:
+        member count, internal edge count, graph density 2E/(n(n-1)),
+        min/max internal score — the over-merge triage signal (a
+        low-density multi-member cluster is a transitive chain). The
+        oracle replays closure + edge aggregation + the exact density
+        division."""
+        from rapidfuzz_spark.pipeline import cluster
+
+        p = _pairs(spark, sf_dir)
+        edges = p.select(
+            F.col("id_1").alias("doc_id_1"),
+            F.col("id_2").alias("doc_id_2"),
+            F.round(RF.jaro_winkler_similarity("t1", "t2"), 6).alias("jw"),
+        ).where(F.col("jw") >= 0.85)
+        comps = cluster.connected_components(edges)
+        all_docs = cluster.assign_entities(
+            _docs(spark, sf_dir).select("doc_id"), comps
+        )
+        return cluster.cluster_stats(edges, all_docs, score_col="jw")
+
+    q["cluster_stats"] = cluster_stats
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1768,7 +1791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
-        "blocking_quality", "ppjoin_jaccard",
+        "cluster_stats", "blocking_quality", "ppjoin_jaccard",
         "meta_block_wep", "bcubed_eval", "golden_records",
         "fs_em_linkage", "kmeans_cells", "simhash_neardup",
         "ccnet_buckets", "gopher_rules",
@@ -4404,5 +4427,33 @@ GROUP BY p.id_1, p.id_2"""
       FROM rep
       LEFT JOIN lv USING (entity_id)
       LEFT JOIN sv USING (entity_id)"""
+    )
+    # cluster diagnostics: same closure, edges re-derived and aggregated
+    # per entity; density = one exact-integer division rounded 6dp
+    o["cluster_stats"] = (
+        _closure
+        + f""",
+      se AS (
+        SELECT id_1, id_2, jw FROM (
+          SELECT id_1, id_2,
+                 round(jaro_winkler_similarity(t1, t2), 6) AS jw
+          FROM ({_PAIRS_SQL}))
+        WHERE jw >= 0.85
+      ),
+      es AS (
+        SELECT ent.entity_id, count(*) AS n_edges,
+               min(se.jw) AS min_score, max(se.jw) AS max_score
+        FROM se JOIN ent ON ent.doc_id = se.id_1
+        GROUP BY ent.entity_id
+      ),
+      mem AS (SELECT entity_id, count(*) AS n_members FROM ent GROUP BY 1)
+      SELECT mem.entity_id, mem.n_members,
+             coalesce(es.n_edges, 0) AS n_edges,
+             CASE WHEN mem.n_members >= 2
+                  THEN round(2.0 * coalesce(es.n_edges, 0)
+                             / (mem.n_members * (mem.n_members - 1)), 6)
+             END AS density,
+             es.min_score, es.max_score
+      FROM mem LEFT JOIN es USING (entity_id)"""
     )
     return o

@@ -178,3 +178,69 @@ def golden_records(
         )
         out = out.join(survivor, "entity_id", "left")
     return out.select("entity_id", "rep_doc_id", "n_members", *fields)
+
+
+def cluster_stats(
+    edges: DataFrame, components: DataFrame, score_col: str | None = "score"
+) -> DataFrame:
+    """Per-entity cluster diagnostics (the Splink-style post-clustering
+    QA step): member count, internal edge count, graph density
+    2E/(n(n-1)), and the min/max internal match score. Low-density
+    multi-member clusters are transitive CHAINS — the over-merge
+    signature reviewers triage first (A~B~C where A~C was never
+    scored), while density 1.0 means every pair was independently
+    confirmed.
+
+    ``edges``: scored match edges (doc_id_1, doc_id_2[, score]) — the
+    same frame CC consumed, so both endpoints share an entity by
+    construction. ``components``: (doc_id, entity_id); docs without a
+    component row are singletons (entity = own id) and surface with
+    n_edges 0 and NULL density/scores (density of a 1-node graph is
+    undefined, not 1.0).
+
+    Scale shape: ONE broadcast-eligible hash join of edges to the
+    component map (on doc_id_1 only — CC already guarantees endpoint
+    agreement, re-checking doc_id_2 would be a second join for a
+    tautology), then two partial-agg'd groupBys on entity_id joined at
+    entity granularity. Density is one exact-integer division rounded
+    to 6 dp; min/max are order statistics — everything is
+    partition-order-free and engine-replayable.
+    """
+    docs = components.select("doc_id", "entity_id")
+    score_aggs = (
+        [
+            F.min(F.round(F.col(score_col), 6)).alias("min_score"),
+            F.max(F.round(F.col(score_col), 6)).alias("max_score"),
+        ]
+        if score_col is not None and score_col in edges.columns
+        else [
+            F.lit(None).cast("double").alias("min_score"),
+            F.lit(None).cast("double").alias("max_score"),
+        ]
+    )
+    edge_stats = (
+        edges.join(
+            docs.select(
+                F.col("doc_id").alias("doc_id_1"), "entity_id"
+            ),
+            "doc_id_1",
+        )
+        .groupBy("entity_id")
+        .agg(F.count("*").alias("n_edges"), *score_aggs)
+    )
+    members = docs.groupBy("entity_id").agg(F.count("*").alias("n_members"))
+    out = members.join(edge_stats, "entity_id", "left")
+    n, e = F.col("n_members"), F.coalesce(F.col("n_edges"), F.lit(0))
+    return out.select(
+        "entity_id",
+        "n_members",
+        e.alias("n_edges"),
+        F.when(
+            n >= 2,
+            F.round(
+                F.lit(2.0) * e / (n * (n - F.lit(1))), 6
+            ),
+        ).alias("density"),
+        "min_score",
+        "max_score",
+    )

@@ -916,6 +916,10 @@ def prefix_filter_jaccard_join(
         ).alias("tok"),
     ).where(F.length("tok") >= 1)
     df_census = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    # lazy lineage cut: the prefix explode AND both verify-side array
+    # attaches read the SAME (doc_id, toks, n) materialization instead
+    # of re-running the token explode + census join + regroup three
+    # times (the simhash sketch / training_export recompute lesson)
     ordered = (
         toks.join(df_census, "tok")
         .groupBy("doc_id")
@@ -929,6 +933,7 @@ def prefix_filter_jaccard_join(
             F.col("ord_toks.tok").alias("toks"),
             F.size("ord_toks").alias("n"),
         )
+        .localCheckpoint(eager=False)
     )
     # L = n - ceil(num*n/den) + 1, exact integer ceil: ceil(a/b) =
     # floor((a + b - 1) / b) for positive ints

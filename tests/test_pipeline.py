@@ -788,3 +788,41 @@ def test_blocking_quality_missed_true_pair(spark):
     vals = {r.stat: r.value for r in metrics.blocking_quality(pairs, truth).collect()}
     assert vals["pair_completeness"] == 0.0
     assert vals["pairs_quality"] == 0.0
+
+
+def test_cluster_stats_chain_vs_triangle_density(spark):
+    # entity 1: triangle {1,2,3} (3 edges, density 1.0);
+    # entity 4: chain 4-5-6 (2 edges, density 2/3); 7: singleton
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 0.9), (1, 3, 0.95), (2, 3, 0.88),
+            (4, 5, 0.86), (5, 6, 0.87),
+        ],
+        "doc_id_1 int, doc_id_2 int, score double",
+    )
+    comps = cluster.connected_components(edges)
+    docs = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id int")
+    assigned = cluster.assign_entities(docs, comps)
+    out = {r.entity_id: r for r in cluster.cluster_stats(edges, assigned).collect()}
+    tri, chain, single = out[1], out[4], out[7]
+    assert (tri.n_members, tri.n_edges, tri.density) == (3, 3, 1.0)
+    assert (tri.min_score, tri.max_score) == (0.88, 0.95)
+    assert (chain.n_members, chain.n_edges) == (3, 2)
+    assert chain.density == round(2 * 2 / (3 * 2), 6)
+    assert (single.n_members, single.n_edges) == (1, 0)
+    assert single.density is None and single.min_score is None
+
+
+def test_cluster_stats_without_score_column(spark):
+    edges = spark.createDataFrame(
+        [(1, 2)], "doc_id_1 int, doc_id_2 int"
+    )
+    comps = cluster.connected_components(edges)
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id int")
+    out = cluster.cluster_stats(
+        edges, cluster.assign_entities(docs, comps), score_col=None
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_members, r.n_edges, r.density) == (2, 1, 1.0)
+    assert r.min_score is None and r.max_score is None
