@@ -946,17 +946,31 @@ def prefix_filter_jaccard_join(
         + 1
     ).cast("int")
     prefixes = ordered.select(
-        "doc_id", "n", F.explode(F.slice("toks", 1, L)).alias("ptok")
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("toks", 1, L)).alias("pos0", "ptok"),
     )
     a = prefixes.select(
         F.col("doc_id").alias("doc_id_1"),
         F.col("n").alias("n1"),
+        (F.col("pos0") + 1).alias("i"),
         "ptok",
     )
     b = prefixes.select(
         F.col("doc_id").alias("doc_id_2"),
         F.col("n").alias("n2"),
+        (F.col("pos0") + 1).alias("j"),
         "ptok",
+    )
+    # required overlap for Jaccard >= num/den: o = ceil(num*(n1+n2) /
+    # (num+den)) — exact integer ceil again
+    o_req = F.floor(
+        (
+            F.lit(threshold_num) * (F.col("n1") + F.col("n2"))
+            + (threshold_num + threshold_den)
+            - 1
+        )
+        / (threshold_num + threshold_den)
     )
     cands = (
         a.join(b, "ptok")
@@ -965,6 +979,20 @@ def prefix_filter_jaccard_join(
         .where(
             F.lit(threshold_den) * F.least("n1", "n2")
             >= F.lit(threshold_num) * F.greatest("n1", "n2")
+        )
+        # PPJoin positional filter (Xiao et al. TODS'11 §3.2): a shared
+        # prefix token at (1-based) positions i, j bounds the overlap by
+        # 1 + min(n1-i, n2-j); rows that cannot reach o_req are dropped
+        # BEFORE the pair-dedup exchange — the pair still survives iff
+        # its FIRST shared prefix token passes (maximal bound), so the
+        # join stays lossless while the shuffle sheds the long tail of
+        # single-shared-deep-token collisions
+        .where(
+            F.lit(1)
+            + F.least(
+                F.col("n1") - F.col("i"), F.col("n2") - F.col("j")
+            )
+            >= o_req
         )
         .select("doc_id_1", "doc_id_2")
         .dropDuplicates(["doc_id_1", "doc_id_2"])
