@@ -1783,6 +1783,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cluster_stats"] = cluster_stats
 
+    def meta_block_wnp(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Meta-blocking with CBS weights + Weighted Node Pruning
+        (Papadakis et al. TKDE 2014, node-centric variant): each
+        record's threshold is the mean weight of its own adjacent
+        edges; an edge survives if it reaches the threshold of at
+        least one endpoint. Adapts the cut per record where WEP's one
+        global mean over-prunes sparse regions of the blocking graph."""
+        from rapidfuzz_spark.pipeline import blocking
+
+        d = _docs(spark, sf_dir)
+        keys = d.select(
+            F.explode(F.array_distinct(F.split("text", " "))).alias(
+                "block_key"
+            ),
+            "doc_id",
+        ).where(F.length("block_key") >= 2)
+        return blocking.meta_block_wnp(keys)
+
+    q["meta_block_wnp"] = meta_block_wnp
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1791,6 +1811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
+        "meta_block_wnp",
         "cluster_stats", "blocking_quality", "ppjoin_jaccard",
         "meta_block_wep", "bcubed_eval", "golden_records",
         "fs_em_linkage", "kmeans_cells", "simhash_neardup",
@@ -4341,6 +4362,37 @@ GROUP BY p.id_1, p.id_2"""
       w AS (SELECT sum(cbs) / count(*) AS w_bar FROM e)
       SELECT doc_id_1, doc_id_2, cbs, cbs >= w_bar AS kept
       FROM e, w"""
+    # WNP replay: identical CBS edge CTE, then each node's threshold is
+    # the mean weight over its OWN adjacent edges (exact BIGINT sum /
+    # one division), edge kept when cbs reaches either endpoint's
+    # threshold — least() of two exact doubles, bit-reproducible
+    o["meta_block_wnp"] = """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+      ),
+      e AS (
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+               count(*) AS cbs
+        FROM toks a JOIN toks b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+        WHERE len(a.tok) >= 2
+        GROUP BY 1, 2
+      ),
+      ends AS (
+        SELECT doc_id_1 AS doc_id, cbs FROM e
+        UNION ALL
+        SELECT doc_id_2 AS doc_id, cbs FROM e
+      ),
+      thr AS (
+        SELECT doc_id, sum(cbs) / count(*) AS w_node
+        FROM ends GROUP BY doc_id
+      )
+      SELECT e.doc_id_1, e.doc_id_2, e.cbs,
+             e.cbs >= least(t1.w_node, t2.w_node) AS kept
+      FROM e
+      JOIN thr t1 ON t1.doc_id = e.doc_id_1
+      JOIN thr t2 ON t2.doc_id = e.doc_id_2"""
     # shared JW>=0.85 closure (identical to er_cluster_cc's oracle) for
     # the two cluster-consuming operators below
     _closure = f"""

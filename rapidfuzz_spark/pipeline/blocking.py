@@ -588,6 +588,23 @@ def meta_block_wep(keys: DataFrame, drop_cap: int | None = None) -> DataFrame:
     Input: (block_key, doc_id) rows. Output: one row per candidate
     pair — (doc_id_1, doc_id_2, cbs, kept).
     """
+    edges = _cbs_edges(keys, drop_cap)
+    w_bar = edges.agg(
+        (F.sum("cbs") / F.count("*")).alias("w_bar")
+    )
+    return edges.crossJoin(F.broadcast(w_bar)).select(
+        "doc_id_1",
+        "doc_id_2",
+        "cbs",
+        (F.col("cbs") >= F.col("w_bar")).alias("kept"),
+    )
+
+
+def _cbs_edges(keys: DataFrame, drop_cap: int | None) -> DataFrame:
+    """Blocking-graph edges weighted by the Common Blocks Scheme: one
+    row per candidate pair with cbs = number of blocking keys shared.
+    Shared by the WEP / WNP pruning schemes above/below; the groupBy is
+    the same hash exchange as ``candidate_pairs``'s pair dedup."""
     k = keys.select("block_key", "doc_id")
     if drop_cap is not None:
         sizes = k.groupBy("block_key").agg(F.count("*").alias("bn"))
@@ -598,18 +615,73 @@ def meta_block_wep(keys: DataFrame, drop_cap: int | None = None) -> DataFrame:
         )
     left = k.select("block_key", F.col("doc_id").alias("doc_id_1"))
     right = k.select("block_key", F.col("doc_id").alias("doc_id_2"))
-    edges = (
+    return (
         left.join(right, "block_key")
         .where(F.col("doc_id_1") < F.col("doc_id_2"))
         .groupBy("doc_id_1", "doc_id_2")
         .agg(F.count("*").alias("cbs"))
     )
-    w_bar = edges.agg(
-        (F.sum("cbs") / F.count("*")).alias("w_bar")
+
+
+def meta_block_wnp(keys: DataFrame, drop_cap: int | None = None) -> DataFrame:
+    """Meta-blocking with CBS edge weights and Weighted Node Pruning
+    (Papadakis et al., TKDE 2014 — the node-centric sibling of
+    ``meta_block_wep``).
+
+    Each node's threshold is the mean weight of its OWN adjacent edges;
+    an edge is retained when its weight reaches the threshold of at
+    least one endpoint (`cbs >= least(thr_1, thr_2)`). Where WEP's one
+    global mean over-prunes sparse regions of the blocking graph (a
+    low-degree record's best edge can sit below the global mean purely
+    because dense regions dominate it), WNP adapts the cut per record —
+    the standard recall-preserving variant for heterogeneous corpora.
+
+    Scale shape: on top of the shared CBS aggregation (same exchange as
+    pair dedup — see ``_cbs_edges``), WNP pays (1) one node-keyed
+    aggregation over the 2|E| endpoint rows and (2) two edge-keyed
+    join-backs of the per-node thresholds (shuffles on doc_id_1 then
+    doc_id_2). All three are exchanges over the EDGE list, which block
+    filtering (``drop_cap``) has already bounded — never over the
+    corpus. Node-degree skew (a celebrity record in many blocks) is
+    bounded by the same drop-cap: a node's degree is at most
+    sum(min(cap, |block|)) over its keys. AQE handles the residual
+    head; per-node partial aggregation collapses endpoint rows
+    map-side first.
+
+    Engine-replayable boundary: each node threshold is one exact BIGINT
+    sum over that node's edge weights divided once (IEEE-exact), and
+    `least()` of two exact doubles is exact, so the keep flag is
+    bit-reproducible in any engine — no floating accumulation order.
+
+    Input: (block_key, doc_id) rows. Output: one row per candidate
+    pair — (doc_id_1, doc_id_2, cbs, kept).
+    """
+    edges = _cbs_edges(keys, drop_cap)
+    ends = edges.select(
+        F.col("doc_id_1").alias("doc_id"), "cbs"
+    ).unionByName(edges.select(F.col("doc_id_2").alias("doc_id"), "cbs"))
+    thr = ends.groupBy("doc_id").agg(
+        (F.sum("cbs") / F.count("*")).alias("w_node")
     )
-    return edges.crossJoin(F.broadcast(w_bar)).select(
-        "doc_id_1",
-        "doc_id_2",
-        "cbs",
-        (F.col("cbs") >= F.col("w_bar")).alias("kept"),
+    return (
+        edges.join(
+            thr.select(
+                F.col("doc_id").alias("doc_id_1"),
+                F.col("w_node").alias("w_1"),
+            ),
+            "doc_id_1",
+        )
+        .join(
+            thr.select(
+                F.col("doc_id").alias("doc_id_2"),
+                F.col("w_node").alias("w_2"),
+            ),
+            "doc_id_2",
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            "cbs",
+            (F.col("cbs") >= F.least("w_1", "w_2")).alias("kept"),
+        )
     )

@@ -673,6 +673,78 @@ def test_meta_block_wep_mean_boundary_is_inclusive(spark):
     assert all(r.kept for r in out) and len(out) == 2
 
 
+def test_meta_block_wnp_node_thresholds(spark):
+    # star around doc 1: edges (1,2) w=2, (1,3) w=1, (1,4) w=1.
+    # node 1's mean = 4/3 -> only (1,2) passes via node 1; nodes 2,3,4
+    # each have a single edge so their mean EQUALS that edge's weight ->
+    # every edge passes via its leaf endpoint. WNP keeps all three;
+    # WEP's global mean (4/3) would prune (1,3) and (1,4).
+    keys = spark.createDataFrame(
+        [
+            ("a", 1), ("a", 2),
+            ("b", 1), ("b", 2),
+            ("c", 1), ("c", 3),
+            ("d", 1), ("d", 4),
+        ],
+        "block_key string, doc_id int",
+    )
+    wnp = {
+        (r.doc_id_1, r.doc_id_2): (r.cbs, r.kept)
+        for r in blocking.meta_block_wnp(keys).collect()
+    }
+    assert wnp == {
+        (1, 2): (2, True),
+        (1, 3): (1, True),
+        (1, 4): (1, True),
+    }
+    wep = {
+        (r.doc_id_1, r.doc_id_2): r.kept
+        for r in blocking.meta_block_wep(keys).collect()
+    }
+    assert wep == {(1, 2): True, (1, 3): False, (1, 4): False}
+
+
+def test_meta_block_wnp_prunes_below_both_endpoints(spark):
+    # triangle with one heavy edge: (1,2) w=3, (1,3) w=1, (2,3) w=1.
+    # node 1 mean = node 2 mean = 2, node 3 mean = 1. (1,3) passes via
+    # node 3 (1 >= 1) but (1,2)'s weight 3 passes everywhere; nothing
+    # is below BOTH endpoints here, so drop the light edges' leaf rescue
+    # by giving node 3 a heavy edge too: (3,4) w=3 -> node 3 mean = 2,
+    # and now (1,3) and (2,3) sit below both endpoints' thresholds.
+    keys = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 2), ("c", 1), ("c", 2)]
+        + [("d", 1), ("d", 3), ("e", 2), ("e", 3)]
+        + [("f", 3), ("f", 4), ("g", 3), ("g", 4), ("h", 3), ("h", 4)],
+        "block_key string, doc_id int",
+    )
+    out = {
+        (r.doc_id_1, r.doc_id_2): (r.cbs, r.kept)
+        for r in blocking.meta_block_wnp(keys).collect()
+    }
+    # node means: 1 -> (3+1)/2=2, 2 -> (3+1)/2=2, 3 -> (1+1+3)/3=5/3,
+    # 4 -> 3. (1,3): 1 < min(2, 5/3) -> pruned; (2,3) likewise;
+    # (1,2): 3 >= 2 kept; (3,4): 3 >= 5/3 kept.
+    assert out == {
+        (1, 2): (3, True),
+        (1, 3): (1, False),
+        (2, 3): (1, False),
+        (3, 4): (3, True),
+    }
+
+
+def test_meta_block_wnp_drop_cap_and_boundary(spark):
+    # stopword block removed under the cap, and the single-edge
+    # boundary (weight == own mean) is inclusive
+    keys = spark.createDataFrame(
+        [("the", i) for i in range(1, 5)] + [("rare", 1), ("rare", 2)],
+        "block_key string, doc_id int",
+    )
+    out = blocking.meta_block_wnp(keys, drop_cap=2).collect()
+    assert [(r.doc_id_1, r.doc_id_2, r.cbs, r.kept) for r in out] == [
+        (1, 2, 1, True)
+    ]
+
+
 def test_bcubed_perfect_and_known_values(spark):
     # identical partitions -> all three stats 1.0
     perfect = spark.createDataFrame(

@@ -432,6 +432,22 @@ def test_meta_block_wep_mean_broadcast_no_window(spark, docs):
     assert "CartesianProduct" not in p
 
 
+def test_meta_block_wnp_no_window_no_cartesian(spark, docs):
+    """WNP's per-node thresholds must come from a hash aggregate over
+    the exploded endpoint rows and re-attach via equi-joins on the edge
+    keys — never a window over edges, never a cartesian."""
+    from rapidfuzz_spark.pipeline import blocking
+
+    keys = docs.select(
+        F.explode(F.array_distinct(F.split("text", " "))).alias("block_key"),
+        "doc_id",
+    ).where(F.length("block_key") >= 2)
+    p = plan_str(blocking.meta_block_wnp(keys))
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_golden_records_windowless_aggregate_survivorship(spark, docs):
     """The representative and every field mode are max-then-filter
     aggregates: no Window (a per-entity row_number would sort doc rows
