@@ -1803,6 +1803,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["meta_block_wnp"] = meta_block_wnp
 
+    def meta_block_cnp(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Meta-blocking with CBS weights + Cardinality Node Pruning
+        (Papadakis et al. TKDE 2014): each record retains only its k=2
+        heaviest edges (ties by neighbor id); an edge survives if
+        retained by either endpoint — the fixed-scoring-budget pruning
+        scheme (<= k*|docs| kernel calls downstream)."""
+        from rapidfuzz_spark.pipeline import blocking
+
+        d = _docs(spark, sf_dir)
+        keys = d.select(
+            F.explode(F.array_distinct(F.split("text", " "))).alias(
+                "block_key"
+            ),
+            "doc_id",
+        ).where(F.length("block_key") >= 2)
+        return blocking.meta_block_cnp(keys, k=2)
+
+    q["meta_block_cnp"] = meta_block_cnp
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1811,7 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
-        "meta_block_wnp",
+        "meta_block_cnp", "meta_block_wnp",
         "cluster_stats", "blocking_quality", "ppjoin_jaccard",
         "meta_block_wep", "bcubed_eval", "golden_records",
         "fs_em_linkage", "kmeans_cells", "simhash_neardup",
@@ -4393,6 +4412,39 @@ GROUP BY p.id_1, p.id_2"""
       FROM e
       JOIN thr t1 ON t1.doc_id = e.doc_id_1
       JOIN thr t2 ON t2.doc_id = e.doc_id_2"""
+    # CNP replay: same CBS edges, then per-node row_number over the
+    # directed endpoint rows with the identical deterministic ORDER BY
+    # (cbs DESC, neighbor ASC); kept = top-k at either endpoint
+    o["meta_block_cnp"] = """
+      WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+      ),
+      e AS (
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+               count(*) AS cbs
+        FROM toks a JOIN toks b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+        WHERE len(a.tok) >= 2
+        GROUP BY 1, 2
+      ),
+      directed AS (
+        SELECT doc_id_1 AS src, doc_id_2 AS dst, cbs FROM e
+        UNION ALL
+        SELECT doc_id_2 AS src, doc_id_1 AS dst, cbs FROM e
+      ),
+      ranked AS (
+        SELECT src, dst,
+               row_number() OVER (
+                 PARTITION BY src ORDER BY cbs DESC, dst ASC
+               ) <= 2 AS top
+        FROM directed
+      )
+      SELECT e.doc_id_1, e.doc_id_2, e.cbs,
+             (r1.top OR r2.top) AS kept
+      FROM e
+      JOIN ranked r1 ON r1.src = e.doc_id_1 AND r1.dst = e.doc_id_2
+      JOIN ranked r2 ON r2.src = e.doc_id_2 AND r2.dst = e.doc_id_1"""
     # shared JW>=0.85 closure (identical to er_cluster_cc's oracle) for
     # the two cluster-consuming operators below
     _closure = f"""

@@ -657,9 +657,11 @@ def meta_block_wnp(keys: DataFrame, drop_cap: int | None = None) -> DataFrame:
     pair — (doc_id_1, doc_id_2, cbs, kept).
     """
     edges = _cbs_edges(keys, drop_cap)
+    # both endpoints in ONE pass over the edge list (an explode, not a
+    # self-union — a union would plan the CBS aggregation subtree twice)
     ends = edges.select(
-        F.col("doc_id_1").alias("doc_id"), "cbs"
-    ).unionByName(edges.select(F.col("doc_id_2").alias("doc_id"), "cbs"))
+        F.explode(F.array("doc_id_1", "doc_id_2")).alias("doc_id"), "cbs"
+    )
     thr = ends.groupBy("doc_id").agg(
         (F.sum("cbs") / F.count("*")).alias("w_node")
     )
@@ -684,4 +686,78 @@ def meta_block_wnp(keys: DataFrame, drop_cap: int | None = None) -> DataFrame:
             "cbs",
             (F.col("cbs") >= F.least("w_1", "w_2")).alias("kept"),
         )
+    )
+
+
+def meta_block_cnp(
+    keys: DataFrame, k: int = 2, drop_cap: int | None = None
+) -> DataFrame:
+    """Meta-blocking with CBS edge weights and Cardinality Node Pruning
+    (Papadakis et al., TKDE 2014 — the budgeted sibling of WEP/WNP).
+
+    Each node retains only its ``k`` heaviest adjacent edges; an edge
+    survives when it is retained by at least one endpoint. Unlike the
+    threshold schemes, CNP caps the kept-edge count at <= k per record
+    REGARDLESS of the weight distribution — the lever to use when the
+    downstream scoring budget is fixed (at most k*|docs| string-kernel
+    calls) rather than recall-driven.
+
+    Determinism: ties are broken by (cbs DESC, neighbor doc_id ASC), so
+    the retained set — and therefore the kept flag — is a pure function
+    of the input, independent of partitioning, and replayable by any
+    engine's row_number() with the same ORDER BY.
+
+    Scale shape: the per-node top-k is a window PARTITIONED BY the node
+    (one hash exchange on doc_id over the 2|E| directed endpoint rows —
+    never a global sort), and the non-survivors are DISCARDED before
+    the join-back: the retained set is at most k rows per node, so the
+    single undirected join-back moves <= 2k|docs| rows — tiny next to
+    the edge list (and broadcast-able whenever k|docs| fits; at 10^12
+    docs it degrades to one pair-keyed exchange, still one instead of
+    two edge-wide joins). Node-degree skew is bounded by the same
+    block-filtering ``drop_cap`` as the other schemes.
+
+    Input: (block_key, doc_id) rows. Output: one row per candidate
+    pair — (doc_id_1, doc_id_2, cbs, kept).
+    """
+    from pyspark.sql import Window
+
+    edges = _cbs_edges(keys, drop_cap)
+    # both directions in ONE pass over the edge list (an explode, not a
+    # self-union — a union would plan the CBS aggregation subtree twice)
+    directed = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id_1").alias("src"),
+                    F.col("doc_id_2").alias("dst"),
+                ),
+                F.struct(
+                    F.col("doc_id_2").alias("src"),
+                    F.col("doc_id_1").alias("dst"),
+                ),
+            )
+        ).alias("e"),
+        "cbs",
+    ).select("e.src", "e.dst", "cbs")
+    w = Window.partitionBy("src").orderBy(
+        F.col("cbs").desc(), F.col("dst").asc()
+    )
+    survivors = (
+        directed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(
+            F.least("src", "dst").alias("doc_id_1"),
+            F.greatest("src", "dst").alias("doc_id_2"),
+        )
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+        .withColumn("kept", F.lit(True))
+    )
+    return edges.join(
+        survivors, ["doc_id_1", "doc_id_2"], "left"
+    ).select(
+        "doc_id_1",
+        "doc_id_2",
+        "cbs",
+        F.coalesce("kept", F.lit(False)).alias("kept"),
     )

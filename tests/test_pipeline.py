@@ -745,6 +745,78 @@ def test_meta_block_wnp_drop_cap_and_boundary(spark):
     ]
 
 
+def test_meta_block_cnp_topk_per_node(spark):
+    # star around doc 1 with weights (1,2)=3, (1,3)=2, (1,4)=1 and k=1:
+    # node 1 retains only (1,2); leaves 2,3,4 each retain their single
+    # edge -> EVERY edge survives via its leaf endpoint. With the leaves
+    # connected to a second hub instead, pruning becomes visible below.
+    keys = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("b", 2), ("c", 1), ("c", 2)]
+        + [("d", 1), ("d", 3), ("e", 1), ("e", 3)]
+        + [("f", 1), ("f", 4)],
+        "block_key string, doc_id int",
+    )
+    out = {
+        (r.doc_id_1, r.doc_id_2): (r.cbs, r.kept)
+        for r in blocking.meta_block_cnp(keys, k=1).collect()
+    }
+    assert out == {
+        (1, 2): (3, True),
+        (1, 3): (2, True),
+        (1, 4): (1, True),
+    }
+
+
+def test_meta_block_cnp_prunes_and_breaks_ties_deterministically(spark):
+    # clique of 4 docs all pairwise weight 1 (one shared token each
+    # pair would need distinct tokens; use a single 4-doc block -> all
+    # 6 edges weight 1). k=1: each node retains its LOWEST-id neighbor
+    # (tie-break dst ASC), so retained directed tops are 1->2, 2->1,
+    # 3->1, 4->1; surviving undirected edges: (1,2),(1,3),(1,4); the
+    # (2,3),(2,4),(3,4) edges are retained by NO endpoint -> pruned.
+    keys = spark.createDataFrame(
+        [("blk", i) for i in range(1, 5)],
+        "block_key string, doc_id int",
+    )
+    out = {
+        (r.doc_id_1, r.doc_id_2): r.kept
+        for r in blocking.meta_block_cnp(keys, k=1).collect()
+    }
+    assert out == {
+        (1, 2): True,
+        (1, 3): True,
+        (1, 4): True,
+        (2, 3): False,
+        (2, 4): False,
+        (3, 4): False,
+    }
+    # repartition invariance: the kept set is a pure function of input
+    out2 = {
+        (r.doc_id_1, r.doc_id_2): r.kept
+        for r in blocking.meta_block_cnp(
+            keys.repartition(7), k=1
+        ).collect()
+    }
+    assert out2 == out
+
+
+def test_meta_block_cnp_budget_bound(spark):
+    # k=2 on a 6-doc single block: every node retains exactly 2 edges,
+    # so kept edges <= k * n_docs (the scoring-budget guarantee), and
+    # strictly fewer than the 15 clique edges
+    keys = spark.createDataFrame(
+        [("blk", i) for i in range(1, 7)],
+        "block_key string, doc_id int",
+    )
+    out = blocking.meta_block_cnp(keys, k=2).collect()
+    kept = [r for r in out if r.kept]
+    assert len(out) == 15
+    assert 0 < len(kept) <= 2 * 6
+    # every node appears in at least one kept edge (no record starved)
+    touched = {r.doc_id_1 for r in kept} | {r.doc_id_2 for r in kept}
+    assert touched == set(range(1, 7))
+
+
 def test_bcubed_perfect_and_known_values(spark):
     # identical partitions -> all three stats 1.0
     perfect = spark.createDataFrame(

@@ -448,6 +448,25 @@ def test_meta_block_wnp_no_window_no_cartesian(spark, docs):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_meta_block_cnp_window_is_node_partitioned(spark, docs):
+    """CNP's top-k must run as a window PARTITIONED BY the node (one
+    hash exchange over directed endpoint rows), never a global sort or
+    a cartesian."""
+    from rapidfuzz_spark.pipeline import blocking
+
+    keys = docs.select(
+        F.explode(F.array_distinct(F.split("text", " "))).alias("block_key"),
+        "doc_id",
+    ).where(F.length("block_key") >= 2)
+    p = plan_str(blocking.meta_block_cnp(keys, k=2))
+    # partitioned window: the spec's first argument is the src node
+    # column (a global window would have an empty partition list and
+    # move all rows to one task)
+    assert "windowspecdefinition(src" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_golden_records_windowless_aggregate_survivorship(spark, docs):
     """The representative and every field mode are max-then-filter
     aggregates: no Window (a per-entity row_number would sort doc rows

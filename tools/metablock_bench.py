@@ -9,6 +9,12 @@
 2. The WEP cut: fraction of candidate pairs pruned at the mean-weight
    threshold on a redundancy-positive (token-key) blocking graph.
 
+Also measures the node-centric schemes on the same graph (T67/T68):
+WNP's per-node thresholds (one node aggregation + two join-backs on
+top of the shared CBS exchange) and CNP's k=2 top-k window, with their
+kept fractions — quantifying what the recall-preserving / budgeted
+variants cost over the edge-threshold baseline.
+
 Corpus: grouped word-soup (the ppjoin_scale_bench generator) — docs in
 groups of 4 sharing most of an 8-token base from a sized vocab, so
 same-group pairs share many keys (high CBS) and cross-group collisions
@@ -106,6 +112,28 @@ def main() -> None:
 
     meta_wall, (n_edges, n_kept) = timed(run_meta)
 
+    # modes C/D: the node-centric schemes — WNP pays one node-keyed
+    # aggregation + two threshold join-backs on top of the shared CBS
+    # exchange; CNP swaps the aggregation for a node-partitioned top-k
+    # window + two survivor join-backs
+    def run_scheme(fn):
+        def go():
+            out = fn(keys)
+            row = out.agg(
+                F.count("*").alias("n_edges"),
+                F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            ).collect()[0]
+            return int(row["n_edges"]), int(row["n_kept"])
+
+        return go
+
+    wnp_wall, (wnp_edges, wnp_kept) = timed(
+        run_scheme(blocking.meta_block_wnp)
+    )
+    cnp_wall, (cnp_edges, cnp_kept) = timed(
+        run_scheme(lambda kk: blocking.meta_block_cnp(kk, k=2))
+    )
+
     print(
         json.dumps(
             {
@@ -118,7 +146,18 @@ def main() -> None:
                 "overhead_ratio": round(meta_wall / dedup_wall, 3),
                 "wep_kept": n_kept,
                 "wep_kept_frac": round(n_kept / n_edges, 4),
-                "dedup_pairs_equal": n_dedup == n_edges,
+                "wnp_wall_sec": round(wnp_wall, 3),
+                "wnp_overhead_ratio": round(wnp_wall / dedup_wall, 3),
+                "wnp_kept": wnp_kept,
+                "wnp_kept_frac": round(wnp_kept / wnp_edges, 4),
+                "cnp_wall_sec": round(cnp_wall, 3),
+                "cnp_overhead_ratio": round(cnp_wall / dedup_wall, 3),
+                "cnp_k": 2,
+                "cnp_kept": cnp_kept,
+                "cnp_kept_frac": round(cnp_kept / cnp_edges, 4),
+                "dedup_pairs_equal": n_dedup == n_edges
+                and wnp_edges == n_edges
+                and cnp_edges == n_edges,
                 "cpus": cpus,
             }
         )
