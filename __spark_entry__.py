@@ -1822,6 +1822,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["meta_block_cnp"] = meta_block_cnp
 
+    def ed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """EXACT Levenshtein <= k self-join (Ed-Join, Xiao et al. VLDB
+        2008): positional q-gram rarest-first prefix filter + positional
+        and length filters, verified by the repo's banded Levenshtein
+        kernel under score_cutoff semantics (reference routing
+        levenshtein.rs:1021-1102). The oracle is the NAIVE all-pairs
+        definition, so the gate checks the filter chain's losslessness
+        itself. Matches on the normalized 24-char head of each doc."""
+        from rapidfuzz_spark.textops.edjoin import edit_distance_join
+
+        return edit_distance_join(
+            _docs(spark, sf_dir), "text", k=2, q=2, prefix_chars=24
+        ).orderBy("doc_id_1", "doc_id_2")
+
+    q["ed_join"] = ed_join
+
+    def monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Monge-Elkan hybrid token similarity (Monge & Elkan, KDD 1996)
+        over the blocked candidate pairs: mean-of-max normalized-
+        Levenshtein inner sims, both directions + max symmetrization,
+        exact integer-micro mean so the value oracle is engine-exact."""
+        from rapidfuzz_spark.textops.softtfidf import monge_elkan_pairs
+
+        p = _pairs(spark, sf_dir)
+        return monge_elkan_pairs(
+            p, id_cols=("id_1", "id_2"), t1_col="t1", t2_col="t2"
+        ).orderBy("id_1", "id_2")
+
+    q["monge_elkan"] = monge_elkan
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1830,6 +1860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
+        "ed_join", "monge_elkan",
         "meta_block_cnp", "meta_block_wnp",
         "cluster_stats", "blocking_quality", "ppjoin_jaccard",
         "meta_block_wep", "bcubed_eval", "golden_records",
@@ -4445,6 +4476,67 @@ GROUP BY p.id_1, p.id_2"""
       FROM e
       JOIN ranked r1 ON r1.src = e.doc_id_1 AND r1.dst = e.doc_id_2
       JOIN ranked r2 ON r2.src = e.doc_id_2 AND r2.dst = e.doc_id_1"""
+    # ed_join oracle: the NAIVE all-pairs definition — every unordered
+    # pair of 24-char normalized heads within levenshtein distance 2.
+    # No filter from the Spark side is replayed, so the gate checks the
+    # Ed-Join prefix/position/length filter chain's losslessness itself.
+    o["ed_join"] = """
+      WITH s AS (
+        SELECT doc_id, substr(lower(text), 1, 24) AS s,
+               length(substr(lower(text), 1, 24)) AS n
+        FROM documents
+      )
+      SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+             a.n AS n1, b.n AS n2,
+             levenshtein(a.s, b.s) AS dist
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE levenshtein(a.s, b.s) <= 2"""
+    # Monge-Elkan replay: the same multiset (tok, cnt) grouping, inner
+    # normalized-lev sim via DuckDB's exact levenshtein, per-token max,
+    # and the identical integer-micro mean (round to micro int, BIGINT
+    # weighted sum, one final division) — engine-exact arithmetic.
+    o["monge_elkan"] = f"""
+      WITH p AS ({_PAIRS_SQL}),
+      ta AS (
+        SELECT id_1, id_2, tok_a, count(*) AS cnt_a FROM (
+          SELECT id_1, id_2, unnest(string_split_regex(lower(t1), '\\s+')) AS tok_a
+          FROM p) WHERE length(tok_a) > 0 GROUP BY 1, 2, 3
+      ),
+      tb AS (
+        SELECT id_1, id_2, tok_b, count(*) AS cnt_b FROM (
+          SELECT id_1, id_2, unnest(string_split_regex(lower(t2), '\\s+')) AS tok_b
+          FROM p) WHERE length(tok_b) > 0 GROUP BY 1, 2, 3
+      ),
+      x AS (
+        SELECT ta.id_1, ta.id_2, tok_a, cnt_a, tok_b, cnt_b,
+               1.0 - levenshtein(tok_a, tok_b)
+                     / CAST(greatest(length(tok_a), length(tok_b)) AS DOUBLE)
+               AS sim
+        FROM ta JOIN tb ON ta.id_1 = tb.id_1 AND ta.id_2 = tb.id_2
+      ),
+      mxa AS (
+        SELECT id_1, id_2, tok_a, cnt_a, max(sim) AS mx
+        FROM x GROUP BY 1, 2, 3, 4
+      ),
+      mxb AS (
+        SELECT id_1, id_2, tok_b, cnt_b, max(sim) AS mx
+        FROM x GROUP BY 1, 2, 3, 4
+      ),
+      ab AS (
+        SELECT id_1, id_2,
+               round(sum(CAST(round(mx * 1000000.0) AS BIGINT) * cnt_a)
+                     / (1000000.0 * sum(cnt_a)), 6) AS me_12
+        FROM mxa GROUP BY 1, 2
+      ),
+      ba AS (
+        SELECT id_1, id_2,
+               round(sum(CAST(round(mx * 1000000.0) AS BIGINT) * cnt_b)
+                     / (1000000.0 * sum(cnt_b)), 6) AS me_21
+        FROM mxb GROUP BY 1, 2
+      )
+      SELECT ab.id_1, ab.id_2, me_12, me_21,
+             greatest(me_12, me_21) AS me_sym
+      FROM ab JOIN ba ON ab.id_1 = ba.id_1 AND ab.id_2 = ba.id_2"""
     # shared JW>=0.85 closure (identical to er_cluster_cc's oracle) for
     # the two cluster-consuming operators below
     _closure = f"""

@@ -1,0 +1,207 @@
+"""Exact edit-distance similarity self-join (Ed-Join family).
+
+The reference (rapidfuzz-rs) computes Levenshtein distance one pair at
+a time (`src/distance/levenshtein.rs:1021-1102` routing, banded kernels
+`:769-1019`); it has no join. This module is the missing scale operator
+for that kernel: find EVERY pair of documents within edit distance
+``k`` — no false negatives, no quadratic all-pairs work — using the
+positional q-gram prefix filter of Ed-Join (Xiao, Wang, Lin, VLDB
+2008) + the positional-gram count lemma (Gravano et al., VLDB 2001),
+then verify survivors with the repo's own Ukkonen-banded Levenshtein
+kernel under ``score_cutoff`` semantics (`kernels/batch.py`).
+
+Filter chain (each step lossless, argued inline):
+
+1. **q-gram prefix filter.** Each string of length n yields the
+   multiset Q of its n-q+1 positional q-grams. If ed(s1,s2) <= k there
+   is a matching M of gram occurrences, |M| >= max(|Q1|,|Q2|) - k*q,
+   each matched pair equal grams with |pos1-pos2| <= k (Gravano's
+   positional lemma: an unedited gram shifts by at most k positions,
+   and each of the <= k edits destroys at most q grams). Order all
+   occurrences by ascending global gram document-frequency (rarest
+   first, ties by gram text then position — a deterministic total
+   order shared by every doc; within one doc equal grams keep
+   position order, so any matching can be rearranged monotone per
+   gram, which preserves the |Δpos| <= k property pairwise). The
+   globally-smallest matched pair then sits within the first
+   ``k*q + 1`` occurrences on BOTH sides (the standard prefix-filter
+   argument: at least |M|-1 >= |Qi| - k*q - 1 matched occurrences
+   rank after it in Qi). So joining only the (k*q+1)-gram PREFIXES on
+   (gram, |Δpos| <= k) finds every true pair whose longer side has
+   more than k*q grams — and the prefix is the RAREST slice of the
+   vocabulary, so the join is anti-skew by construction, exactly like
+   the PPJoin prefix in `dedup.prefix_filter_jaccard_join`.
+
+2. **Short-string bucket.** Pairs where BOTH sides have <= k*q grams
+   (length n <= k*q + q - 1) can legally share zero grams, so they are
+   cross-joined within the bucket instead. Bounded by construction:
+   these are strings shorter than a small constant (5 chars at the
+   default q=2, k=2), of which a corpus holds at most |alphabet|^5
+   DISTINCT values no matter how many rows — and the bucket join runs
+   on distinct values. A short and a long string never need this path:
+   ed <= k forces |n1-n2| <= k, and the prefix argument above only
+   needs the LONGER side to exceed k*q grams.
+
+3. **Length filter.** |n1 - n2| <= k (ed is lower-bounded by the
+   length gap) — applied map-side at the candidate join.
+
+4. **Exact verification.** Survivors are scored with
+   `functions.levenshtein_distance(score_cutoff=k)` — the same
+   mbleven/bit-parallel/banded routing the pairwise API uses
+   (reference semantics `levenshtein.rs:324-427,769-1019`), Option ->
+   null under cutoff, then `WHERE dist IS NOT NULL`.
+
+Scale shape: one gram-keyed shuffle for the df census + ordering join,
+one doc-keyed regroup to sort/slice the prefix, one equi-join on
+prefix grams (rare keys, position filter applied map-side BEFORE the
+pair-dedup exchange), pair dedup, two id-keyed attaches, vectorized
+verify. At 10^12 docs every stage is a standard shuffle on bounded
+keys; there is no all-pairs stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import levenshtein_distance
+
+__all__ = ["edit_distance_join"]
+
+
+def edit_distance_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 2,
+    q: int = 2,
+    prefix_chars: int | None = None,
+) -> DataFrame:
+    """EXACT Levenshtein-distance <= ``k`` self-join over
+    ``docs(doc_id, text_col)``.
+
+    ``prefix_chars`` optionally truncates the compared string to its
+    first N characters (lowercased) — the common ER form "match on the
+    normalized head of the record"; ``None`` compares full strings.
+
+    Returns (doc_id_1, doc_id_2, n1, n2, dist) for every unordered pair
+    with ed <= k, doc_id_1 < doc_id_2, ordered deterministically by the
+    ids. ``dist`` is the exact distance (long).
+    """
+    if q < 1 or k < 0:
+        raise ValueError("need q >= 1 and k >= 0")
+    s = F.lower(F.col(text_col))
+    if prefix_chars is not None:
+        s = F.substring(s, 1, prefix_chars)
+    strings = docs.select("doc_id", s.alias("s"), F.length(s).alias("n"))
+
+    short_max = k * q + q - 1  # both sides <= this length -> bucket path
+
+    # EVERY doc with >= 1 gram enters the prefix path (a doc with
+    # <= k*q grams takes its whole gram set as prefix): a true pair is
+    # found here whenever its LONGER side has > k*q grams, even if the
+    # shorter side is tiny. Docs with zero grams (n < q) can only pair
+    # with strings of length <= q-1+k <= short_max, all inside the
+    # short bucket.
+    grams = strings.where(F.col("n") >= q).select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(s) - %d + 1, 0)),"
+                " p -> struct(p as pos, substring(s, p, %d) as gram))" % (q, q)
+            )
+        ).alias("g"),
+    ).select("doc_id", "n", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+
+    df_census = grams.groupBy("gram").agg(F.count("*").alias("gdf"))
+
+    # rarest-first deterministic total order: (df, gram, pos); slice the
+    # first k*q + 1 occurrences per doc. Lazy lineage cut as in
+    # prefix_filter_jaccard_join: the prefix explode reads ONE
+    # materialization of the regroup instead of re-running the census
+    # join per downstream consumer.
+    plen = k * q + 1
+    ordered = (
+        grams.join(df_census, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("gdf", "gram", "pos"))),
+                1,
+                plen,
+            ).alias("pref"),
+            F.first("n").alias("n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    prefixes = ordered.select(
+        "doc_id",
+        "n",
+        F.explode("pref").alias("pg"),
+    ).select("doc_id", "n", F.col("pg.gram").alias("gram"), F.col("pg.pos").alias("pos"))
+
+    a = prefixes.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("n").alias("n1"),
+        F.col("pos").alias("p1"),
+        "gram",
+    )
+    b = prefixes.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("n").alias("n2"),
+        F.col("pos").alias("p2"),
+        "gram",
+    )
+    long_cands = (
+        a.join(b, "gram")
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        # length + position filters are map-side, BEFORE the dedup
+        # exchange (the PPJoin positional-filter lesson, BENCH.md §23)
+        .where(F.abs(F.col("n1") - F.col("n2")) <= k)
+        .where(F.abs(F.col("p1") - F.col("p2")) <= k)
+        .select("doc_id_1", "doc_id_2")
+    )
+
+    # short bucket: strings with <= k*q grams may share none — cross
+    # join within the bucket (bounded: distinct strings of length
+    # <= short_max), same length filter
+    short_side = strings.where(F.col("n") <= short_max)
+    sa = short_side.select(
+        F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1")
+    )
+    sb = short_side.select(
+        F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2")
+    )
+    short_cands = (
+        sa.crossJoin(sb)
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        .where(F.abs(F.col("n1") - F.col("n2")) <= k)
+        .select("doc_id_1", "doc_id_2")
+    )
+
+    cands = long_cands.unionByName(short_cands).dropDuplicates(
+        ["doc_id_1", "doc_id_2"]
+    )
+
+    sides = strings.select("doc_id", "s", "n")
+    verified = (
+        cands.join(
+            sides.select(
+                F.col("doc_id").alias("doc_id_1"),
+                F.col("s").alias("s1"),
+                F.col("n").alias("n1"),
+            ),
+            "doc_id_1",
+        )
+        .join(
+            sides.select(
+                F.col("doc_id").alias("doc_id_2"),
+                F.col("s").alias("s2"),
+                F.col("n").alias("n2"),
+            ),
+            "doc_id_2",
+        )
+        .withColumn("dist", levenshtein_distance("s1", "s2", score_cutoff=k))
+        .where(F.col("dist").isNotNull())
+        .select("doc_id_1", "doc_id_2", "n1", "n2", F.col("dist").cast("long").alias("dist"))
+    )
+    return verified
