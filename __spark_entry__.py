@@ -1852,6 +1852,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["monge_elkan"] = monge_elkan
 
+    def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """DSIR importance weights (Xie et al. 2023): hashed-bigram
+        bucket log-ratio between a target corpus (deterministic 5%
+        md5-draw, the decontaminate_eval pattern) and the raw corpus,
+        exact integer-micro per-doc sums, map-side keep rule."""
+        from rapidfuzz_spark.textops import training
+        from rapidfuzz_spark.textops.sampling import md5_uniform
+
+        docs = _docs(spark, sf_dir)
+        tgt = docs.where(md5_uniform("doc_id", "eval") < 0.05)
+        return training.dsir_weights(docs, tgt, buckets=8192)
+
+    q["dsir_weights"] = dsir_weights
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1860,7 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
-        "ed_join", "monge_elkan",
+        "ed_join", "monge_elkan", "dsir_weights",
         "meta_block_cnp", "meta_block_wnp",
         "cluster_stats", "blocking_quality", "ppjoin_jaccard",
         "meta_block_wep", "bcubed_eval", "golden_records",
@@ -4537,6 +4551,49 @@ GROUP BY p.id_1, p.id_2"""
       SELECT ab.id_1, ab.id_2, me_12, me_21,
              greatest(me_12, me_21) AS me_sym
       FROM ab JOIN ba ON ab.id_1 = ba.id_1 AND ab.id_2 = ba.id_2"""
+    # DSIR replay: same md5 bucket hash, same add-1 smoothed bucket
+    # multinomials, same micro-int λ table and BIGINT per-doc sums.
+    o["dsir_weights"] = """
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS tk
+        FROM documents),
+      grams AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('dsir:' || tk[i] || ' ' || tk[i + 1]),
+                               1, 8))::BIGINT % 8192 AS bucket
+        FROM (SELECT doc_id, tk,
+                     unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS i
+              FROM toks)),
+      tgt_ids AS (
+        SELECT doc_id FROM documents
+        WHERE ('0x' || substr(md5('eval:' || doc_id), 1, 8))::BIGINT
+                / 4294967296.0 < 0.05),
+      raw_c AS (SELECT bucket, count(*) AS c_raw FROM grams GROUP BY 1),
+      tgt_c AS (SELECT bucket, count(*) AS c_tgt FROM grams
+                WHERE doc_id IN (SELECT doc_id FROM tgt_ids) GROUP BY 1),
+      tot AS (
+        SELECT (SELECT count(*) FROM grams) AS raw_n,
+               (SELECT count(*) FROM grams
+                WHERE doc_id IN (SELECT doc_id FROM tgt_ids)) AS tgt_n),
+      lam AS (
+        SELECT r.bucket,
+               CAST(round((ln((coalesce(t.c_tgt, 0) + 1)
+                              / CAST(tot.tgt_n + 8192 AS DOUBLE))
+                           - ln((r.c_raw + 1)
+                                / CAST(tot.raw_n + 8192 AS DOUBLE)))
+                          * 1000000.0) AS BIGINT) AS lam_micro
+        FROM raw_c r LEFT JOIN tgt_c t USING (bucket) CROSS JOIN tot),
+      scored AS (
+        SELECT g.doc_id, count(*) AS n_grams, sum(l.lam_micro) AS w_micro
+        FROM grams g JOIN lam l USING (bucket)
+        GROUP BY g.doc_id)
+      SELECT d.doc_id,
+             coalesce(s.n_grams, 0)::BIGINT AS n_grams,
+             round(coalesce(s.w_micro, 0) / 1000000.0, 6) AS score,
+             coalesce(s.w_micro, 0) > 0 AS keep
+      FROM documents d LEFT JOIN scored s USING (doc_id)"""
     # shared JW>=0.85 closure (identical to er_cluster_cc's oracle) for
     # the two cluster-consuming operators below
     _closure = f"""

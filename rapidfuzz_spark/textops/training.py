@@ -33,6 +33,7 @@ __all__ = [
     "decontamination_report",
     "excise_contaminated_spans",
     "substring_contamination",
+    "dsir_weights",
     "temperature_resample",
     "mix_by_source",
     "pack_documents",
@@ -1013,4 +1014,119 @@ def training_export(
         "pack_pos",
         "shard",
         "shard_pos",
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    buckets: int = 8192,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., NeurIPS 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    each raw document by how much more likely its hashed-bigram bag is
+    under the TARGET corpus' bucket distribution than under the RAW
+    corpus' own — log w(d) = sum over bigrams g of
+    ln p_target(h(g)) - ln p_raw(h(g)), with word bigrams hashed into
+    ``buckets`` buckets and add-1 smoothing on both multinomials.
+
+    Deterministic + engine-portable by the repo's standard recipe: the
+    bucket hash is md5-derived (first 8 hex digits mod ``buckets``, the
+    textops/sampling.py policy), and the per-doc sum is an EXACT
+    integer-micro accumulation — each bucket's log-ratio is rounded to
+    a micro int ONCE (a |buckets|-sized table), docs sum BIGINTs, and
+    one final division recovers the 6-dp score. Float summation order
+    can therefore never flip a value across engines or partitionings.
+
+    Selection is the map-side rule ``keep = score > 0`` (doc looks more
+    target- than raw-like) — zero extra shuffles; quota-style top-k
+    selection composes downstream via sampling.quota_sample on the
+    score. Docs with < 2 tokens have no bigrams: score 0, keep false.
+
+    Scale shape: two corpus-sized explode+aggregate passes (raw and
+    target bucket censuses — bounded output: ``buckets`` rows each), a
+    broadcast of the λ table (buckets × 16 B — a few hundred KB), and
+    one map-side-joined aggregation per doc. No pairwise stage, no
+    global sort; the hazard at 10^12 docs is only the bigram explode's
+    shuffle, which partial-aggregates map-side onto bucket ids.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        tk = F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda x: x != F.lit(""),
+        )
+        # size >= 2 guard BEFORE the transform: sequence(1, 0) in Spark
+        # is the DESCENDING [1, 0], not empty, so a single-token doc
+        # would index tk[1] out of bounds under ANSI mode
+        t = df.select("doc_id", tk.alias("tk")).where(F.size("tk") >= 2)
+        return (
+            t.select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(tk) - 1),"
+                        " i -> concat(tk[i - 1], ' ', tk[i]))"
+                    )
+                ).alias("gram"),
+            )
+            .withColumn(
+                "bucket",
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("gram"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % buckets,
+            )
+        )
+
+    raw_g = grams(docs)
+    tgt_g = grams(target)
+    raw_c = raw_g.groupBy("bucket").agg(F.count("*").alias("c_raw"))
+    tgt_c = tgt_g.groupBy("bucket").agg(F.count("*").alias("c_tgt"))
+    raw_n = raw_g.count()
+    tgt_n = tgt_g.count()
+    # λ table: one row per OCCUPIED bucket. Every raw gram's bucket is
+    # occupied on the raw side by construction, so the left join below
+    # never misses; buckets occupied only on the target side influence
+    # nothing (no raw gram hits them).
+    lam = (
+        raw_c.join(tgt_c, "bucket", "full")
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.coalesce("c_tgt", F.lit(0)) + 1)
+                        / F.lit(float(tgt_n + buckets))
+                    )
+                    - F.log(
+                        (F.coalesce("c_raw", F.lit(0)) + 1)
+                        / F.lit(float(raw_n + buckets))
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lam_micro"),
+        )
+    )
+    scored = (
+        raw_g.join(F.broadcast(lam), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("lam_micro").alias("w_micro"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.round(F.coalesce("w_micro", F.lit(0)) / 1e6, 6).alias("score"),
+            (F.coalesce("w_micro", F.lit(0)) > 0).alias("keep"),
+        )
     )

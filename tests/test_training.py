@@ -1023,3 +1023,64 @@ class TestTrainingExportMulti:
         docs, ev = self._fixture(spark)
         with pytest.raises(ValueError, match="unknown decontam rules"):
             training_export(docs, ev, decontam_rules=("minhit", "bogus"))
+
+
+def test_dsir_weights_brute_replay(spark):
+    """dsir_weights vs an independent pure-Python replay: same md5
+    buckets, add-1 smoothing, micro-int λ, exact integer doc sums."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from rapidfuzz_spark.textops.training import dsir_weights
+
+    B = 64
+    raw = [
+        ("r1", "the cat sat on the mat"),
+        ("r2", "the dog sat on the log"),
+        ("r3", "completely unrelated words here today"),
+        ("r4", "the cat sat"),
+        ("r5", "x"),  # single token -> no bigrams
+        ("r6", "the cat sat on the mat again and again"),
+    ]
+    tgt = [("t1", "the cat sat on the mat"), ("t2", "a cat sat quietly")]
+
+    def grams(text):
+        tk = [w for w in text.strip().lower().split() if w]
+        return [f"{a} {b}" for a, b in zip(tk, tk[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(f"dsir:{g}".encode()).hexdigest()[:8], 16) % B
+
+    raw_b = [bucket(g) for _, t in raw for g in grams(t)]
+    tgt_b = [bucket(g) for _, t in tgt for g in grams(t)]
+    cr, ct = Counter(raw_b), Counter(tgt_b)
+    lam = {
+        b: round(
+            (
+                math.log((ct.get(b, 0) + 1) / float(len(tgt_b) + B))
+                - math.log((cr[b] + 1) / float(len(raw_b) + B))
+            )
+            * 1e6
+        )
+        for b in cr
+    }
+    expect = {}
+    for did, t in raw:
+        bs = [bucket(g) for g in grams(t)]
+        w = sum(lam[b] for b in bs)
+        expect[did] = (len(bs), round(w / 1e6, 6), w > 0)
+
+    rd = spark.createDataFrame(raw, ["doc_id", "text"])
+    td = spark.createDataFrame(tgt, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_grams, r.score, r.keep)
+        for r in dsir_weights(rd, td, buckets=B).collect()
+    }
+    assert got == expect
+    # no-bigram doc: zero grams, zero score, not kept (with add-1
+    # smoothing at B=64 over this tiny corpus, absolute score SIGNS are
+    # smoothing-dominated — the exact replay equality above is the
+    # value contract; sign semantics are exercised at sf0.01 by the
+    # dsir_weights gate query)
+    assert got["r5"] == (0, 0.0, False)
