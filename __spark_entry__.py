@@ -1866,6 +1866,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_weights"] = dsir_weights
 
+    def fs_tf_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Splink-style term-frequency adjustment on an exact-match
+        Fellegi-Sunter comparison (first token of the doc as the
+        field): agreeing on a rare value earns a larger Bayes factor
+        m/p(v) than a common one; u's collision mass sum_v c^2/N^2 is
+        an exact integer sum. Fixed m (externally fitted; em_fit
+        composes) so the oracle replays the formula exactly."""
+        from rapidfuzz_spark.pipeline.problink import tf_adjusted_weights
+
+        first_tok = lambda c: F.split(F.trim(F.lower(c)), r"\s+").getItem(0)  # noqa: E731
+        p = _pairs(spark, sf_dir).select(
+            "id_1", "id_2",
+            first_tok(F.col("t1")).alias("v1"),
+            first_tok(F.col("t2")).alias("v2"),
+        )
+        return tf_adjusted_weights(
+            p,
+            _docs(spark, sf_dir),
+            first_tok(F.col("text")),
+            "v1",
+            "v2",
+            m=0.9,
+            lam=0.05,
+        ).select("id_1", "id_2", "agree", "match_weight", "posterior")
+
+    q["fs_tf_adjust"] = fs_tf_adjust
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1874,7 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
-        "ed_join", "monge_elkan", "dsir_weights",
+        "ed_join", "monge_elkan", "dsir_weights", "fs_tf_adjust",
         "meta_block_cnp", "meta_block_wnp",
         "cluster_stats", "blocking_quality", "ppjoin_jaccard",
         "meta_block_wep", "bcubed_eval", "golden_records",
@@ -4594,6 +4621,40 @@ GROUP BY p.id_1, p.id_2"""
              round(coalesce(s.w_micro, 0) / 1000000.0, 6) AS score,
              coalesce(s.w_micro, 0) > 0 AS keep
       FROM documents d LEFT JOIN scored s USING (doc_id)"""
+    # TF-adjusted FS replay: same first-token census, exact integer
+    # sum_v c^2 for u's collision mass, identical per-pair formula.
+    o["fs_tf_adjust"] = f"""
+      WITH p AS (
+        SELECT id_1, id_2,
+               string_split_regex(trim(lower(t1)), '\\s+')[1] AS v1,
+               string_split_regex(trim(lower(t2)), '\\s+')[1] AS v2
+        FROM ({_PAIRS_SQL})
+      ),
+      census AS (
+        SELECT string_split_regex(trim(lower(text)), '\\s+')[1] AS v,
+               count(*) AS c_v
+        FROM documents
+        WHERE length(string_split_regex(trim(lower(text)), '\\s+')[1]) > 0
+        GROUP BY 1
+      ),
+      tot AS (
+        SELECT sum(c_v) AS n_tot, sum(c_v * c_v) AS sq_sum FROM census
+      ),
+      scored AS (
+        SELECT p.id_1, p.id_2,
+               coalesce(p.v1 = p.v2, false) AS agree,
+               CASE WHEN coalesce(p.v1 = p.v2, false)
+                    THEN 0.9 * tot.n_tot / c.c_v
+                    ELSE (1.0 - 0.9)
+                         / (1.0 - sq_sum
+                                  / CAST(tot.n_tot * tot.n_tot AS DOUBLE))
+               END AS bf
+        FROM p LEFT JOIN census c ON p.v1 = c.v CROSS JOIN tot
+      )
+      SELECT id_1, id_2, agree,
+             round(log2(bf), 6) AS match_weight,
+             round(0.05 * bf / (0.05 * bf + 0.95), 6) AS posterior
+      FROM scored"""
     # shared JW>=0.85 closure (identical to er_cluster_cc's oracle) for
     # the two cluster-consuming operators below
     _closure = f"""

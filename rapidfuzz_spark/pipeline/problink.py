@@ -221,3 +221,82 @@ def fs_em_linkage(
     return pairs.withColumn(
         "posterior", posterior_expr(gamma_cols, lam, m, u)
     )
+
+
+def tf_adjusted_weights(
+    pairs: DataFrame,
+    docs: DataFrame,
+    val_expr: Column,
+    val1: Column | str,
+    val2: Column | str,
+    m: float = 0.9,
+    lam: float = 0.05,
+) -> DataFrame:
+    """Term-frequency-adjusted Fellegi-Sunter match weights for an
+    exact-match comparison (the Splink ``tf_adjustments`` mechanic;
+    Fellegi & Sunter 1969 §3 for the underlying m/u algebra): a pair
+    agreeing on a COMMON value ("john smith") is far weaker evidence
+    than one agreeing on a RARE value, so for agreeing pairs the
+    generic chance-agreement probability u = sum_v p(v)^2 is replaced
+    by the matched value's own term frequency p(v):
+
+        agree on v:  bf = m / p(v)
+        disagree:    bf = (1 - m) / (1 - u)
+
+    with match_weight = log2(bf) and posterior the lam-prior Bayes
+    update. ``m`` is the (externally fitted — compose with em_fit)
+    probability that true matches agree on the field; ``val_expr`` maps
+    a doc row to the field value; ``val1``/``val2`` name the two sides'
+    value columns on ``pairs``.
+
+    Engine-exact arithmetic: p(v) = c_v / N is one exact integer
+    division per pair, and u's numerator sum_v c_v^2 is an exact BIGINT
+    sum (never a float accumulation), so the only float ops are the
+    final per-pair divisions/log2 — identical in any engine, 6-dp
+    rounded.
+
+    Scale shape: one census aggregation over docs (vocabulary-sized
+    output), broadcast-joined to the pair frame on the agreeing value;
+    u's sum is a scalar aggregate of the census. No pairwise stage
+    beyond the input pairs.
+    """
+    v1 = F.col(val1) if isinstance(val1, str) else val1
+    v2 = F.col(val2) if isinstance(val2, str) else val2
+    tf = docs.select(val_expr.alias("v")).where(
+        F.col("v").isNotNull() & (F.length("v") > 0)
+    )
+    census = tf.groupBy("v").agg(F.count("*").alias("c_v"))
+    tot = census.agg(
+        F.sum("c_v").alias("n_tot"),
+        F.sum(F.col("c_v") * F.col("c_v")).alias("sq_sum"),
+    ).collect()[0]
+    n_tot, sq_sum = int(tot["n_tot"]), int(tot["sq_sum"])
+    u_generic = sq_sum / float(n_tot * n_tot)
+
+    # EQUI broadcast join on the left value (every pair row joins its
+    # own value's census row — a hash join, never a nested-loop); c_v
+    # is only CONSUMED when the pair agrees
+    scored = (
+        pairs.withColumn("agree", F.coalesce(v1 == v2, F.lit(False)))
+        .join(
+            F.broadcast(census.withColumnRenamed("v", "__tfv")),
+            v1 == F.col("__tfv"),
+            "left",
+        )
+        .withColumn(
+            "bf",
+            F.when(
+                F.col("agree"),
+                F.lit(m) * n_tot / F.col("c_v"),
+            ).otherwise(F.lit((1.0 - m) / (1.0 - u_generic))),
+        )
+    )
+    bayes = (F.lit(lam) * F.col("bf")) / (
+        F.lit(lam) * F.col("bf") + F.lit(1.0 - lam)
+    )
+    return scored.select(
+        *[c for c in pairs.columns],
+        "agree",
+        F.round(F.log2("bf"), 6).alias("match_weight"),
+        F.round(bayes, 6).alias("posterior"),
+    )

@@ -147,3 +147,47 @@ def test_em_unobserved_level_clamps():
             for p in f:
                 assert problink._CLAMP_LO <= p <= problink._CLAMP_HI
     assert problink._CLAMP_LO <= lam <= problink._CLAMP_HI
+
+
+def test_tf_adjusted_weights_hand_values(spark):
+    """Rare-value agreement must out-weigh common-value agreement; all
+    numbers replayed by hand (m=0.9, lam=0.5 for easy arithmetic)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rapidfuzz_spark.pipeline.problink import tf_adjusted_weights
+
+    docs = spark.createDataFrame(
+        [("d1", "john a"), ("d2", "john b"), ("d3", "john c"),
+         ("d4", "zara d"), ("d5", "mia e")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2", "john", "john"),   # common agree: p=3/5
+         ("d4", "x", "zara", "zara"),    # rare agree:   p=1/5
+         ("d1", "d4", "john", "zara")],  # disagree
+        ["id_1", "id_2", "v1", "v2"],
+    )
+    out = {
+        (r.id_1, r.id_2): (r.agree, r.match_weight, r.posterior)
+        for r in tf_adjusted_weights(
+            pairs, docs,
+            F.split(F.trim(F.lower("text")), r"\s+").getItem(0),
+            "v1", "v2", m=0.9, lam=0.5,
+        ).collect()
+    }
+    # u = (3^2 + 1 + 1) / 25 = 0.44
+    bf_john = 0.9 * 5 / 3          # 1.5
+    bf_zara = 0.9 * 5 / 1          # 4.5
+    bf_dis = (1.0 - 0.9) / (1.0 - 11 / 25.0)
+
+    def mw_post(bf):
+        return (round(math.log2(bf), 6),
+                round(0.5 * bf / (0.5 * bf + 0.5), 6))
+
+    assert out[("d1", "d2")] == (True, *mw_post(bf_john))
+    assert out[("d4", "x")] == (True, *mw_post(bf_zara))
+    assert out[("d1", "d4")] == (False, *mw_post(bf_dis))
+    # rare agreement strictly stronger than common agreement
+    assert out[("d4", "x")][1] > out[("d1", "d2")][1]
