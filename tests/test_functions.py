@@ -207,3 +207,34 @@ def test_seq_vocab_overflow_splits_batch():
     seqs2[0] = seqs1[0]  # one identical pair
     vals, keep = _score_seq_block("levenshtein", "distance", seqs1, seqs2, None)
     assert vals[0] == 0 and (vals[1:] == width).all()
+
+
+def test_token_sort_ratio_order_insensitive(spark):
+    """token_sort_key + ratio: word order must not matter; values match
+    the scalar reference ratio over the sorted join."""
+    import rapidfuzz_spark as rf
+    import rapidfuzz_spark.functions as RF
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a", "new york mets", "mets new york"),
+        ("b", "great is wow", "wow is great!"),
+        ("c", "abcd", "dcba"),
+    ]
+    df = spark.createDataFrame(rows, ["pid", "t1", "t2"])
+    out = {
+        r.pid: r.v
+        for r in df.select(
+            "pid",
+            F.round(
+                RF.ratio(RF.token_sort_key("t1"), RF.token_sort_key("t2")), 6
+            ).alias("v"),
+        ).collect()
+    }
+    assert out["a"] == 1.0
+    assert out["b"] == 1.0  # punctuation normalized away
+    def key(s):
+        import re
+        return " ".join(sorted(re.sub(r"[^a-z0-9]+", " ", s.lower()).split()))
+    for pid, t1, t2 in rows:
+        assert out[pid] == round(rf.fuzz.ratio(key(t1), key(t2)), 6)
