@@ -1910,6 +1910,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_sort_ratio"] = token_sort_ratio
 
+    def ari_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Adjusted Rand Index (Hubert & Arabie 1985) of the JW>=0.85
+        connected-components clustering against the corpus `source`
+        partition — the chance-corrected pair-counting evaluation.
+        All contingency arithmetic is exact BIGINT (formula cleared of
+        inner divisions); ONE final division, 6-dp."""
+        from rapidfuzz_spark.pipeline import cluster, metrics
+
+        p = _pairs(spark, sf_dir)
+        edges = p.select(
+            F.col("id_1").alias("doc_id_1"),
+            F.col("id_2").alias("doc_id_2"),
+            F.round(RF.jaro_winkler_similarity("t1", "t2"), 6).alias("jw"),
+        ).where(F.col("jw") >= 0.85)
+        comps = cluster.connected_components(edges)
+        d = _docs(spark, sf_dir)
+        assign = d.join(comps, "doc_id", "left").select(
+            F.coalesce("entity_id", "doc_id").alias("pred"),
+            F.col("source").alias("truth"),
+        )
+        return metrics.adjusted_rand_index(assign)
+
+    q["ari_eval"] = ari_eval
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1919,7 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     newest_first = [
         # round 5
         "ed_join", "monge_elkan", "dsir_weights", "fs_tf_adjust",
-        "token_sort_ratio",
+        "token_sort_ratio", "ari_eval",
         "meta_block_cnp", "meta_block_wnp",
         "cluster_stats", "blocking_quality", "ppjoin_jaccard",
         "meta_block_wep", "bcubed_eval", "golden_records",
@@ -4734,6 +4758,39 @@ GROUP BY p.id_1, p.id_2"""
                   ELSE round(2 * p * r / (p + r), 6) END AS value FROM v
       UNION ALL SELECT 'bcubed_precision', p FROM v
       UNION ALL SELECT 'bcubed_recall', r FROM v"""
+    )
+    # ARI replay: same closure + contingency table; the formula is
+    # cleared of inner divisions so every term is an exact integer
+    # (all < 2^53, so the one double division agrees bit-for-bit with
+    # Python's exact-rational division driver-side)
+    o["ari_eval"] = (
+        _closure
+        + """,
+      asg AS (
+        SELECT ent.entity_id AS pred, d.source AS truth
+        FROM documents d JOIN ent USING (doc_id)
+      ),
+      cells AS (SELECT pred, truth, count(*) AS n_pt FROM asg GROUP BY 1, 2),
+      s AS (
+        SELECT
+          (SELECT count(*) FROM asg) AS n,
+          (SELECT sum(CAST(n_pt * (n_pt - 1) / 2 AS BIGINT)) FROM cells) AS idx,
+          (SELECT sum(CAST(n_p * (n_p - 1) / 2 AS BIGINT)) FROM
+             (SELECT sum(n_pt) AS n_p FROM cells GROUP BY pred)) AS a_sum,
+          (SELECT sum(CAST(n_t * (n_t - 1) / 2 AS BIGINT)) FROM
+             (SELECT sum(n_pt) AS n_t FROM cells GROUP BY truth)) AS b_sum
+      )
+      SELECT CAST(n AS BIGINT) AS n_docs,
+             CAST(idx AS BIGINT) AS idx,
+             CAST(a_sum AS BIGINT) AS a_sum,
+             CAST(b_sum AS BIGINT) AS b_sum,
+             round(
+               CAST(2 * (idx * ((n * (n - 1)) // 2) - a_sum * b_sum) AS DOUBLE)
+               / nullif(CAST((a_sum + b_sum) * ((n * (n - 1)) // 2)
+                             - 2 * a_sum * b_sum AS DOUBLE), 0),
+               6
+             ) AS ari
+      FROM s"""
     )
     # golden-record replay: longest-text representative (ties min
     # doc_id) + per-field mode survivorship (ties min value), all as

@@ -161,22 +161,43 @@ def edit_distance_join(
         .select("doc_id_1", "doc_id_2")
     )
 
-    # short bucket: strings with <= k*q grams may share none — cross
-    # join within the bucket (bounded: distinct strings of length
-    # <= short_max), same length filter
+    # short bucket: strings with <= k*q grams may share none — pair
+    # them within the bucket. The cartesian runs over DISTINCT VALUES
+    # (bounded by construction: <= |alphabet|^short_max regardless of
+    # corpus size), collapsed to single partitions — a 128-partition
+    # id-level crossJoin would inherit 128x128 = 16k cartesian
+    # partitions, and the downstream dedup exchange would pay 16k
+    # no-op task launches even when the bucket is EMPTY (measured:
+    # that overhead alone dominated the 480k-doc cluster bench). Doc
+    # ids re-attach via two value-keyed joins; same-value id pairs
+    # (ed 0) come from a value-keyed self-join, never a cartesian.
     short_side = strings.where(F.col("n") <= short_max)
-    sa = short_side.select(
-        F.col("doc_id").alias("doc_id_1"), F.col("n").alias("n1")
+    sv = short_side.select("s", "n").distinct().coalesce(1)
+    vp = (
+        sv.select(F.col("s").alias("vs1"), F.col("n").alias("vn1"))
+        .crossJoin(
+            sv.select(F.col("s").alias("vs2"), F.col("n").alias("vn2"))
+        )
+        .where(F.col("vs1") < F.col("vs2"))
+        .where(F.abs(F.col("vn1") - F.col("vn2")) <= k)
+        .select("vs1", "vs2")
     )
-    sb = short_side.select(
-        F.col("doc_id").alias("doc_id_2"), F.col("n").alias("n2")
+    ids = short_side.select("doc_id", "s")
+    cross_value = (
+        vp.join(ids.select(F.col("doc_id").alias("id_a"), F.col("s").alias("vs1")), "vs1")
+        .join(ids.select(F.col("doc_id").alias("id_b"), F.col("s").alias("vs2")), "vs2")
+        .select(
+            F.least("id_a", "id_b").alias("doc_id_1"),
+            F.greatest("id_a", "id_b").alias("doc_id_2"),
+        )
     )
-    short_cands = (
-        sa.crossJoin(sb)
+    same_value = (
+        ids.select(F.col("doc_id").alias("doc_id_1"), "s")
+        .join(ids.select(F.col("doc_id").alias("doc_id_2"), "s"), "s")
         .where(F.col("doc_id_1") < F.col("doc_id_2"))
-        .where(F.abs(F.col("n1") - F.col("n2")) <= k)
         .select("doc_id_1", "doc_id_2")
     )
+    short_cands = cross_value.unionByName(same_value)
 
     cands = long_cands.unionByName(short_cands).dropDuplicates(
         ["doc_id_1", "doc_id_2"]

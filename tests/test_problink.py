@@ -191,3 +191,33 @@ def test_tf_adjusted_weights_hand_values(spark):
     assert out[("d1", "d4")] == (False, *mw_post(bf_dis))
     # rare agreement strictly stronger than common agreement
     assert out[("d4", "x")][1] > out[("d1", "d2")][1]
+
+
+def test_adjusted_rand_index_hand_values(spark):
+    """ARI vs hand-computed contingency arithmetic, including the
+    perfect-match and independent-split corners."""
+    from rapidfuzz_spark.pipeline.metrics import adjusted_rand_index
+
+    # classic example: pred splits {a,b,c}{d,e,f}, truth {a,b}{c,d,e,f}
+    assign = spark.createDataFrame(
+        [("a", "p1", "t1"), ("b", "p1", "t1"), ("c", "p1", "t2"),
+         ("d", "p2", "t2"), ("e", "p2", "t2"), ("f", "p2", "t2")],
+        ["doc_id", "pred", "truth"],
+    )
+    r = adjusted_rand_index(assign).collect()[0]
+    # cells: (p1,t1)=2 (p1,t2)=1 (p2,t2)=3 -> idx = 1 + 0 + 3 = 4
+    # a: C(3,2)*2 = 6 ; b: C(2,2)=1 + C(4,2)=6 -> 7 ; cn2 = 15
+    # ari = 2*(4*15 - 42) / ((6+7)*15 - 2*42) = 36/111
+    assert (r.n_docs, r.idx, r.a_sum, r.b_sum) == (6, 4, 6, 7)
+    assert r.ari == round(36 / 111, 6)
+    # identical clusterings -> ARI 1.0
+    same = spark.createDataFrame(
+        [("a", "x", "x"), ("b", "x", "x"), ("c", "y", "y")],
+        ["doc_id", "pred", "truth"],
+    )
+    assert adjusted_rand_index(same).collect()[0].ari == 1.0
+    # degenerate: everything one cluster on both sides -> den = 0 -> null
+    one = spark.createDataFrame(
+        [("a", "x", "t"), ("b", "x", "t")], ["doc_id", "pred", "truth"]
+    )
+    assert adjusted_rand_index(one).collect()[0].ari is None
