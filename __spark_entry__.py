@@ -1838,6 +1838,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ed_join"] = ed_join
 
+    def ed_join_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Two-table Ed-Join (incremental-linkage shape): the corpus as
+        reference, a deterministic md5 10% draw as the arriving batch;
+        every (corpus, batch) pair within lev<=2 on the 24-char heads.
+        Naive cross-join oracle — the gate checks losslessness of the
+        shared-census prefix filter across tables."""
+        from rapidfuzz_spark.textops.edjoin import edit_distance_join_rs
+        from rapidfuzz_spark.textops.sampling import md5_uniform
+
+        d = _docs(spark, sf_dir)
+        batch = d.where(md5_uniform("doc_id", "rsbatch") < 0.10)
+        return edit_distance_join_rs(
+            d, batch, "text", k=2, q=2, prefix_chars=24
+        ).orderBy("doc_id_1", "doc_id_2")
+
+    q["ed_join_rs"] = ed_join_rs
+
     def monge_elkan(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Monge-Elkan hybrid token similarity (Monge & Elkan, KDD 1996)
         over the blocked candidate pairs: mean-of-max normalized-
@@ -1942,8 +1959,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
-        "ed_join", "monge_elkan", "dsir_weights", "fs_tf_adjust",
-        "token_sort_ratio", "ari_eval",
+        "ed_join", "ed_join_rs", "monge_elkan", "dsir_weights",
+        "fs_tf_adjust", "token_sort_ratio", "ari_eval",
         "meta_block_cnp", "meta_block_wnp",
         "cluster_stats", "blocking_quality", "ppjoin_jaccard",
         "meta_block_wep", "bcubed_eval", "golden_records",
@@ -4574,6 +4591,23 @@ GROUP BY p.id_1, p.id_2"""
              levenshtein(a.s, b.s) AS dist
       FROM s a JOIN s b ON a.doc_id < b.doc_id
       WHERE levenshtein(a.s, b.s) <= 2"""
+    # ed_join_rs oracle: naive corpus x md5-10%-batch cross join
+    o["ed_join_rs"] = """
+      WITH s AS (
+        SELECT doc_id, substr(lower(text), 1, 24) AS s,
+               length(substr(lower(text), 1, 24)) AS n
+        FROM documents
+      ),
+      b AS (
+        SELECT * FROM s
+        WHERE ('0x' || substr(md5('rsbatch:' || doc_id), 1, 8))::BIGINT
+                / 4294967296.0 < 0.10
+      )
+      SELECT l.doc_id AS doc_id_1, r.doc_id AS doc_id_2,
+             l.n AS n1, r.n AS n2,
+             levenshtein(l.s, r.s) AS dist
+      FROM s l JOIN b r ON abs(l.n - r.n) <= 2
+      WHERE levenshtein(l.s, r.s) <= 2"""
     # Monge-Elkan replay: the same multiset (tok, cnt) grouping, inner
     # normalized-lev sim via DuckDB's exact levenshtein, per-token max,
     # and the identical integer-micro mean (round to micro int, BIGINT

@@ -197,3 +197,63 @@ def test_monge_elkan_randomized(spark):
     }
     for i1, i2, t1, t2 in rows:
         assert got[(i1, i2)] == pytest.approx(_me_brute(t1, t2), abs=1e-9)
+
+
+# --- R-S (two-table) Ed-Join ---------------------------------------------
+
+
+def _naive_rs(lrows, rrows, k):
+    out = set()
+    for i1, s1 in lrows:
+        for i2, s2 in rrows:
+            d = levenshtein_batch([s1.lower()], [s2.lower()])[0]
+            if d <= k:
+                out.add((i1, i2, int(d)))
+    return out
+
+
+def _join_rs(spark, lrows, rrows, k, q=2, prefix_chars=None):
+    from rapidfuzz_spark.textops.edjoin import edit_distance_join_rs
+
+    ldf = spark.createDataFrame(lrows, ["doc_id", "text"])
+    rdf = spark.createDataFrame(rrows, ["doc_id", "text"])
+    got = edit_distance_join_rs(ldf, rdf, "text", k=k, q=q, prefix_chars=prefix_chars)
+    return {(r.doc_id_1, r.doc_id_2, r.dist) for r in got.collect()}
+
+
+def test_rs_matches_naive(spark):
+    lrows = CORPUS[:6]
+    rrows = CORPUS[4:] + [("r1", "the quick brown fax jumps")]
+    for k in (0, 1, 2):
+        assert _join_rs(spark, lrows, rrows, k) == _naive_rs(lrows, rrows, k), k
+
+
+def test_rs_short_and_cross_bucket(spark):
+    lrows = [("l1", ""), ("l2", "ab"), ("l3", "abcde"), ("l4", "abcdef"), ("l5", "zzzz")]
+    rrows = [("r1", "a"), ("r2", "abc"), ("r3", "abcdE"), ("r4", "abcdefgh"), ("r5", "zz")]
+    for k in (1, 2):
+        assert _join_rs(spark, lrows, rrows, k) == _naive_rs(lrows, rrows, k), k
+
+
+def test_rs_same_doc_both_sides(spark):
+    rows = CORPUS[:4]
+    got = _join_rs(spark, rows, rows, 2)
+    # every doc pairs with itself at dist 0, both directions of near-dups
+    assert all((i, i, 0) in got for i, _ in rows)
+    assert got == _naive_rs(rows, rows, 2)
+
+
+def test_rs_randomized(spark):
+    import random
+
+    rng = random.Random(11)
+    alphabet = "abcdef "
+    lrows = [(f"l{i}", "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))) for i in range(20)]
+    rrows = [(f"r{i}", "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 12)))) for i in range(20)]
+    # plant cross-side near-dups
+    for i in range(0, 18, 3):
+        s = lrows[i][1]
+        if s:
+            p = rng.randrange(len(s))
+            rrows[i] = (rrows[i][0], s[:p] + rng.choice(alphabet) + s[p + 1 :])
+    assert _join_rs(spark, lrows, rrows, 2) == _naive_rs(lrows, rrows, 2)
