@@ -1951,6 +1951,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ari_eval"] = ari_eval
 
+    def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Recall@5 of the sign-LSH ANN against the brute-force ground
+        truth, per query point — the standard ANN quality dial (recall
+        vs probe cost). Both sides are deterministic (6-dp cosine,
+        ties by cid), so the oracle composes the two existing replays
+        and the division is exact-count arithmetic."""
+        from rapidfuzz_spark.textops import ann
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        qs = emb.where(F.col("vec_id") % 50 == 0)
+        bt = ann.brute_force_topk(qs, emb, k=5).select("qid", "cid")
+        lt = ann.lsh_topk(qs, emb, k=5, n_planes=8).select(
+            "qid", "cid", F.lit(1).alias("hit")
+        )
+        return (
+            bt.join(lt, ["qid", "cid"], "left")
+            .groupBy("qid")
+            .agg(
+                F.count("*").alias("n_true"),
+                F.count("hit").alias("n_hit"),
+                F.round(
+                    F.count("hit") / F.count("*").cast("double"), 6
+                ).alias("recall"),
+            )
+        )
+
+    q["ann_recall"] = ann_recall
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1960,7 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     newest_first = [
         # round 5
         "ed_join", "ed_join_rs", "monge_elkan", "dsir_weights",
-        "fs_tf_adjust", "token_sort_ratio", "ari_eval",
+        "fs_tf_adjust", "token_sort_ratio", "ari_eval", "ann_recall",
         "meta_block_cnp", "meta_block_wnp",
         "cluster_stats", "blocking_quality", "ppjoin_jaccard",
         "meta_block_wep", "bcubed_eval", "golden_records",
@@ -4608,6 +4636,55 @@ GROUP BY p.id_1, p.id_2"""
              levenshtein(l.s, r.s) AS dist
       FROM s l JOIN b r ON abs(l.n - r.n) <= 2
       WHERE levenshtein(l.s, r.s) <= 2"""
+    # ann_recall: compose the brute-force and LSH replays (renamed CTE
+    # chains), then exact-count recall per query point
+    o["ann_recall"] = """
+      WITH bq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+                  FROM embeddings WHERE vec_id % 50 = 0),
+      bscored AS (
+        SELECT qid, c.vec_id AS cid,
+               round(list_cosine_similarity(qe, c.embedding::DOUBLE[]), 6)
+                 AS cos_sim
+        FROM bq, embeddings c WHERE c.vec_id <> qid),
+      br AS (SELECT *, row_number() OVER (
+               PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rnk
+             FROM bscored),
+      brute AS (SELECT qid, cid FROM br WHERE rnk <= 5),
+      dims AS (
+        SELECT vec_id, i - 1 AS d, embedding[i]::DOUBLE AS x
+        FROM (SELECT vec_id, embedding,
+                     unnest(range(1, len(embedding) + 1)) AS i
+              FROM embeddings)),
+      proj AS (
+        SELECT vec_id, p.p,
+               sum(CASE WHEN substr(md5(p.p::VARCHAR || ':' || d::VARCHAR), 1, 1)
+                        IN ('8','9','a','b','c','d','e','f')
+                        THEN x ELSE -x END) AS pr
+        FROM dims, generate_series(0, 7) p(p)
+        GROUP BY vec_id, p.p),
+      buck AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY p) AS bucket
+        FROM proj GROUP BY vec_id),
+      lq AS (SELECT e.vec_id AS qid, e.embedding::DOUBLE[] AS qe, b.bucket
+             FROM embeddings e JOIN buck b USING (vec_id)
+             WHERE e.vec_id % 50 = 0),
+      lc AS (SELECT e.vec_id AS cid, e.embedding::DOUBLE[] AS ce, b.bucket
+             FROM embeddings e JOIN buck b USING (vec_id)),
+      lscored AS (SELECT qid, cid,
+                         round(list_cosine_similarity(qe, ce), 6) AS cos_sim
+                  FROM lq JOIN lc USING (bucket) WHERE qid <> cid),
+      lr AS (SELECT *, row_number() OVER (
+               PARTITION BY qid ORDER BY cos_sim DESC, cid) AS rnk
+             FROM lscored),
+      lsh AS (SELECT qid, cid FROM lr WHERE rnk <= 5)
+      SELECT b.qid,
+             count(*) AS n_true,
+             count(l.cid) AS n_hit,
+             round(count(l.cid) / CAST(count(*) AS DOUBLE), 6) AS recall
+      FROM brute b LEFT JOIN lsh l ON b.qid = l.qid AND b.cid = l.cid
+      GROUP BY b.qid"""
     # Monge-Elkan replay: the same multiset (tok, cnt) grouping, inner
     # normalized-lev sim via DuckDB's exact levenshtein, per-token max,
     # and the identical integer-micro mean (round to micro int, BIGINT
