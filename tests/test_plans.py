@@ -178,6 +178,10 @@ def test_driver_queries_no_cartesian_no_rowpython(spark):
         # training-export operators (round-3 continuation)
         "decontaminate_eval", "temp_resample", "pack_docs",
         "shuffle_shards", "unigram_lp", "training_export_e2e",
+        # round-5 second-session additions (ed_join/ed_join_rs carry a
+        # DELIBERATE bounded distinct-value cartesian — own test below;
+        # dsir/fs_tf/ari run bounded eager scalar aggregates)
+        "monge_elkan", "token_sort_ratio", "ann_recall",
     ]
     qs = E.queries()
     for name in lazy:
@@ -500,3 +504,59 @@ def test_bcubed_aggregates_cells_not_docs(spark, docs):
     assert "Window" not in p and "CartesianProduct" not in p
     # both join inputs are HashAggregates (cell/cluster granularity)
     assert p.count("HashAggregate") >= 4  # partial+final on each side
+
+
+def test_monge_elkan_pure_codegen(spark, docs):
+    """Monge-Elkan's default inner metric is the JVM levenshtein: the
+    whole plan must be Python-free (no Arrow, no row UDFs) and
+    cartesian-free — the per-pair token cross product is an EQUI-join
+    on the pair ids."""
+    from rapidfuzz_spark.textops.softtfidf import monge_elkan_pairs
+
+    pairs = docs.limit(20).select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("text").alias("t1"),
+        F.concat(F.col("doc_id"), F.lit("_r")).alias("doc_id_2"),
+        F.reverse("text").alias("t2"),
+    )
+    p = plan_str(monge_elkan_pairs(pairs))
+    assert "BatchEvalPython" not in p, p
+    assert "ArrowEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_edjoin_cartesian_bounded_to_value_bucket(spark, docs):
+    """The ONLY cartesian in an Ed-Join plan is the short-string
+    bucket's distinct-VALUE product (coalesced to 1 partition);
+    the gram path must be equi-joins, and the verify must be one
+    Arrow-batched kernel eval."""
+    from rapidfuzz_spark.textops.edjoin import (
+        edit_distance_join,
+        edit_distance_join_rs,
+    )
+
+    d = docs.limit(50)
+    for df in (
+        edit_distance_join(d, "text", k=2, prefix_chars=24),
+        edit_distance_join_rs(d, d.limit(10), "text", k=2, prefix_chars=24),
+    ):
+        p = plan_str(df, "simple")  # formatted prints each node twice
+        n_cart = p.count("CartesianProduct") + p.count("BroadcastNestedLoopJoin")
+        assert n_cart <= 1, p
+        assert "BatchEvalPython" not in p, p  # verify is Arrow, not row
+
+
+def test_dsir_lambda_broadcast(spark, docs):
+    """DSIR's per-doc scoring joins the bucket λ table as a BROADCAST
+    hash join (the table is buckets-sized); the gram streams stay pure
+    Catalyst."""
+    from rapidfuzz_spark.textops.sampling import md5_uniform
+    from rapidfuzz_spark.textops.training import dsir_weights
+
+    d = docs.limit(100)
+    tgt = d.where(md5_uniform("doc_id", "eval") < 0.3)
+    p = plan_str(dsir_weights(d, tgt, buckets=64))
+    assert "BroadcastHashJoin" in p, p
+    assert "BatchEvalPython" not in p, p
+    assert "CartesianProduct" not in p, p
