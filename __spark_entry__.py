@@ -1979,6 +1979,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_recall"] = ann_recall
 
+    def vmeasure_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """V-measure (Rosenberg & Hirschberg 2007) of the JW>=0.85
+        closure vs the `source` truth: homogeneity/completeness/V from
+        contingency entropies, each ln micro-int-rounded once and
+        summed as exact BIGINTs (the bcubed recipe for entropies)."""
+        from rapidfuzz_spark.pipeline import cluster, metrics
+
+        p = _pairs(spark, sf_dir)
+        edges = p.select(
+            F.col("id_1").alias("doc_id_1"),
+            F.col("id_2").alias("doc_id_2"),
+            F.round(RF.jaro_winkler_similarity("t1", "t2"), 6).alias("jw"),
+        ).where(F.col("jw") >= 0.85)
+        comps = cluster.connected_components(edges)
+        d = _docs(spark, sf_dir)
+        assign = d.join(comps, "doc_id", "left").select(
+            F.coalesce("entity_id", "doc_id").alias("pred"),
+            F.col("source").alias("truth"),
+        )
+        return metrics.v_measure(assign)
+
+    q["vmeasure_eval"] = vmeasure_eval
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -1989,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5
         "ed_join", "ed_join_rs", "monge_elkan", "dsir_weights",
         "fs_tf_adjust", "token_sort_ratio", "ari_eval", "ann_recall",
+        "vmeasure_eval",
         "meta_block_cnp", "meta_block_wnp",
         "cluster_stats", "blocking_quality", "ppjoin_jaccard",
         "meta_block_wep", "bcubed_eval", "golden_records",
@@ -4902,6 +4926,55 @@ GROUP BY p.id_1, p.id_2"""
                6
              ) AS ari
       FROM s"""
+    )
+    # V-measure replay: same closure + contingency; every ln argument
+    # is an exact BIGINT ratio cast to double, micro-int-rounded once,
+    # BIGINT-summed; h/c one division each, v from the rounded h/c
+    o["vmeasure_eval"] = (
+        _closure
+        + """,
+      asg AS (
+        SELECT ent.entity_id AS pred, d.source AS truth
+        FROM documents d JOIN ent USING (doc_id)
+      ),
+      cells AS (SELECT pred, truth, count(*) AS n_pt FROM asg GROUP BY 1, 2),
+      np AS (SELECT pred, sum(n_pt) AS n_p FROM cells GROUP BY 1),
+      nt AS (SELECT truth, sum(n_pt) AS n_t FROM cells GROUP BY 1),
+      tot AS (SELECT count(*) AS n FROM asg),
+      s AS (
+        SELECT
+          (SELECT sum(n_pt * CAST(round(ln(CAST(n_pt AS DOUBLE)
+                                           / CAST(n_p AS DOUBLE))
+                                        * 1000000.0) AS BIGINT))
+           FROM cells JOIN np USING (pred)) AS ctk,
+          (SELECT sum(n_pt * CAST(round(ln(CAST(n_pt AS DOUBLE)
+                                           / CAST(n_t AS DOUBLE))
+                                        * 1000000.0) AS BIGINT))
+           FROM cells JOIN nt USING (truth)) AS ckt,
+          (SELECT sum(n_t * CAST(round(ln(CAST(n_t AS DOUBLE)
+                                          / CAST(n AS DOUBLE))
+                                       * 1000000.0) AS BIGINT))
+           FROM nt CROSS JOIN tot) AS ht,
+          (SELECT sum(n_p * CAST(round(ln(CAST(n_p AS DOUBLE)
+                                          / CAST(n AS DOUBLE))
+                                       * 1000000.0) AS BIGINT))
+           FROM np CROSS JOIN tot) AS hp
+      ),
+      hv AS (
+        SELECT
+          CASE WHEN ht = 0 THEN 1.0
+               ELSE round(1.0 - CAST(ctk AS DOUBLE) / CAST(ht AS DOUBLE), 6)
+          END AS h,
+          CASE WHEN hp = 0 THEN 1.0
+               ELSE round(1.0 - CAST(ckt AS DOUBLE) / CAST(hp AS DOUBLE), 6)
+          END AS c
+        FROM s
+      )
+      SELECT 'completeness' AS stat, c AS value FROM hv
+      UNION ALL SELECT 'homogeneity', h FROM hv
+      UNION ALL SELECT 'v_measure',
+        CASE WHEN h + c = 0 THEN 0.0
+             ELSE round(2 * h * c / (h + c), 6) END FROM hv"""
     )
     # golden-record replay: longest-text representative (ties min
     # doc_id) + per-field mode survivorship (ties min value), all as

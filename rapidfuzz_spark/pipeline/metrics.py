@@ -291,3 +291,68 @@ def adjusted_rand_index(assign: DataFrame) -> DataFrame:
         [(n, int(idx), int(a_sum), int(b_sum), ari)],
         "n_docs long, idx long, a_sum long, b_sum long, ari double",
     )
+
+
+def v_measure(assign: DataFrame) -> DataFrame:
+    """V-measure clustering evaluation (Rosenberg & Hirschberg, EMNLP
+    2007): homogeneity h = 1 - H(truth|pred)/H(truth), completeness
+    c = 1 - H(pred|truth)/H(pred), v = their harmonic mean — the
+    entropy-based complement to pairwise F1 / B-cubed / ARI.
+
+    ``assign``: one row per doc — (doc_id, pred, truth) labels.
+
+    Engine-replayable arithmetic (the bcubed recipe applied to
+    entropies): every ln argument is an exact BIGINT ratio
+    (n_cell/n_marginal or n_marginal/N), its ln is rounded to a micro
+    int ONCE per cell/marginal, the entropy sums are exact BIGINT
+    weighted sums, and each of h and c is ONE division of two exact
+    integers, 6-dp half-away rounded; v is computed from the
+    already-rounded h and c. Conventions (sklearn-compatible):
+    H(truth) = 0 -> h = 1, H(pred) = 0 -> c = 1, h + c = 0 -> v = 0.
+
+    Scale shape: one groupBy(pred, truth) cell aggregation, two
+    marginal aggregations, four scalar sums — nothing doc-sized past
+    the first aggregation.
+
+    Output: 3 rows — (stat ∈ {homogeneity, completeness, v_measure},
+    value).
+    """
+    from .problink import _r6
+
+    cells = assign.groupBy("pred", "truth").agg(F.count("*").alias("n_pt"))
+    n_p = cells.groupBy("pred").agg(F.sum("n_pt").alias("n_p"))
+    n_t = cells.groupBy("truth").agg(F.sum("n_pt").alias("n_t"))
+    n = assign.count()
+
+    def micro_ln(num, den):
+        return F.round(F.log(num.cast("double") / den.cast("double")) * 1e6).cast(
+            "long"
+        )
+
+    # H(truth|pred): cells vs pred marginal; H(pred|truth): cells vs
+    # truth marginal; H(truth)/H(pred): marginals vs N
+    ctk = (
+        cells.join(n_p, "pred")
+        .agg(F.sum(F.col("n_pt") * micro_ln(F.col("n_pt"), F.col("n_p"))).alias("v"))
+        .collect()[0]["v"]
+    )
+    ckt = (
+        cells.join(n_t, "truth")
+        .agg(F.sum(F.col("n_pt") * micro_ln(F.col("n_pt"), F.col("n_t"))).alias("v"))
+        .collect()[0]["v"]
+    )
+    ht = n_t.agg(
+        F.sum(F.col("n_t") * micro_ln(F.col("n_t"), F.lit(n))).alias("v")
+    ).collect()[0]["v"]
+    hp = n_p.agg(
+        F.sum(F.col("n_p") * micro_ln(F.col("n_p"), F.lit(n))).alias("v")
+    ).collect()[0]["v"]
+
+    h = 1.0 if ht == 0 else _r6(1.0 - ctk / ht)
+    c = 1.0 if hp == 0 else _r6(1.0 - ckt / hp)
+    v = _r6(2 * h * c / (h + c)) if h + c else 0.0
+    spark = assign.sparkSession
+    return spark.createDataFrame(
+        [("completeness", float(c)), ("homogeneity", float(h)), ("v_measure", float(v))],
+        "stat string, value double",
+    )

@@ -970,3 +970,58 @@ def test_cluster_stats_without_score_column(spark):
     r = out[0]
     assert (r.n_members, r.n_edges, r.density) == (2, 1, 1.0)
     assert r.min_score is None and r.max_score is None
+
+
+def _vm_brute(labels):
+    """Independent V-measure replay (micro-int entropies, half-away
+    rounds) for (pred, truth) label pairs."""
+    import math
+    from collections import Counter
+
+    def r6(x):
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    n = len(labels)
+    cells = Counter(labels)
+    np_ = Counter(p for p, _ in labels)
+    nt_ = Counter(t for _, t in labels)
+    mic = lambda num, den: round(math.log(num / den) * 1e6)
+    ctk = sum(c * mic(c, np_[p]) for (p, t), c in cells.items())
+    ckt = sum(c * mic(c, nt_[t]) for (p, t), c in cells.items())
+    ht = sum(c * mic(c, n) for c in nt_.values())
+    hp = sum(c * mic(c, n) for c in np_.values())
+    h = 1.0 if ht == 0 else r6(1.0 - ctk / ht)
+    c = 1.0 if hp == 0 else r6(1.0 - ckt / hp)
+    v = r6(2 * h * c / (h + c)) if h + c else 0.0
+    return {"homogeneity": h, "completeness": c, "v_measure": v}
+
+
+def test_v_measure_known_values(spark):
+    from rapidfuzz_spark.pipeline.metrics import v_measure
+
+    def run(labels):
+        assign = spark.createDataFrame(
+            [(f"d{i}", p, t) for i, (p, t) in enumerate(labels)],
+            ["doc_id", "pred", "truth"],
+        )
+        return {r.stat: r.value for r in v_measure(assign).collect()}
+
+    # perfect clustering -> all 1.0
+    perfect = [("a", "x")] * 3 + [("b", "y")] * 2
+    assert run(perfect) == {"homogeneity": 1.0, "completeness": 1.0, "v_measure": 1.0}
+    # over-segmentation: homogeneous (each pred pure) but only half
+    # complete (each truth class splits over two preds: c = 1 -
+    # ln2/ln4 = 0.5, v = 2*1*0.5/1.5)
+    overseg = [("a", "x"), ("b", "x"), ("c", "y"), ("d", "y")]
+    got = run(overseg)
+    assert got["homogeneity"] == 1.0 and got["completeness"] == 0.5
+    assert got["v_measure"] == round(2 * 1.0 * 0.5 / 1.5, 6)
+    assert got == _vm_brute(overseg)
+    # mixed textbook case vs the independent brute replay
+    mixed = [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y"), ("b", "y"), ("b", "x")]
+    assert run(mixed) == _vm_brute(mixed)
+    # single truth cluster -> h = 1 by convention
+    single_t = [("a", "x"), ("b", "x"), ("b", "x")]
+    got = run(single_t)
+    assert got["homogeneity"] == 1.0
+    assert got == _vm_brute(single_t)
