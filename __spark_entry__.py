@@ -2002,6 +2002,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vmeasure_eval"] = vmeasure_eval
 
+    def incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Incremental connected-components maintenance: cluster the
+        even-doc_id half of the corpus as the maintained base
+        assignment, then fold every remaining JW>=0.85 edge (those with
+        at least one odd endpoint) in as an increment via
+        ``cluster.incremental_connected_components`` — base scanned
+        twice, broadcast-only, zero base shuffle (plan-locked in
+        tests/test_plans.py). The oracle is deliberately the FULL
+        recompute: the recursive closure over ALL edges (old UNION new
+        = the whole JW edge set), so the gate certifies the incremental
+        path's exact equivalence to re-clustering from scratch."""
+        from rapidfuzz_spark.pipeline import cluster
+
+        p = _pairs(spark, sf_dir)
+        edges = p.select(
+            F.col("id_1").alias("doc_id_1"),
+            F.col("id_2").alias("doc_id_2"),
+            F.round(RF.jaro_winkler_similarity("t1", "t2"), 6).alias("jw"),
+        ).where(F.col("jw") >= 0.85)
+        both_old = (F.col("doc_id_1") % 2 == 0) & (F.col("doc_id_2") % 2 == 0)
+        e_old = edges.where(both_old).drop("jw")
+        e_new = edges.where(~both_old).drop("jw")
+        d = _docs(spark, sf_dir)
+        old_docs = d.where(F.col("doc_id") % 2 == 0).select("doc_id")
+        base = cluster.assign_entities(
+            old_docs, cluster.connected_components(e_old)
+        ).select("doc_id", "entity_id")
+        inc = cluster.incremental_connected_components(base, e_new)
+        return d.select("doc_id").join(inc, "doc_id", "left").select(
+            "doc_id", F.coalesce("entity_id", "doc_id").alias("entity_id")
+        )
+
+    q["incremental_cc"] = incremental_cc
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -2010,6 +2044,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
+        "incremental_cc",
         "ed_join", "ed_join_rs", "monge_elkan", "dsir_weights",
         "fs_tf_adjust", "token_sort_ratio", "ari_eval", "ann_recall",
         "vmeasure_eval",
@@ -2538,6 +2573,11 @@ GROUP BY p.id_1, p.id_2"""
         SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
       )
       SELECT a AS doc_id, min(b) AS entity_id FROM reach GROUP BY a"""
+    # the incremental path must equal the full re-cluster bit-for-bit,
+    # so its oracle IS the full-recompute closure over the whole JW edge
+    # set (old-half edges UNION increment edges = all edges) — the gate
+    # itself certifies incremental == from-scratch
+    o["incremental_cc"] = o["er_cluster_cc"]
     o["part_name_match"] = """
       WITH pairs AS (
         SELECT a.p_partkey AS pid, b.p_partkey AS cand,

@@ -244,3 +244,85 @@ def cluster_stats(
         "min_score",
         "max_score",
     )
+
+
+def incremental_connected_components(
+    assign: DataFrame, new_edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Fold a batch of NEW match edges into an EXISTING clustering
+    without re-clustering the base — the connected-components half of
+    incremental linkage (``incremental.link_increment`` scores the new
+    pairs; this maintains the entity ids they imply).
+
+    ``assign``: (doc_id, entity_id) — the maintained assignment table
+    (``assign_entities`` output; entity_id = min doc_id of the cluster,
+    singletons self-assigned). ``new_edges``: (doc_id_1, doc_id_2) —
+    the increment's accepted match pairs; endpoints may be base docs,
+    brand-new docs, or both.
+
+    Equivalence (locked by tests): the result is bit-identical to
+    ``connected_components(star(assign) UNION new_edges)`` — i.e. a
+    full re-cluster of everything — because contracting each old
+    cluster to its entity id preserves reachability, and the min-label
+    root of the contracted component equals the min doc over the merged
+    docs (old entity ids ARE their clusters' min doc ids; new docs
+    enter as themselves). Rows of untouched entities pass through
+    byte-identical.
+
+    Scale shape (the maintained-LSH contract, applied to clustering):
+    per-increment work is O(|batch| + |touched clusters|) regardless of
+    base size. The 10^12-row ``assign`` table is scanned exactly TWICE,
+    both times as the probe side of a BROADCAST join against
+    batch-derived frames (the endpoint lookup, then the rep->root
+    remap) — no shuffle, no aggregation, no sort ever touches the base
+    lineage; the large-star/small-star rounds run only on the
+    contracted batch graph. Plan-locked in tests/test_plans.py. In
+    production the output MERGEs back into the Iceberg assignment
+    table; here the full updated frame is returned.
+    """
+    ends = (
+        new_edges.select(F.col("doc_id_1").alias("doc_id"))
+        .unionByName(new_edges.select(F.col("doc_id_2").alias("doc_id")))
+        .distinct()
+    )
+    # endpoint -> current representative: old docs map to their entity,
+    # unseen docs represent themselves. Batch side broadcasts; the base
+    # is filtered map-side (semi-ish via inner join) in ONE scan.
+    amap = (
+        assign.join(F.broadcast(ends), "doc_id")
+        .select("doc_id", F.col("entity_id").alias("rep"))
+        # cut HERE, at the batch-sized lookup result: amap feeds reps
+        # and the new-doc anti-join; without the cut each consumer
+        # would re-scan the 10^12-row base
+        .localCheckpoint(eager=True)
+    )
+    reps = ends.join(amap.select("doc_id", "rep"), "doc_id", "left").withColumn(
+        "rep", F.coalesce("rep", "doc_id")
+    )
+    r1 = reps.select(F.col("doc_id").alias("doc_id_1"), F.col("rep").alias("r1"))
+    r2 = reps.select(F.col("doc_id").alias("doc_id_2"), F.col("rep").alias("r2"))
+    contracted = (
+        new_edges.join(F.broadcast(r1), "doc_id_1")
+        .join(F.broadcast(r2), "doc_id_2")
+        .where(F.col("r1") != F.col("r2"))
+        .select(F.col("r1").alias("doc_id_1"), F.col("r2").alias("doc_id_2"))
+    )
+    roots = connected_components(contracted, max_iter=max_iter).select(
+        F.col("doc_id").alias("rep"), F.col("entity_id").alias("root")
+    )
+    # base pass 2: remap touched entities (broadcast of O(touched) reps);
+    # untouched rows keep their entity_id byte-identical via coalesce
+    remap = roots.where(F.col("rep") != F.col("root"))
+    updated_base = assign.join(
+        F.broadcast(remap), assign["entity_id"] == remap["rep"], "left"
+    ).select(
+        "doc_id", F.coalesce("root", "entity_id").alias("entity_id")
+    )
+    # brand-new docs: rep==doc_id for docs absent from assign; their
+    # final entity is the contracted root (or themselves if isolated)
+    new_docs = (
+        reps.join(F.broadcast(amap.select("doc_id")), "doc_id", "left_anti")
+        .join(F.broadcast(roots), "rep", "left")
+        .select("doc_id", F.coalesce("root", "rep").alias("entity_id"))
+    )
+    return updated_base.unionByName(new_docs)

@@ -104,3 +104,91 @@ def test_seq_metrics_int_hamming_reference_case(spark):
     # reference hamming.rs: [1,2,4] vs [1,2,3] = 1
     df = spark.createDataFrame([([1, 2, 4], [1, 2, 3])], "s1 array<int>, s2 array<int>")
     assert df.select(RF.hamming_distance_seq("s1", "s2").alias("h")).collect()[0].h == 1
+
+
+# ---------------------------------------------------------------------------
+# incremental connected components (cluster-id maintenance)
+# ---------------------------------------------------------------------------
+
+
+def _full_cc(spark, assign_rows, new_edge_rows):
+    """Ground truth: full re-cluster of star(assign) UNION new edges."""
+    from rapidfuzz_spark.pipeline import cluster
+
+    assign = spark.createDataFrame(assign_rows, "doc_id string, entity_id string")
+    star = assign.where(F.col("doc_id") != F.col("entity_id")).select(
+        F.col("doc_id").alias("doc_id_1"), F.col("entity_id").alias("doc_id_2")
+    )
+    new_e = spark.createDataFrame(new_edge_rows, "doc_id_1 string, doc_id_2 string")
+    comps = cluster.connected_components(star.unionByName(new_e))
+    docs = assign.select("doc_id").unionByName(
+        new_e.select(F.col("doc_id_1").alias("doc_id"))
+    ).unionByName(new_e.select(F.col("doc_id_2").alias("doc_id"))).distinct()
+    return {
+        r["doc_id"]: r["entity_id"]
+        for r in cluster.assign_entities(docs, comps).collect()
+    }
+
+
+def _inc_cc(spark, assign_rows, new_edge_rows):
+    from rapidfuzz_spark.pipeline import cluster
+
+    assign = spark.createDataFrame(assign_rows, "doc_id string, entity_id string")
+    new_e = spark.createDataFrame(new_edge_rows, "doc_id_1 string, doc_id_2 string")
+    out = cluster.incremental_connected_components(assign, new_e)
+    return {r["doc_id"]: r["entity_id"] for r in out.collect()}
+
+
+def test_incremental_cc_merge_two_old_clusters(spark):
+    assign = [("a1", "a1"), ("a2", "a1"), ("b1", "b1"), ("b2", "b1"),
+              ("c1", "c1")]
+    new_e = [("a2", "b2")]
+    got = _inc_cc(spark, assign, new_e)
+    assert got == {"a1": "a1", "a2": "a1", "b1": "a1", "b2": "a1", "c1": "c1"}
+    assert got == _full_cc(spark, assign, new_e)
+
+
+def test_incremental_cc_new_doc_smaller_id_takes_root(spark):
+    # a brand-new doc with the smallest id becomes the merged root,
+    # exactly as a full recompute would decide
+    assign = [("m5", "m5"), ("m6", "m5")]
+    new_e = [("a0", "m6")]
+    got = _inc_cc(spark, assign, new_e)
+    assert got == {"m5": "a0", "m6": "a0", "a0": "a0"}
+    assert got == _full_cc(spark, assign, new_e)
+
+
+def test_incremental_cc_untouched_and_intra_cluster_edges(spark):
+    # edges wholly inside an existing cluster are no-ops; untouched
+    # entities pass through byte-identical; isolated new self-pairs
+    # become singletons
+    assign = [("x1", "x1"), ("x2", "x1"), ("y1", "y1")]
+    new_e = [("x1", "x2"), ("z9", "z9")]
+    got = _inc_cc(spark, assign, new_e)
+    assert got == {"x1": "x1", "x2": "x1", "y1": "y1", "z9": "z9"}
+    assert got == _full_cc(spark, assign, new_e)
+
+
+def test_incremental_cc_randomized_vs_full_recompute(spark):
+    import random
+
+    rng = random.Random(73)
+    for trial in range(3):
+        n = 40
+        docs = [f"d{i:03d}" for i in range(n)]
+        # random base clustering: partition docs into groups, entity =
+        # min doc of the group (the invariant assign_entities maintains)
+        groups: list[list[str]] = []
+        for d in docs:
+            if groups and rng.random() < 0.6:
+                rng.choice(groups).append(d)
+            else:
+                groups.append([d])
+        assign = [(d, min(g)) for g in groups for d in g]
+        pool = docs + [f"n{i:03d}" for i in range(10)]
+        new_e = [
+            (rng.choice(pool), rng.choice(pool)) for _ in range(rng.randint(1, 25))
+        ]
+        got = _inc_cc(spark, assign, new_e)
+        want = _full_cc(spark, assign, new_e)
+        assert got == want, f"trial {trial}: {got} != {want}"

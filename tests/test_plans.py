@@ -560,3 +560,57 @@ def test_dsir_lambda_broadcast(spark, docs):
     assert "BroadcastHashJoin" in p, p
     assert "BatchEvalPython" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def _ancestor_ops(plan: str, needle: str) -> list[str]:
+    """Operator names on the path from the (unique) line containing
+    ``needle`` up to the plan root, using the tree-art indentation of
+    explain('simple') — the textual equivalent of 'walk the parents'."""
+    lines = plan.splitlines()
+    hits = [i for i, ln in enumerate(lines) if needle in ln]
+    assert len(hits) == 1, f"expected one {needle!r} line, got {len(hits)}"
+
+    def depth(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-*("))
+
+    i = hits[0]
+    d = depth(lines[i])
+    ops = []
+    for j in range(i - 1, -1, -1):
+        dj = depth(lines[j])
+        if lines[j].strip() and dj < d:
+            ops.append(lines[j].strip())
+            d = dj
+    return ops
+
+
+def test_incremental_cc_base_broadcast_never_shuffled(spark, tmp_path):
+    """The maintained assignment table (10^12 rows at scale) may appear
+    in the increment's final plan exactly once — as the STREAMED side of
+    a broadcast remap join — with NO Exchange/Sort/Aggregate anywhere on
+    its root path. Every shuffle in the plan must be batch-sized. This
+    is the contract that makes per-increment cost O(batch), not O(base).
+    """
+    from rapidfuzz_spark.pipeline import cluster
+
+    base = spark.createDataFrame(
+        [(f"d{i:03d}", f"d{(i // 3) * 3:03d}") for i in range(60)],
+        "doc_id string, entity_id string",
+    )
+    base.write.mode("overwrite").parquet(str(tmp_path / "assign"))
+    assign = spark.read.parquet(str(tmp_path / "assign"))
+    new_e = spark.createDataFrame(
+        [("d001", "d010"), ("n001", "d020")], "doc_id_1 string, doc_id_2 string"
+    )
+    out = cluster.incremental_connected_components(assign, new_e)
+    p = plan_str(out, "simple")
+    # base scanned exactly once in the final plan (the endpoint lookup
+    # ran under the eager batch-sized checkpoint, not here)
+    assert p.count("Scan parquet") == 1
+    path = _ancestor_ops(p, "Scan parquet")
+    joined = " | ".join(path)
+    assert "BroadcastHashJoin" in path[0] or "BroadcastHashJoin" in joined
+    for op in path:
+        assert not op.startswith("Exchange"), f"base lineage shuffled: {op}"
+        assert not op.startswith("Sort"), f"base lineage sorted: {op}"
+        assert "Aggregate" not in op, f"base lineage aggregated: {op}"
