@@ -2036,6 +2036,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["incremental_cc"] = incremental_cc
 
+    def setjoin_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The other three exact set-similarity self-joins of the
+        AllPairs/PPJoin family — cosine >= 0.7, dice >= 0.75, and
+        absolute overlap >= 4 — in one frame (ppjoin_jaccard covers the
+        fourth). All filter math is exact-integer on rational
+        thresholds (cosine via squared cross-multiplication; its
+        positional-filter bound is a float-sqrt seed corrected by
+        integer probes, unit-tested exhaustively). The oracle is the
+        NAIVE all-pairs definition per measure, so the gate checks the
+        prefix/length/positional filter chain's losslessness itself."""
+        from functools import reduce
+
+        from rapidfuzz_spark.textops import dedup
+
+        d = _docs(spark, sf_dir)
+        parts = [
+            dedup.prefix_filter_set_join(d, "text", "cosine", 7, 10),
+            dedup.prefix_filter_set_join(d, "text", "dice", 3, 4),
+            dedup.prefix_filter_set_join(d, "text", "overlap", 4, 1),
+        ]
+        return reduce(lambda x, y: x.unionByName(y), parts)
+
+    q["setjoin_family"] = setjoin_family
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -2044,7 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
-        "incremental_cc",
+        "incremental_cc", "setjoin_family",
         "ed_join", "ed_join_rs", "monge_elkan", "dsir_weights",
         "fs_tf_adjust", "token_sort_ratio", "ari_eval", "ann_recall",
         "vmeasure_eval",
@@ -2578,6 +2602,33 @@ GROUP BY p.id_1, p.id_2"""
     # set (old-half edges UNION increment edges = all edges) — the gate
     # itself certifies incremental == from-scratch
     o["incremental_cc"] = o["er_cluster_cc"]
+    # naive all-pairs per measure, exact integer verifies (cosine via
+    # squared cross-multiplication — no sqrt anywhere in the keep rule)
+    o["setjoin_family"] = r"""
+      WITH s AS (
+        SELECT doc_id,
+               list_filter(
+                 list_distinct(string_split_regex(lower(text), '\s+')),
+                 x -> len(x) >= 1) AS toks
+        FROM documents
+      ),
+      p AS (
+        SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+               len(list_intersect(a.toks, b.toks))::BIGINT AS inter_sz,
+               len(a.toks)::BIGINT AS n1, len(b.toks)::BIGINT AS n2
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+      )
+      SELECT 'cosine' AS measure, doc_id_1, doc_id_2, inter_sz, n1, n2,
+             round(inter_sz::DOUBLE / sqrt((n1 * n2)::DOUBLE), 6) AS sim
+      FROM p WHERE 100 * inter_sz * inter_sz >= 49 * n1 * n2
+      UNION ALL
+      SELECT 'dice', doc_id_1, doc_id_2, inter_sz, n1, n2,
+             round(2 * inter_sz::DOUBLE / (n1 + n2), 6)
+      FROM p WHERE 8 * inter_sz >= 3 * (n1 + n2)
+      UNION ALL
+      SELECT 'overlap', doc_id_1, doc_id_2, inter_sz, n1, n2,
+             round(inter_sz::DOUBLE / least(n1, n2), 6)
+      FROM p WHERE inter_sz >= 4"""
     o["part_name_match"] = """
       WITH pairs AS (
         SELECT a.p_partkey AS pid, b.p_partkey AS cand,

@@ -872,6 +872,41 @@ def incremental_band_pairs_maintained(
     return pairs, updated
 
 
+def _rarity_ordered_sets(docs: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, toks, n): each doc's distinct lowercase whitespace
+    tokens sorted by ascending global document frequency (ties by
+    token — a deterministic total order shared by every doc), lazily
+    checkpointed because the prefix explode AND both verify-side array
+    attaches read the SAME materialization instead of re-running the
+    token explode + census join + regroup three times (the simhash
+    sketch / training_export recompute lesson). Shared by every
+    prefix-filter set-similarity join (Jaccard / cosine / dice /
+    overlap)."""
+    t = F.lower(F.col(text_col))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(t, r"\s+"))
+        ).alias("tok"),
+    ).where(F.length("tok") >= 1)
+    df_census = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    return (
+        toks.join(df_census, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("df", "tok"))
+            ).alias("ord_toks")
+        )
+        .select(
+            "doc_id",
+            F.col("ord_toks.tok").alias("toks"),
+            F.size("ord_toks").alias("n"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def prefix_filter_jaccard_join(
     docs: DataFrame,
     text_col: str = "text",
@@ -908,33 +943,7 @@ def prefix_filter_jaccard_join(
     array attaches for the exact verify. Output:
     (doc_id_1, doc_id_2, inter_sz, union_sz, jacc) for pairs >= t.
     """
-    t = F.lower(F.col(text_col))
-    toks = docs.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(F.split(t, r"\s+"))
-        ).alias("tok"),
-    ).where(F.length("tok") >= 1)
-    df_census = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    # lazy lineage cut: the prefix explode AND both verify-side array
-    # attaches read the SAME (doc_id, toks, n) materialization instead
-    # of re-running the token explode + census join + regroup three
-    # times (the simhash sketch / training_export recompute lesson)
-    ordered = (
-        toks.join(df_census, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("df", "tok"))
-            ).alias("ord_toks")
-        )
-        .select(
-            "doc_id",
-            F.col("ord_toks.tok").alias("toks"),
-            F.size("ord_toks").alias("n"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    ordered = _rarity_ordered_sets(docs, text_col)
     # L = n - ceil(num*n/den) + 1, exact integer ceil: ceil(a/b) =
     # floor((a + b - 1) / b) for positive ints
     L = (
@@ -1037,4 +1046,165 @@ def prefix_filter_jaccard_join(
         F.round(
             F.col("inter_sz").cast("double") / F.col("union_sz"), 6
         ).alias("jacc"),
+    )
+
+
+def prefix_filter_set_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    measure: str = "cosine",
+    threshold_num: int = 7,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """EXACT token-set similarity self-join for the other three set
+    measures of the AllPairs/PPJoin family — ``cosine``
+    (I/sqrt(n1*n2)), ``dice`` (2I/(n1+n2)), and ``overlap`` (absolute
+    I >= c) — completing ``prefix_filter_jaccard_join`` into the full
+    similarity-join family of Bayardo et al. WWW'07 / Xiao et al.
+    TODS'11. Same guarantees: every qualifying pair, NO false
+    negatives, no all-pairs work, candidates drawn only from each
+    doc's rarest tokens (anti-skew by construction).
+
+    All filter math is EXACT INTEGER on the rational threshold
+    t = num/den (for ``overlap``, threshold_num is the absolute
+    required intersection c and threshold_den is ignored):
+
+    - cosine: prefix L = n - ceil(num^2*n/den^2) + 1; pair length
+      filter den^2*min^2 >= num^2*n1*n2 (squaring is monotone for
+      nonneg ints); required overlap o = the SMALLEST integer with
+      den^2*o^2 >= num^2*n1*n2, computed as a float-sqrt seed
+      corrected by +-1 integer probes — float sqrt of a <=2^47
+      integer errs by <1, so the probes make the bound exact;
+      verify den^2*I^2 >= num^2*n1*n2.
+    - dice: prefix L = n - ceil(num*n/(2*den-num)) + 1 (valid for
+      t in (0,1]: minimal partner size is t/(2-t)*n); length filter
+      (2*den-num)*min >= num*max; o = ceil(num*(n1+n2)/(2*den));
+      verify 2*den*I >= num*(n1+n2).
+    - overlap: prefix L = max(n - c + 1, 0); length filter
+      min(n1,n2) >= c; o = c; verify I >= c.
+
+    The oracle for the driver query is the naive all-pairs definition
+    with the SAME integer verifies, so the gate checks the filter
+    chain's losslessness itself (the ppjoin_jaccard proof shape).
+    Scale shape identical to the Jaccard join: census + regroup +
+    bounded rare-token equi-join + pair dedup + two id-keyed array
+    attaches; one shared (doc_id, toks, n) materialization.
+    """
+    if measure not in ("cosine", "dice", "overlap"):
+        raise ValueError(f"unknown measure: {measure!r}")
+    num, den = int(threshold_num), int(threshold_den)
+    ordered = _rarity_ordered_sets(docs, text_col)
+    n = F.col("n")
+    if measure == "cosine":
+        # ceil(num^2 * n / den^2) via floor((a + b - 1) / b)
+        L = n - F.floor(
+            (F.lit(num * num) * n + den * den - 1) / (den * den)
+        ) + 1
+    elif measure == "dice":
+        d2 = 2 * den - num
+        L = n - F.floor((F.lit(num) * n + d2 - 1) / d2) + 1
+    else:  # overlap
+        L = F.greatest(n - F.lit(num) + 1, F.lit(0))
+    prefixes = ordered.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.slice("toks", 1, L.cast("int"))).alias("pos0", "ptok"),
+    )
+    a = prefixes.select(
+        F.col("doc_id").alias("doc_id_1"),
+        F.col("n").alias("n1"),
+        (F.col("pos0") + 1).alias("i"),
+        "ptok",
+    )
+    b = prefixes.select(
+        F.col("doc_id").alias("doc_id_2"),
+        F.col("n").alias("n2"),
+        (F.col("pos0") + 1).alias("j"),
+        "ptok",
+    )
+    n1, n2 = F.col("n1").cast("long"), F.col("n2").cast("long")
+    mn, mx = F.least(n1, n2), F.greatest(n1, n2)
+    if measure == "cosine":
+        s = F.lit(num * num) * n1 * n2
+        len_ok = F.lit(den * den) * mn * mn >= s
+        seed = F.floor(
+            (F.floor(F.sqrt(s.cast("double"))) + den - 1) / den
+        ).cast("long")
+        lo = F.greatest(seed - 1, F.lit(0))
+
+        def _valid(i_col):
+            return F.lit(den * den) * i_col * i_col >= s
+
+        o_req = (
+            F.when(_valid(lo), lo)
+            .when(_valid(seed), seed)
+            .otherwise(seed + 1)
+        )
+    elif measure == "dice":
+        len_ok = F.lit(2 * den - num) * mn >= F.lit(num) * mx
+        o_req = F.floor(
+            (F.lit(num) * (n1 + n2) + 2 * den - 1) / (2 * den)
+        )
+    else:  # overlap
+        len_ok = mn >= F.lit(num)
+        o_req = F.lit(num)
+    cands = (
+        a.join(b, "ptok")
+        .where(F.col("doc_id_1") < F.col("doc_id_2"))
+        .where(len_ok)
+        # PPJoin positional filter — lossless for the pair because its
+        # FIRST shared prefix token carries the maximal bound
+        .where(
+            F.lit(1)
+            + F.least(F.col("n1") - F.col("i"), F.col("n2") - F.col("j"))
+            >= o_req
+        )
+        .select("doc_id_1", "doc_id_2")
+        .dropDuplicates(["doc_id_1", "doc_id_2"])
+    )
+    sets = ordered.select("doc_id", "toks")
+    attached = (
+        cands.join(
+            sets.select(
+                F.col("doc_id").alias("doc_id_1"), F.col("toks").alias("toks_1")
+            ),
+            "doc_id_1",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("doc_id_2"), F.col("toks").alias("toks_2")
+            ),
+            "doc_id_2",
+        )
+        .select(
+            "doc_id_1",
+            "doc_id_2",
+            F.size(F.array_intersect("toks_1", "toks_2"))
+            .cast("long")
+            .alias("inter_sz"),
+            F.size("toks_1").cast("long").alias("n1"),
+            F.size("toks_2").cast("long").alias("n2"),
+        )
+    )
+    I = F.col("inter_sz")
+    vn1, vn2 = F.col("n1"), F.col("n2")
+    if measure == "cosine":
+        keep = F.lit(den * den) * I * I >= F.lit(num * num) * vn1 * vn2
+        sim = F.round(
+            I.cast("double") / F.sqrt((vn1 * vn2).cast("double")), 6
+        )
+    elif measure == "dice":
+        keep = F.lit(2 * den) * I >= F.lit(num) * (vn1 + vn2)
+        sim = F.round(F.lit(2) * I.cast("double") / (vn1 + vn2), 6)
+    else:
+        keep = I >= F.lit(num)
+        sim = F.round(I.cast("double") / F.least(vn1, vn2), 6)
+    return attached.where(keep).select(
+        F.lit(measure).alias("measure"),
+        "doc_id_1",
+        "doc_id_2",
+        "inter_sz",
+        "n1",
+        "n2",
+        sim.alias("sim"),
     )

@@ -1363,3 +1363,134 @@ def test_ppjoin_prefix_actually_prunes(spark):
     )
     census = toks.groupBy("tok").count().where(F.col("count") > 1)
     assert census.count() == 1  # only 'the' repeats — pruning is real
+
+
+# ---------------------------------------------------------------------------
+# prefix-filter set-similarity family: cosine / dice / overlap
+# ---------------------------------------------------------------------------
+
+
+def _naive_set_pairs(rows, measure, num, den):
+    import math
+
+    toks = {i: set(t.lower().split()) for i, t in rows}
+    out = set()
+    for a in toks:
+        for b in toks:
+            if a >= b:
+                continue
+            i = len(toks[a] & toks[b])
+            n1, n2 = len(toks[a]), len(toks[b])
+            if measure == "cosine":
+                keep = den * den * i * i >= num * num * n1 * n2 and i > 0
+            elif measure == "dice":
+                keep = 2 * den * i >= num * (n1 + n2) and i > 0
+            else:
+                keep = i >= num
+            if keep:
+                out.add((a, b))
+    return out
+
+
+def _set_join_pairs(spark, rows, measure, num, den, parts=1):
+    from rapidfuzz_spark.textops import dedup
+
+    docs = spark.createDataFrame(rows, "doc_id int, text string").repartition(
+        parts
+    )
+    return {
+        (r.doc_id_1, r.doc_id_2)
+        for r in dedup.prefix_filter_set_join(
+            docs, "text", measure, num, den
+        ).collect()
+    }
+
+
+def test_set_join_cosine_matches_naive_with_boundary(spark):
+    rows = [
+        (1, "a b c d"),
+        (2, "a b c e"),      # I=3, cos = 3/4 — above 0.7
+        (3, "a b x y"),      # I=2 with 1 — cos 0.5, out
+        (4, "p q r s"),
+        (5, "p q r s"),      # identical — cos 1
+        # exact boundary: I=7, n1=n2=10 -> cos = 0.7 — must be INCLUDED
+        (6, "t1 t2 t3 t4 t5 t6 t7 u1 u2 u3"),
+        (7, "t1 t2 t3 t4 t5 t6 t7 v1 v2 v3"),
+    ]
+    got = _set_join_pairs(spark, rows, "cosine", 7, 10)
+    want = _naive_set_pairs(rows, "cosine", 7, 10)
+    assert got == want
+    assert (6, 7) in got and (1, 2) in got and (4, 5) in got
+
+
+def test_set_join_dice_and_overlap_match_naive(spark):
+    rows = [
+        (1, "a b c d"),
+        (2, "a b c e"),      # dice 6/8 = 0.75 boundary at 3/4
+        (3, "a b z w q"),
+        (4, "m n o p q r"),
+        (5, "m n o p x y"),  # I=4 — overlap c=4 boundary
+    ]
+    assert _set_join_pairs(spark, rows, "dice", 3, 4) == _naive_set_pairs(
+        rows, "dice", 3, 4
+    )
+    got_ov = _set_join_pairs(spark, rows, "overlap", 4, 1)
+    assert got_ov == _naive_set_pairs(rows, "overlap", 4, 1)
+    assert (4, 5) in got_ov
+
+
+def test_set_join_randomized_all_measures_vs_naive(spark):
+    import random
+
+    rnd = random.Random(23)
+    vocab = [f"w{k}" for k in range(25)]
+    rows = [
+        (i, " ".join(rnd.sample(vocab, rnd.randrange(2, 12))))
+        for i in range(70)
+    ]
+    for measure, num, den in [
+        ("cosine", 1, 2), ("cosine", 7, 10), ("cosine", 9, 10),
+        ("dice", 1, 2), ("dice", 3, 4),
+        ("overlap", 2, 1), ("overlap", 5, 1),
+    ]:
+        got = _set_join_pairs(spark, rows, measure, num, den, parts=7)
+        want = _naive_set_pairs(rows, measure, num, den)
+        assert got == want, (measure, num, den)
+
+
+def test_set_join_cosine_o_req_integer_exact(spark):
+    """The float-sqrt seed + integer probes must give the EXACT minimal
+    o on awkward products (perfect squares and off-by-one cases)."""
+    import math
+
+    for num, den in [(7, 10), (1, 2), (9, 10), (3, 5)]:
+        for n1 in range(1, 40):
+            for n2 in range(n1, 40):
+                s = num * num * n1 * n2
+                o_exact = next(
+                    i for i in range(0, den * n1 * n2 + 2)
+                    if den * den * i * i >= s
+                )
+                seed = (math.floor(math.sqrt(s)) + den - 1) // den
+                lo = max(seed - 1, 0)
+                if den * den * lo * lo >= s:
+                    o_got = lo
+                elif den * den * seed * seed >= s:
+                    o_got = seed
+                else:
+                    o_got = seed + 1
+                assert o_got == o_exact, (num, den, n1, n2)
+
+
+def test_set_join_sim_values(spark):
+    from rapidfuzz_spark.textops import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id int, text string"
+    )
+    r = dedup.prefix_filter_set_join(docs, "text", "cosine", 1, 2).collect()
+    assert len(r) == 1 and r[0].sim == 0.75 and r[0].inter_sz == 3
+    r = dedup.prefix_filter_set_join(docs, "text", "dice", 1, 2).collect()
+    assert len(r) == 1 and r[0].sim == 0.75
+    r = dedup.prefix_filter_set_join(docs, "text", "overlap", 3, 1).collect()
+    assert len(r) == 1 and r[0].sim == 0.75
