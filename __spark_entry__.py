@@ -2060,6 +2060,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["setjoin_family"] = setjoin_family
 
+    def token_set_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """fuzz.token_set_ratio (set extension of the reference's
+        fuzz::ratio, src/fuzz.rs:48-86): max of the three indel ratios
+        over (sorted intersection, intersection + own leftovers) — word
+        order AND duplicate/extra tokens stop mattering. 12-char cap so
+        the oracle's LCS replay stays bounded; the oracle needs only ONE
+        recursive LCS because the two t0-vs-superset ratios collapse to
+        the exact prefix closed form 2*l0/(l0+l)."""
+        p = _pairs(spark, sf_dir)
+        return p.select(
+            "id_1",
+            "id_2",
+            F.round(RF.token_set_ratio("t1", "t2", cap=12), 6).alias(
+                "tsr_set"
+            ),
+        )
+
+    q["token_set_ratio_q"] = token_set_ratio_q
+
+    def partial_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """fuzz.partial_ratio, windowed variant: best indel ratio of
+        t1 (cap 8) against every start-anchored window of t2 (cap 20)
+        — a pure explode + Arrow-kernel + groupBy-max plan, no per-pair
+        Python. Oracle replays every window's LCS through a recursive
+        CTE keyed (id_1, id_2, w) and takes the same max."""
+        from rapidfuzz_spark.textops import softtfidf
+
+        p = _pairs(spark, sf_dir)
+        return softtfidf.partial_ratio_pairs(
+            p, "t1", "t2", cap_short=8, cap_long=20
+        )
+
+    q["partial_ratio_q"] = partial_ratio_q
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -2068,7 +2102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --json, exact-value DuckDB compare over EVERY query).
     newest_first = [
         # round 5
-        "incremental_cc", "setjoin_family",
+        "incremental_cc", "setjoin_family", "token_set_ratio_q",
+        "partial_ratio_q",
         "ed_join", "ed_join_rs", "monge_elkan", "dsir_weights",
         "fs_tf_adjust", "token_sort_ratio", "ari_eval", "ann_recall",
         "vmeasure_eval",
@@ -4939,6 +4974,97 @@ GROUP BY p.id_1, p.id_2"""
                       END, 6) AS tsr
         FROM lcs"""
     )
+    # token_set_ratio: the three-way max needs only ONE recursive LCS
+    # (leftovers-vs-leftovers); the two t0-vs-superset ratios are the
+    # exact prefix closed form 2*l0/(l0+l) because t0 is a prefix of
+    # both constructed strings (capping preserves the prefix property)
+    _tsr_toks = (
+        "list_filter(list_distinct(string_split_regex(trim("
+        "regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g')), '\\s+')), "
+        "x -> x <> '')"
+    )
+    _tsr_t0 = (
+        "array_to_string(list_sort(list_intersect("
+        + _tsr_toks.format(t="t1") + ", " + _tsr_toks.format(t="t2")
+        + ")), ' ')"
+    )
+
+    def _tsr_cons(a: str, b: str) -> str:
+        return (
+            "substr(trim(concat_ws(' ', " + _tsr_t0 + ", "
+            "array_to_string(list_sort(list_filter("
+            + _tsr_toks.format(t=a) + ", x -> NOT list_contains("
+            + _tsr_toks.format(t=b) + ", x))), ' '))), 1, 12)"
+        )
+
+    o["token_set_ratio_q"] = (
+        _lcs_cte(_tsr_cons("t1", "t2"), _tsr_cons("t2", "t1"))
+        + f""", cons AS (
+        SELECT id_1, id_2, len(substr({_tsr_t0}, 1, 12)) AS l0
+        FROM ({_PAIRS_SQL}))
+      SELECT l.id_1, l.id_2,
+             round(greatest(
+               CASE WHEN k.l0 + l.l1 = 0 THEN 1.0
+                    ELSE 2.0 * k.l0 / (k.l0 + l.l1) END,
+               CASE WHEN k.l0 + l.l2 = 0 THEN 1.0
+                    ELSE 2.0 * k.l0 / (k.l0 + l.l2) END,
+               CASE WHEN l.l1 + l.l2 = 0 THEN 1.0
+                    ELSE 1.0 - (l.l1 + l.l2 - 2 * l.lcs_len)::DOUBLE
+                               / (l.l1 + l.l2) END), 6) AS tsr_set
+      FROM lcs l JOIN cons k USING (id_1, id_2)"""
+    )
+    # partial_ratio: per-window LCS, recursive cells keyed (id_1,id_2,w)
+    o["partial_ratio_q"] = f"""
+WITH RECURSIVE pw AS (
+  SELECT id_1, id_2, s1,
+         unnest(range(0, greatest(len(s2) - len(s1), 0) + 1)) AS w, s2
+  FROM (SELECT id_1, id_2, substr(t1, 1, 8) AS s1, substr(t2, 1, 20) AS s2
+        FROM ({_PAIRS_SQL}))
+),
+pairs AS (
+  SELECT id_1, id_2, w, s1, substr(s2, w + 1, len(s1)) AS s2w FROM pw
+),
+cells(id_1, id_2, w, i, j, v, age) AS (
+  SELECT id_1, id_2, w, 0, 0, 0, 0 FROM pairs
+  UNION ALL
+  (
+    WITH contrib AS (
+      SELECT c.id_1, c.id_2, c.w, c.i + 1 AS i, c.j AS j, c.v AS v
+      FROM cells c JOIN pairs p USING (id_1, id_2, w)
+      WHERE c.age = 0 AND c.i < len(p.s1)
+      UNION ALL
+      SELECT c.id_1, c.id_2, c.w, c.i, c.j + 1, c.v
+      FROM cells c JOIN pairs p USING (id_1, id_2, w)
+      WHERE c.age = 0 AND c.j < len(p.s2w)
+      UNION ALL
+      SELECT c.id_1, c.id_2, c.w, c.i + 1, c.j + 1,
+             c.v + CASE WHEN substr(p.s1, c.i + 1, 1)
+                             = substr(p.s2w, c.j + 1, 1)
+                        THEN 1 ELSE 0 END
+      FROM cells c JOIN pairs p USING (id_1, id_2, w)
+      WHERE c.age = 1 AND c.i < len(p.s1) AND c.j < len(p.s2w)
+    )
+    SELECT id_1, id_2, w, i, j, max(v), 0 FROM contrib
+    GROUP BY id_1, id_2, w, i, j
+    UNION ALL
+    SELECT c.id_1, c.id_2, c.w, c.i, c.j, c.v, c.age + 1
+    FROM cells c JOIN pairs p USING (id_1, id_2, w)
+    WHERE c.age = 0 AND c.i + c.j < len(p.s1) + len(p.s2w)
+  )
+),
+wscore AS (
+  SELECT p.id_1, p.id_2, p.w, len(p.s1) AS l1, len(p.s2w) AS l2,
+         coalesce(max(c.v), 0) AS lcs_len
+  FROM pairs p LEFT JOIN cells c
+    ON c.id_1 = p.id_1 AND c.id_2 = p.id_2 AND c.w = p.w
+   AND c.i = len(p.s1) AND c.j = len(p.s2w)
+  GROUP BY p.id_1, p.id_2, p.w, len(p.s1), len(p.s2w)
+)
+SELECT id_1, id_2,
+       round(max(CASE WHEN l1 + l2 = 0 THEN 1.0
+                      ELSE 1.0 - (l1 + l2 - 2 * lcs_len)::DOUBLE / (l1 + l2)
+                 END), 6) AS partial_ratio
+FROM wscore GROUP BY id_1, id_2"""
     # shared JW>=0.85 closure (identical to er_cluster_cc's oracle) for
     # the two cluster-consuming operators below
     _closure = f"""

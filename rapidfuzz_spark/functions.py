@@ -662,3 +662,46 @@ def token_sort_key(col: ColumnOrName) -> Column:
     sorted) — pure Spark built-ins, used for blocking and exact-dup checks."""
     c = F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}]+", " ")
     return F.array_join(F.array_sort(F.split(F.trim(c), r"\s+")), " ")
+
+
+def _token_set(col: ColumnOrName) -> Column:
+    """Sorted distinct token array under token_sort_key's normalization
+    (lowercase, non-alnum -> space), empty tokens dropped."""
+    c = F.regexp_replace(F.lower(col), r"[^\p{L}\p{N}]+", " ")
+    return F.array_sort(
+        F.array_distinct(
+            F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != F.lit(""))
+        )
+    )
+
+
+def token_set_ratio(
+    s1: ColumnOrName, s2: ColumnOrName, cap: Optional[int] = None
+) -> Column:
+    """fuzz.token_set_ratio (the rapidfuzz-family set extension of the
+    reference's fuzz::ratio, src/fuzz.rs:48-86): build the sorted
+    intersection string t0 and the two "intersection + own leftovers"
+    strings, return the max of the three pairwise indel ratios. Word
+    order AND duplicate/extra words stop mattering: a strict superset
+    of tokens scores 1.0 against t0.
+
+    Pure Column composition: the set algebra is JVM built-ins
+    (array_intersect / array_except on the normalized distinct token
+    arrays), the three ratios run through the same Arrow-batched indel
+    kernel as fuzz.ratio, combined with greatest(). ``cap`` truncates
+    each constructed string first (the driver query uses it so the
+    SQL oracle's recursive-CTE LCS replay stays bounded; capping
+    preserves the t0-is-a-prefix property the oracle's closed forms
+    rely on)."""
+    a1, a2 = _token_set(s1), _token_set(s2)
+    inter = F.array_sort(F.array_intersect(a1, a2))
+    d1 = F.array_sort(F.array_except(a1, a2))
+    d2 = F.array_sort(F.array_except(a2, a1))
+    t0 = F.array_join(inter, " ")
+    c1 = F.trim(F.concat_ws(" ", t0, F.array_join(d1, " ")))
+    c2 = F.trim(F.concat_ws(" ", t0, F.array_join(d2, " ")))
+    if cap is not None:
+        t0 = F.substring(t0, 1, cap)
+        c1 = F.substring(c1, 1, cap)
+        c2 = F.substring(c2, 1, cap)
+    return F.greatest(ratio(t0, c1), ratio(t0, c2), ratio(c1, c2))

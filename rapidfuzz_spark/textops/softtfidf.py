@@ -297,3 +297,61 @@ def monge_elkan_pairs(
             F.greatest("me_a", "me_b").alias("me_sym"),
         )
     )
+
+
+def partial_ratio_pairs(
+    pairs: DataFrame,
+    col1: str = "t1",
+    col2: str = "t2",
+    id_cols: tuple[str, str] = ("id_1", "id_2"),
+    cap_short: int | None = None,
+    cap_long: int | None = None,
+) -> DataFrame:
+    """Windowed fuzz.partial_ratio over a candidate-pair frame: the
+    best indel ratio of ``col1`` against every length-|s1| window of
+    ``col2`` — the substring-alignment member of the rapidfuzz fuzz
+    family (the reference ships only fuzz::ratio, src/fuzz.rs:48-86;
+    this is the family's standard sliding-window extension, with the
+    documented simplification that windows are anchored at every start
+    offset of s2 and edge windows are the natural substr clamp, and
+    ROLES ARE FIXED: s1 slides within s2 — callers wanting the
+    symmetric max(partial(a,b), partial(b,a)) call it twice).
+
+    Relational shape — no per-pair Python loop anywhere: posexplode a
+    ``sequence(0, max(len2-len1, 0))`` of start offsets (each pair row
+    fans out to its own window rows, a map-side explode), score every
+    (s1, window) through the same Arrow-batched indel kernel as
+    fuzz.ratio, then one groupBy max per pair. At 100 TB the explode
+    factor is bounded by the length cap you choose (``cap_long`` -
+    ``cap_short`` + 1 windows per pair); partial aggregation collapses
+    the max map-side so the shuffle stays one row per pair.
+
+    ``cap_short``/``cap_long`` truncate s1/s2 first (the driver query
+    uses 8/20 so the SQL oracle's per-window recursive-CTE LCS replay
+    stays bounded)."""
+    import rapidfuzz_spark.functions as RF
+
+    s1 = F.col(col1) if cap_short is None else F.substring(col1, 1, cap_short)
+    s2 = F.col(col2) if cap_long is None else F.substring(col2, 1, cap_long)
+    i1, i2 = id_cols
+    w = pairs.select(
+        i1,
+        i2,
+        s1.alias("__s1"),
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.length(s2) - F.length(s1), F.lit(0)),
+                ),
+                lambda i: s2.substr(i + 1, F.length(s1)),
+            )
+        ).alias("__win"),
+    )
+    return (
+        w.select(
+            i1, i2, RF.ratio("__s1", "__win").alias("__r")
+        )
+        .groupBy(i1, i2)
+        .agg(F.round(F.max("__r"), 6).alias("partial_ratio"))
+    )

@@ -238,3 +238,112 @@ def test_token_sort_ratio_order_insensitive(spark):
         return " ".join(sorted(re.sub(r"[^a-z0-9]+", " ", s.lower()).split()))
     for pid, t1, t2 in rows:
         assert out[pid] == round(rf.fuzz.ratio(key(t1), key(t2)), 6)
+
+
+# ---------------------------------------------------------------------------
+# fuzz.token_set_ratio / fuzz.partial_ratio (family extensions)
+# ---------------------------------------------------------------------------
+
+
+def _tsr_reference(t1: str, t2: str) -> float:
+    """Pure-Python replay: set algebra + the scalar indel ratio."""
+    import re
+
+    import rapidfuzz_spark as rf
+
+    def norm(s):
+        return set(re.sub(r"[^a-z0-9]+", " ", s.lower()).split())
+
+    a1, a2 = norm(t1), norm(t2)
+    t0 = " ".join(sorted(a1 & a2))
+    c1 = (t0 + " " + " ".join(sorted(a1 - a2))).strip()
+    c2 = (t0 + " " + " ".join(sorted(a2 - a1))).strip()
+    return max(
+        rf.fuzz.ratio(t0, c1), rf.fuzz.ratio(t0, c2), rf.fuzz.ratio(c1, c2)
+    )
+
+
+def test_token_set_ratio_invariances(spark):
+    rows = [
+        ("dup", "fuzzy was a bear", "fuzzy fuzzy was a bear"),
+        ("order", "new york mets", "mets york new"),
+        ("superset", "new york mets", "the wonderful new york mets"),
+        ("punct", "this is a test", "this -- is a TEST!"),
+        ("disjoint", "abcd", "wxyz"),
+        ("empty", "", "anything"),
+    ]
+    df = spark.createDataFrame(rows, ["pid", "t1", "t2"])
+    out = {
+        r.pid: r.v
+        for r in df.select(
+            "pid", F.round(RF.token_set_ratio("t1", "t2"), 6).alias("v")
+        ).collect()
+    }
+    # duplicates, order, supersets, punctuation: all score 1.0
+    for k in ("dup", "order", "superset", "punct"):
+        assert out[k] == 1.0, (k, out[k])
+    for pid, t1, t2 in rows:
+        assert out[pid] == round(_tsr_reference(t1, t2), 6), pid
+
+
+def test_token_set_ratio_randomized_vs_reference(spark):
+    rnd = random.Random(37)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rows = [
+        (
+            i,
+            " ".join(rnd.choices(vocab, k=rnd.randrange(0, 6))),
+            " ".join(rnd.choices(vocab, k=rnd.randrange(0, 6))),
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["pid", "t1", "t2"])
+    out = {
+        r.pid: r.v
+        for r in df.select(
+            "pid", F.round(RF.token_set_ratio("t1", "t2"), 6).alias("v")
+        ).collect()
+    }
+    for pid, t1, t2 in rows:
+        assert out[pid] == round(_tsr_reference(t1, t2), 6), (pid, t1, t2)
+
+
+def _pr_reference(t1: str, t2: str) -> float:
+    import rapidfuzz_spark as rf
+
+    n1, n2 = len(t1), len(t2)
+    best = 0.0
+    for i in range(max(n2 - n1, 0) + 1):
+        best = max(best, rf.fuzz.ratio(t1, t2[i : i + n1]))
+    return best
+
+
+def test_partial_ratio_hand_and_randomized(spark):
+    from rapidfuzz_spark.textops import softtfidf
+
+    rnd = random.Random(41)
+    rows = [
+        (0, "abcd", "xxabcdxx"),       # exact window -> 1.0
+        (1, "hello", "say hello world"),
+        (2, "longer than the hay", "hay"),  # s1 longer: single clamp window
+        (3, "", ""),
+    ]
+    rows += [
+        (
+            10 + k,
+            "".join(rnd.choices("abcde ", k=rnd.randrange(0, 8))),
+            "".join(rnd.choices("abcde ", k=rnd.randrange(0, 16))),
+        )
+        for k in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["id_1", "t1", "t2"]).withColumn(
+        "id_2", F.col("id_1")
+    )
+    out = {
+        r.id_1: r.partial_ratio
+        for r in softtfidf.partial_ratio_pairs(df).collect()
+    }
+    assert out[0] == 1.0
+    assert out[1] == 1.0
+    for rid, t1, t2 in rows:
+        assert out[rid] == round(_pr_reference(t1, t2), 6), (rid, t1, t2)
