@@ -761,3 +761,56 @@ def meta_block_cnp(
         "cbs",
         F.coalesce("kept", F.lit(False)).alias("kept"),
     )
+
+
+def soundex_key(col) -> "Column":
+    """American Soundex code (first letter + 3 digits, zero-padded) as
+    a pure expression chain in the Java-regex/RE2 + ANSI common subset
+    (upper/regexp_replace/translate/CASE/rpad — no lookarounds, no
+    backrefs), so the SAME construction evaluates bit-identically in
+    Spark and any SQL oracle engine. Classic rules implemented:
+    vowels (AEIOUY) separate same-code consonants, H/W are transparent
+    (same-code consonants around them collapse), and same-code runs —
+    including a run absorbing the first letter — code once.
+
+    Chain: strip non-letters; delete H/W (transparency = adjacency
+    after deletion); translate letters to codes (vowels -> 0);
+    collapse each digit run (seven '11+' -> '1'-style rules, backref-
+    free); drop the FIRST digit unless the original first letter was
+    H/W (it is the first letter's own code — after run-collapse this
+    implements 'skip leading letters sharing the first letter's
+    code'); delete the 0s; prepend the first letter, rpad to 4.
+    Empty/no-letter input -> NULL. Verified against an independent
+    textbook implementation (tests) on the Ashcraft/Tymczak/Pfister/
+    Honeyman corner set and random fuzz."""
+    name = F.regexp_replace(F.upper(col), "[^A-Z]", "")
+    first = F.substring(name, 1, 1)
+    stripped = F.regexp_replace(name, "[HW]", "")
+    digits = F.translate(
+        stripped,
+        "ABCDEFGIJKLMNOPQRSTUVXYZ",
+        "012301202245501262301202",
+    )
+    for d in "0123456":
+        digits = F.regexp_replace(digits, f"{d}{d}+", d)
+    tail = F.when(first.isin("H", "W"), digits).otherwise(
+        F.substring(digits, 2, 0x7FFFFFFF)
+    )
+    code = F.concat(first, F.regexp_replace(tail, "0", ""))
+    return F.when(name != "", F.rpad(F.substring(code, 1, 4), 4, "0"))
+
+
+def phonetic_keys(docs: DataFrame, name_col: str = "text") -> DataFrame:
+    """(block_key, doc_id) on the Soundex code of the FIRST word of
+    ``name_col`` — the classic phonetic blocking pass of a
+    record-linkage pipeline (names that sound alike land in one
+    block regardless of spelling). Map-side only: one projection, no
+    shuffle; compose with candidate_pairs / hot_key_census like every
+    other key family."""
+    first_word = F.element_at(
+        F.split(F.trim(F.col(name_col)), r"\s+"), 1
+    )
+    return docs.select(
+        F.concat(F.lit("sx:"), soundex_key(first_word)).alias("block_key"),
+        "doc_id",
+    ).where(F.col("block_key").isNotNull())

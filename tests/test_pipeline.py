@@ -1025,3 +1025,98 @@ def test_v_measure_known_values(spark):
     got = run(single_t)
     assert got["homogeneity"] == 1.0
     assert got == _vm_brute(single_t)
+
+
+# ---------------------------------------------------------------------------
+# phonetic (Soundex) blocking key
+# ---------------------------------------------------------------------------
+
+
+def _py_soundex(name: str):
+    """Independent textbook American Soundex (H/W transparent, vowels
+    separate, first letter absorbed into its code run)."""
+    name = "".join(c for c in name.upper() if c.isalpha())
+    if not name:
+        return None
+    codes = {**{c: "1" for c in "BFPV"}, **{c: "2" for c in "CGJKQSXZ"},
+             **{c: "3" for c in "DT"}, "L": "4", "M": "5", "N": "5",
+             "R": "6"}
+    out = []
+    last = codes.get(name[0], "")
+    for ch in name[1:]:
+        if ch in "HW":
+            continue
+        c = codes.get(ch, "")
+        if c and c != last:
+            out.append(c)
+        last = c if ch not in "AEIOUY" else ""
+    return (name[0] + "".join(out) + "000")[:4]
+
+
+def test_soundex_key_textbook_corners(spark):
+    from rapidfuzz_spark.pipeline import blocking
+
+    names = ["Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak",
+             "Pfister", "Honeyman", "Hwang", "Wchz", "Aeio", "Jackson",
+             "Washington", "Lee", "Gutierrez", "O'Brien", "x", ""]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        r.name: r.sx
+        for r in df.select(
+            "name", blocking.soundex_key(F.col("name")).alias("sx")
+        ).collect()
+    }
+    for n in names:
+        assert got[n] == _py_soundex(n), (n, got[n], _py_soundex(n))
+    # the classic pairs block together
+    assert got["Robert"] == got["Rupert"] == "R163"
+    assert got["Ashcraft"] == got["Ashcroft"] == "A261"
+    # third anchor: Spark's native JVM soundex agrees on alpha-only names
+    native = {
+        r.name: r.s
+        for r in df.where(F.col("name").rlike("^[A-Za-z]+$"))
+        .select("name", F.soundex("name").alias("s"))
+        .collect()
+    }
+    for n, s in native.items():
+        assert got[n] == s, (n, got[n], s)
+
+
+def test_soundex_key_random_fuzz_vs_reference(spark):
+    import random
+    import string
+
+    from rapidfuzz_spark.pipeline import blocking
+
+    rng = random.Random(9)
+    names = ["".join(rng.choices(string.ascii_letters + "' -", k=rng.randrange(1, 12)))
+             for _ in range(300)]
+    df = spark.createDataFrame([(n,) for n in names], "name string")
+    got = {
+        r.name: r.sx
+        for r in df.select(
+            "name", blocking.soundex_key(F.col("name")).alias("sx")
+        ).collect()
+    }
+    for n in set(names):
+        assert got[n] == _py_soundex(n), n
+
+
+def test_phonetic_keys_map_only_plan(spark):
+    import contextlib
+    import io
+
+    from rapidfuzz_spark.pipeline import blocking
+
+    docs = spark.createDataFrame(
+        [(1, "Smith wrote this"), (2, "Smyth wrote that")],
+        "doc_id int, text string",
+    )
+    out = blocking.phonetic_keys(docs)
+    rows = {(r.block_key, r.doc_id) for r in out.collect()}
+    assert rows == {("sx:S530", 1), ("sx:S530", 2)}  # Smith == Smyth
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("simple")
+    p = buf.getvalue()
+    assert "Exchange" not in p  # one projection, zero shuffle
