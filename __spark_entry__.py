@@ -2244,6 +2244,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["threshold_sweep"] = threshold_sweep
 
+    def dnf_block_schemes(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Disjunctive-normal-form blocking-scheme evaluation (the
+        Bilenko et al. 2006 / Michelson-Knoblock 2006 learnable-blocking
+        setup): every shipped key family — token / affix / del<=1
+        signature / media-ref / sorted-neighborhood / phonetic — scored
+        singly AND as every pairwise CONJUNCTION (a conjunction blocks
+        two docs only when they co-block under BOTH families), each by
+        pair completeness (tp/true) and pairs quality (tp/cand) against
+        the fixture's planted entities: the exact table a blocking-
+        scheme learner ranks to assemble its DNF. One key equi-join
+        builds every family's pair set at once (prefixes partition the
+        key space); conjunctions are ONE pair-level self-join on
+        (d1, d2) — no per-scheme rescans. The oracle replays all six
+        families and the intersection arithmetic in SQL."""
+        from rapidfuzz_spark.pipeline import blocking, ingest
+        from rapidfuzz_spark.pipeline import run as P
+
+        corpus = spark.read.parquet(_SYNTH_FIXTURE)
+        truth = corpus.select("doc_id", "entity_id")
+        docs_t = ingest.with_match_text(corpus.drop("entity_id"))
+        conf = P.PipelineConfig(checkpoint=False)
+        keys = (
+            P.pipeline_blocking_keys(docs_t, conf)
+            .select("block_key", "doc_id")
+            .unionByName(
+                blocking.sorted_neighborhood_keys(
+                    docs_t, window=conf.sn_window
+                ).select("block_key", "doc_id")
+            )
+            .unionByName(blocking.phonetic_keys(docs_t, "match_text"))
+        )
+        pre = F.regexp_extract("block_key", r"^(sn[0-9]+|[a-z]+):", 1)
+        fam = (
+            F.when(pre == "t", "tok")
+            .when(pre.isin("tp", "ts"), "affix")
+            .when(pre == "e", "del1")
+            .when(pre == "mr", "media")
+            .when(pre.startswith("sn"), "sn")
+            .when(pre == "sx", "phon")
+        )
+        fk = keys.select(fam.alias("fam"), "block_key", "doc_id").where(
+            F.col("fam").isNotNull()
+        )
+        a = fk.select("fam", "block_key", F.col("doc_id").alias("d1"))
+        b = fk.select("block_key", F.col("doc_id").alias("d2"))
+        pairs = (
+            a.join(b, "block_key")
+            .where(F.col("d1") < F.col("d2"))
+            .select("fam", "d1", "d2")
+            .distinct()
+            .localCheckpoint(eager=False)  # read by singles + both
+            # sides of the conjunction self-join
+        )
+        t1 = truth.select(F.col("doc_id").alias("d1"), F.col("entity_id").alias("e1"))
+        t2 = truth.select(F.col("doc_id").alias("d2"), F.col("entity_id").alias("e2"))
+        lab = (
+            pairs.join(F.broadcast(t1), "d1")
+            .join(F.broadcast(t2), "d2")
+            .select("fam", "d1", "d2", (F.col("e1") == F.col("e2")).alias("is_true"))
+        )
+        singles = lab.groupBy("fam").agg(
+            F.count("*").alias("n_cand"),
+            F.sum(F.when(F.col("is_true"), 1).otherwise(0)).alias("tp"),
+        ).select(F.col("fam").alias("scheme"), "n_cand", "tp")
+        conj = (
+            lab.join(
+                pairs.select(F.col("fam").alias("fam2"), "d1", "d2"),
+                ["d1", "d2"],
+            )
+            .where(F.col("fam") < F.col("fam2"))
+            .groupBy("fam", "fam2")
+            .agg(
+                F.count("*").alias("n_cand"),
+                F.sum(F.when(F.col("is_true"), 1).otherwise(0)).alias("tp"),
+            )
+            .select(
+                F.concat_ws("&", "fam", "fam2").alias("scheme"),
+                "n_cand",
+                "tp",
+            )
+        )
+        ntot = truth.groupBy("entity_id").agg(F.count("*").alias("n")).agg(
+            F.sum(F.expr("n * (n - 1) DIV 2")).alias("ntp")
+        )
+        return (
+            singles.unionByName(conj)
+            .crossJoin(F.broadcast(ntot))
+            .select(
+                "scheme",
+                F.col("n_cand").cast("long").alias("n_cand"),
+                F.col("tp").cast("long").alias("tp"),
+                F.round(
+                    F.when(F.col("ntp") == 0, F.lit(1.0)).otherwise(
+                        F.col("tp").cast("double") / F.col("ntp")
+                    ),
+                    6,
+                ).alias("pc"),
+                F.round(
+                    F.col("tp").cast("double") / F.col("n_cand"), 6
+                ).alias("pq"),
+            )
+        )
+
+    q["dnf_block_schemes"] = dnf_block_schemes
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -2254,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5
         "incremental_cc", "setjoin_family", "token_set_ratio_q",
         "partial_ratio_q", "phonetic_block", "threshold_sweep",
+        "dnf_block_schemes",
         "ed_join", "ed_join_rs", "monge_elkan", "dsir_weights",
         "fs_tf_adjust", "token_sort_ratio", "ari_eval", "ann_recall",
         "vmeasure_eval",
@@ -5207,6 +5313,71 @@ GROUP BY p.id_1, p.id_2"""
       SELECT 'sx:' || sx AS block_key, count(*) AS n_docs,
              (count(*) * (count(*) - 1)) // 2 AS n_pairs
       FROM k WHERE sx IS NOT NULL GROUP BY 1"""
+    # DNF blocking schemes: all six family arms (er_pipeline's four +
+    # SN + the Soundex chain), family split by key prefix, conjunction
+    # = pair-set intersection, exact count arithmetic
+    o["dnf_block_schemes"] = f"""
+      WITH {_FIXTURE_TEXTS},
+      base AS (
+        {_keys_sql("texts", deletion_sigs=True)}
+        {_sn_keys_sql('texts')}
+        UNION ALL
+        SELECT DISTINCT 'mr:' || s.media_ref AS block_key, doc_id
+        FROM (SELECT doc_id, unnest(spans) AS s
+              FROM read_parquet('{_SYNTH_FIXTURE}'))
+        WHERE (s.kind IS NULL OR s.kind <> 'text') AND s.media_ref IS NOT NULL
+        UNION ALL
+        SELECT 'sx:' || sx AS block_key, doc_id FROM (
+          SELECT doc_id,
+                 CASE WHEN nm = '' THEN NULL
+                      ELSE rpad(substr(substr(nm, 1, 1)
+                                || replace({_sx_tail}, '0', ''), 1, 4),
+                                4, '0') END AS sx
+          FROM (SELECT doc_id,
+                       regexp_replace(
+                         upper(string_split_regex(trim(norm_text), '\\s+')[1]),
+                         '[^A-Z]', '', 'g') AS nm
+                FROM texts))
+        WHERE sx IS NOT NULL),
+      fk AS (
+        SELECT CASE WHEN block_key LIKE 't:%' THEN 'tok'
+                    WHEN block_key LIKE 'tp:%' OR block_key LIKE 'ts:%'
+                         THEN 'affix'
+                    WHEN block_key LIKE 'e:%' THEN 'del1'
+                    WHEN block_key LIKE 'mr:%' THEN 'media'
+                    WHEN block_key LIKE 'sn%' THEN 'sn'
+                    WHEN block_key LIKE 'sx:%' THEN 'phon' END AS fam,
+               block_key, doc_id
+        FROM base),
+      pairs AS (
+        SELECT DISTINCT a.fam, a.doc_id AS d1, b.doc_id AS d2
+        FROM fk a JOIN fk b
+          ON a.block_key = b.block_key AND a.doc_id < b.doc_id),
+      lab AS (
+        SELECT p.fam, p.d1, p.d2, t1.entity_id = t2.entity_id AS is_true
+        FROM pairs p
+        JOIN texts t1 ON t1.doc_id = p.d1
+        JOIN texts t2 ON t2.doc_id = p.d2),
+      ntot AS (
+        SELECT count(*) AS ntp
+        FROM texts t1 JOIN texts t2
+          ON t1.entity_id = t2.entity_id AND t1.doc_id < t2.doc_id),
+      singles AS (
+        SELECT fam AS scheme, count(*) AS n_cand,
+               sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS tp
+        FROM lab GROUP BY fam),
+      conj AS (
+        SELECT l.fam || '&' || p2.fam AS scheme, count(*) AS n_cand,
+               sum(CASE WHEN l.is_true THEN 1 ELSE 0 END) AS tp
+        FROM lab l JOIN pairs p2
+          ON l.d1 = p2.d1 AND l.d2 = p2.d2 AND l.fam < p2.fam
+        GROUP BY 1),
+      allrows AS (SELECT * FROM singles UNION ALL SELECT * FROM conj)
+      SELECT scheme, n_cand::BIGINT AS n_cand, tp::BIGINT AS tp,
+             round(CASE WHEN ntp = 0 THEN 1.0
+                        ELSE tp::DOUBLE / ntp END, 6) AS pc,
+             round(tp::DOUBLE / n_cand, 6) AS pq
+      FROM allrows CROSS JOIN ntot"""
     # token_set_ratio: the three-way max needs only ONE recursive LCS
     # (leftovers-vs-leftovers); the two t0-vs-superset ratios are the
     # exact prefix closed form 2*l0/(l0+l) because t0 is a prefix of
