@@ -35,6 +35,7 @@ def link_increment(
     base_docs_t: DataFrame,
     base_entities: DataFrame,
     conf: PipelineConfig = PipelineConfig(),
+    return_edges: bool = False,
 ) -> DataFrame:
     """Assign an entity_id to every row of ``new_docs``.
 
@@ -45,6 +46,12 @@ def link_increment(
 
     Returns (doc_id, spans, entity_id, matched_doc_id, score); spans pass
     through untouched (span-sequence invariant).
+
+    ``return_edges``: return the FULL above-threshold scored pair frame
+    (doc_id_1=new, doc_id_2=base, score) instead of the per-doc best
+    match — the edge set ``stream_link_cc`` folds into the maintained
+    clustering (a new doc matching docs of TWO base entities is merge
+    evidence the top-1 assignment path deliberately discards).
     """
     new_t = ingest.with_match_text(new_docs)
     if conf.metric in ("soft_tfidf", "soft_tfidf_jw"):
@@ -141,6 +148,8 @@ def link_increment(
     # float noise (keeps the argmax stable across kernel implementations
     # and engines; ties break deterministically on doc_id_2)
     edges = edges.withColumn("score", F.round("score", 6))
+    if return_edges:
+        return edges.select("doc_id_1", "doc_id_2", "score")
     w = Window.partitionBy("doc_id_1").orderBy(F.desc("score"), "doc_id_2")
     best = (
         edges.withColumn("rnk", F.row_number().over(w))
@@ -190,6 +199,89 @@ def stream_link(
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(os.path.join(out_dir, "assignments"))
+        )
+
+    writer = (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_link_cc(
+    stream_docs: DataFrame,
+    base_docs_t: DataFrame,
+    initial_assign: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    conf: PipelineConfig = PipelineConfig(),
+    trigger_available_now: bool = True,
+):
+    """Streaming ENTITY-ID MAINTENANCE — the transitive half
+    ``stream_link`` deliberately omits. Each micro-batch is scored
+    against the base catalog (``link_increment(return_edges=True)``,
+    ALL above-threshold matches, not just the best), and the edge set
+    is folded into the maintained assignment with
+    ``cluster.incremental_connected_components``: a batch doc matching
+    docs of TWO existing entities MERGES them (and every doc of both
+    clusters is remapped), unmatched batch docs become singletons via
+    their self-edge, and untouched entities pass through byte-identical.
+    The updated assignment is the next batch's base, so merges chain
+    across micro-batches.
+
+    Snapshots are written to ``out_dir``/assign/version=<batch_id>
+    (whole-directory overwrite per version); a replayed micro-batch
+    (foreachBatch is at-least-once) reads the latest snapshot with
+    version < its batch_id and overwrites its own version, so replay is
+    idempotent. In production the snapshot directory is an Iceberg
+    table and the per-version write is a MERGE INTO + snapshot commit;
+    the per-increment cost model is BENCH §26a's: two broadcast-probe
+    scans of the assignment, shuffles bounded by the batch.
+
+    Returns the StreamingQuery (caller awaits termination).
+    """
+    from . import cluster
+
+    assign_root = os.path.join(out_dir, "assign")
+
+    def _latest_version(below: int):
+        if not os.path.isdir(assign_root):
+            return None
+        vs = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(assign_root)
+            if d.startswith("version=")
+        ]
+        vs = [v for v in vs if v < below]
+        return max(vs) if vs else None
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        v = _latest_version(batch_id)
+        assign = (
+            sp.read.parquet(os.path.join(assign_root, f"version={v}"))
+            if v is not None
+            else initial_assign
+        )
+        scored = link_increment(
+            batch_df.select("doc_id", "spans"),
+            base_docs_t,
+            assign,
+            conf,
+            return_edges=True,
+        )
+        edges = scored.select("doc_id_1", "doc_id_2").unionByName(
+            batch_df.select(
+                F.col("doc_id").alias("doc_id_1"),
+                F.col("doc_id").alias("doc_id_2"),
+            )
+        )
+        updated = cluster.incremental_connected_components(assign, edges)
+        updated.write.mode("overwrite").parquet(
+            os.path.join(assign_root, f"version={batch_id}")
         )
 
     writer = (

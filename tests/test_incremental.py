@@ -192,3 +192,108 @@ def test_incremental_cc_randomized_vs_full_recompute(spark):
         got = _inc_cc(spark, assign, new_e)
         want = _full_cc(spark, assign, new_e)
         assert got == want, f"trial {trial}: {got} != {want}"
+
+
+# ---------------------------------------------------------------------------
+# streaming entity-id maintenance (stream_link_cc)
+# ---------------------------------------------------------------------------
+
+_SPAN_SCHEMA = (
+    "doc_id string, spans array<struct<kind string, text string,"
+    " media_ref string, offset int>>"
+)
+
+
+def _span_doc(doc_id: str, text: str):
+    return (doc_id, [("text", text, None, 0)])
+
+
+def test_stream_link_cc_merges_across_batches_and_restart(spark, tmp_path):
+    """Batch 0's doc bridges two base entities (merge evidence the top-1
+    stream_link path discards); batch 1 adds a singleton and a doc that
+    joins the MERGED cluster; a restarted run (new file, same
+    checkpoint) reads the maintained snapshot and keeps chaining."""
+    import os
+    import shutil
+
+    from rapidfuzz_spark.pipeline import incremental, ingest
+    from rapidfuzz_spark.pipeline.run import PipelineConfig
+
+    base = spark.createDataFrame(
+        [
+            _span_doc("A1", "alpha beta gamma delta"),
+            _span_doc("B1", "alpha beta gamma zeta"),
+            _span_doc("C1", "unrelated stuff entirely"),
+        ],
+        _SPAN_SCHEMA,
+    )
+    base_t = ingest.with_match_text(base)
+    initial = base.select("doc_id", F.col("doc_id").alias("entity_id"))
+    conf = PipelineConfig(metric="ratio", threshold=0.85)
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+
+    def _add(i, rows):
+        df = spark.createDataFrame(rows, _SPAN_SCHEMA)
+        part = str(tmp_path / f"c{i}")
+        df.coalesce(1).write.parquet(part)
+        f = next(x for x in os.listdir(part) if x.endswith(".parquet"))
+        dst = os.path.join(src, f"{i:02d}.parquet")
+        shutil.move(os.path.join(part, f), dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+
+    def _run():
+        stream = (
+            spark.readStream.schema(_SPAN_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = incremental.stream_link_cc(
+            stream,
+            base_t,
+            initial,
+            out_dir=str(tmp_path / "out"),
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            conf=conf,
+        )
+        q.awaitTermination(180)
+
+    # n1 matches BOTH A1 and B1 above 0.85 -> merges their entities
+    _add(0, [_span_doc("n1", "alpha beta gamma delta zeta")])
+    # n2 matches nothing; n3 matches B1 -> must land in the MERGED cluster
+    _add(1, [_span_doc("n2", "totally different words here"),
+             _span_doc("n3", "alpha beta gamma zeta eta")])
+    _run()
+    root = str(tmp_path / "out" / "assign")
+    latest = max(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("version=")
+    )
+    got = {
+        r.doc_id: r.entity_id
+        for r in spark.read.parquet(
+            os.path.join(root, f"version={latest}")
+        ).collect()
+    }
+    assert got == {
+        "A1": "A1", "B1": "A1", "n1": "A1", "n3": "A1",
+        "C1": "C1", "n2": "n2",
+    }
+    # restart with one more file: n4 matches A1 -> joins the merged
+    # cluster; everything else passes through unchanged
+    _add(2, [_span_doc("n4", "alpha beta gamma delta eta")])
+    _run()
+    latest2 = max(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(root)
+        if d.startswith("version=")
+    )
+    assert latest2 > latest
+    got2 = {
+        r.doc_id: r.entity_id
+        for r in spark.read.parquet(
+            os.path.join(root, f"version={latest2}")
+        ).collect()
+    }
+    assert got2 == {**got, "n4": "A1"}
