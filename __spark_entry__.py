@@ -2142,11 +2142,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             extra_pairs=sn,
             cache_out=caches,
         )
-        canon = F.array_join(
-            F.array_sort(F.split(F.col("match_text"), r"\s+")), " "
-        )
+        # score the SAME derived columns the shipped scorer uses (and the
+        # oracle replays): norm_text / canon_text, not raw match_text
         mt = docs_t.select(
-            "doc_id", F.col("match_text").alias("norm"), canon.alias("canon")
+            "doc_id",
+            F.col("norm_text").alias("norm"),
+            F.col("canon_text").alias("canon"),
         )
         lab = (
             pairs.join(
@@ -2273,7 +2274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     docs_t, window=conf.sn_window
                 ).select("block_key", "doc_id")
             )
-            .unionByName(blocking.phonetic_keys(docs_t, "match_text"))
+            .unionByName(blocking.phonetic_keys(docs_t, "norm_text"))
         )
         pre = F.regexp_extract("block_key", r"^(sn[0-9]+|[a-z]+):", 1)
         fam = (
@@ -2967,10 +2968,15 @@ GROUP BY p.id_1, p.id_2"""
         FROM documents
       ),
       p AS (
+        -- token-less docs never enter the operator's ordered frame
+        -- (no rows to group), so exclude them here too: without the
+        -- guard the cosine rule 100*0*0 >= 49*n1*0 would admit every
+        -- pair touching an empty doc
         SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
                len(list_intersect(a.toks, b.toks))::BIGINT AS inter_sz,
                len(a.toks)::BIGINT AS n1, len(b.toks)::BIGINT AS n2
         FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(a.toks) > 0 AND len(b.toks) > 0
       )
       SELECT 'cosine' AS measure, doc_id_1, doc_id_2, inter_sz, n1, n2,
              round(inter_sz::DOUBLE / sqrt((n1 * n2)::DOUBLE), 6) AS sim
@@ -5314,10 +5320,13 @@ GROUP BY p.id_1, p.id_2"""
     # token_sort_ratio: same recursive-CTE LCS DP as fuzz_ratio, over
     # the canonical token-sorted keys (regexp-normalized, sorted,
     # space-joined — byte order == UTF8 order on these ASCII tokens)
+    # same Unicode class as Spark's token_sort_key (\p{L}\p{N}) — the
+    # previous ascii [a-z0-9] silently split non-ASCII letters
     _tsk = (
         "substr(array_to_string(list_sort(list_filter("
         "string_split_regex(trim(regexp_replace(lower({t}), "
-        "'[^a-z0-9]+', ' ', 'g')), '\\s+'), x -> x <> '')), ' '), 1, 12)"
+        "'[^\\p{{L}}\\p{{N}}]+', ' ', 'g')), '\\s+'), x -> x <> '')), "
+        "' '), 1, 12)"
     )
     o["token_sort_ratio"] = (
         _lcs_cte(_tsk.format(t="t1"), _tsk.format(t="t2"))
@@ -5479,10 +5488,13 @@ GROUP BY p.id_1, p.id_2"""
     # (leftovers-vs-leftovers); the two t0-vs-superset ratios are the
     # exact prefix closed form 2*l0/(l0+l) because t0 is a prefix of
     # both constructed strings (capping preserves the prefix property)
+    # normalization class matches Spark's _token_set exactly: \p{L}\p{N}
+    # (RE2 supports the Unicode property classes), NOT ascii [a-z0-9] —
+    # 'Café' must stay one token in both engines
     _tsr_toks = (
         "list_filter(list_distinct(string_split_regex(trim("
-        "regexp_replace(lower({t}), '[^a-z0-9]+', ' ', 'g')), '\\s+')), "
-        "x -> x <> '')"
+        "regexp_replace(lower({t}), '[^\\p{{L}}\\p{{N}}]+', ' ', 'g')), "
+        "'\\s+')), x -> x <> '')"
     )
     _tsr_t0 = (
         "array_to_string(list_sort(list_intersect("

@@ -247,20 +247,28 @@ def stream_link_cc(
 
     assign_root = os.path.join(out_dir, "assign")
 
-    def _latest_version(below: int):
-        if not os.path.isdir(assign_root):
+    def _latest_version(sp, below: int):
+        # Hadoop FS listing, NOT os.listdir: out_dir may be s3://, hdfs://
+        # or any other scheme the executors can write — a driver-local
+        # listing would silently see nothing there and every batch would
+        # fold into initial_assign, losing cross-batch merges
+        jvm = sp._jvm
+        path = jvm.org.apache.hadoop.fs.Path(assign_root)
+        fs = path.getFileSystem(sp._jsc.hadoopConfiguration())
+        if not fs.exists(path):
             return None
-        vs = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(assign_root)
-            if d.startswith("version=")
-        ]
-        vs = [v for v in vs if v < below]
+        vs = []
+        for st in fs.listStatus(path):
+            name = st.getPath().getName()
+            if name.startswith("version="):
+                v = int(name.split("=", 1)[1])
+                if v < below:
+                    vs.append(v)
         return max(vs) if vs else None
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sp = batch_df.sparkSession
-        v = _latest_version(batch_id)
+        v = _latest_version(sp, batch_id)
         assign = (
             sp.read.parquet(os.path.join(assign_root, f"version={v}"))
             if v is not None

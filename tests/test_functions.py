@@ -246,13 +246,15 @@ def test_token_sort_ratio_order_insensitive(spark):
 
 
 def _tsr_reference(t1: str, t2: str) -> float:
-    """Pure-Python replay: set algebra + the scalar indel ratio."""
-    import re
-
+    """Pure-Python replay: set algebra + the scalar indel ratio.
+    Normalization mirrors \\p{L}\\p{N} (unicode-aware, like the Spark
+    side and the DuckDB oracle), not ascii [a-z0-9]."""
     import rapidfuzz_spark as rf
 
     def norm(s):
-        return set(re.sub(r"[^a-z0-9]+", " ", s.lower()).split())
+        return set(
+            "".join(c if c.isalnum() else " " for c in s.lower()).split()
+        )
 
     a1, a2 = norm(t1), norm(t2)
     t0 = " ".join(sorted(a1 & a2))
@@ -271,6 +273,9 @@ def test_token_set_ratio_invariances(spark):
         ("punct", "this is a test", "this -- is a TEST!"),
         ("disjoint", "abcd", "wxyz"),
         ("empty", "", "anything"),
+        # non-ASCII letters are \p{L}: 'café' must stay ONE token on
+        # every side (Spark, oracle, reference) — not split at the é
+        ("unicode", "Café zurück", "zurück café"),
     ]
     df = spark.createDataFrame(rows, ["pid", "t1", "t2"])
     out = {
@@ -279,8 +284,9 @@ def test_token_set_ratio_invariances(spark):
             "pid", F.round(RF.token_set_ratio("t1", "t2"), 6).alias("v")
         ).collect()
     }
-    # duplicates, order, supersets, punctuation: all score 1.0
-    for k in ("dup", "order", "superset", "punct"):
+    # duplicates, order, supersets, punctuation, unicode case/order:
+    # all score 1.0
+    for k in ("dup", "order", "superset", "punct", "unicode"):
         assert out[k] == 1.0, (k, out[k])
     for pid, t1, t2 in rows:
         assert out[pid] == round(_tsr_reference(t1, t2), 6), pid
