@@ -2413,6 +2413,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_link_cc"] = stream_link_cc_q
 
+    def clerical_review(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The Fellegi-Sunter THREE-WAY decision rule (Fellegi & Sunter
+        1969 §3 — the piece every production linkage deployment runs
+        after the model fit): posterior >= 0.95 auto-links, <= 0.05
+        auto-rejects, and the band between goes to CLERICAL REVIEW,
+        ranked by uncertainty (|posterior - 0.5|, most ambiguous first,
+        deterministic id tie-breaks) so human effort is spent where the
+        model knows least. Reuses the fs_em_linkage fit end-to-end; at
+        scale the global rank window sorts only the (tiny, band-
+        filtered) review queue, never the full pair set. The oracle
+        wraps the full EM-replay SQL and applies the same decision +
+        ranking arithmetic."""
+        from rapidfuzz_spark.pipeline import problink
+
+        c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+        )
+        a, b = c.alias("a"), c.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        ).select(
+            F.col("a.c_custkey").alias("id_1"),
+            F.col("b.c_custkey").alias("id_2"),
+            problink.similarity_level(
+                RF.jaro_winkler_similarity(
+                    F.col("a.c_name"), F.col("b.c_name")
+                ),
+                0.97,
+                0.95,
+            ).alias("g_name"),
+            problink.exact_level(
+                F.col("a.c_mktsegment"), F.col("b.c_mktsegment")
+            ).alias("g_seg"),
+            problink.numeric_band_level(
+                F.col("a.c_acctbal"), F.col("b.c_acctbal"), 100.0, 1000.0
+            ).alias("g_bal"),
+        )
+        fs = problink.fs_em_linkage(
+            pairs, ["g_name", "g_seg", "g_bal"], [3, 2, 3], iters=3
+        )
+        dec = fs.select(
+            "id_1",
+            "id_2",
+            "posterior",
+            F.when(F.col("posterior") >= 0.95, "link")
+            .when(F.col("posterior") <= 0.05, "non-link")
+            .otherwise("review")
+            .alias("decision"),
+        )
+        w = Window.orderBy(
+            F.abs(F.col("posterior") - 0.5), "id_1", "id_2"
+        )
+        rev = (
+            dec.where(F.col("decision") == "review")
+            .withColumn("review_rank", F.row_number().over(w))
+            .select("id_1", "id_2", "review_rank")
+        )
+        return dec.join(rev, ["id_1", "id_2"], "left")
+
+    q["clerical_review"] = clerical_review
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -2423,7 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 5
         "incremental_cc", "setjoin_family", "token_set_ratio_q",
         "partial_ratio_q", "phonetic_block", "threshold_sweep",
-        "dnf_block_schemes", "stream_link_cc",
+        "dnf_block_schemes", "stream_link_cc", "clerical_review",
         "ed_join", "ed_join_rs", "monge_elkan", "dsir_weights",
         "fs_tf_adjust", "token_sort_ratio", "ari_eval", "ann_recall",
         "vmeasure_eval",
@@ -4966,6 +5029,23 @@ GROUP BY p.id_1, p.id_2"""
              {_fs_post('pairs')} AS posterior
       FROM pairs, p{_FS_ITERS} p"""
     )
+    # FS three-way decision + uncertainty-ranked review queue: wraps the
+    # full EM-replay SQL above; one window over ONLY the review band
+    o["clerical_review"] = f"""
+      WITH fs AS ({o["fs_em_linkage"]}),
+      dec AS (
+        SELECT id_1, id_2, posterior,
+               CASE WHEN posterior >= 0.95 THEN 'link'
+                    WHEN posterior <= 0.05 THEN 'non-link'
+                    ELSE 'review' END AS decision
+        FROM fs),
+      rev AS (
+        SELECT id_1, id_2,
+               row_number() OVER (
+                 ORDER BY abs(posterior - 0.5), id_1, id_2) AS review_rank
+        FROM dec WHERE decision = 'review')
+      SELECT d.id_1, d.id_2, d.posterior, d.decision, r.review_rank
+      FROM dec d LEFT JOIN rev r USING (id_1, id_2)"""
     # PPJoin oracle: the naive all-pairs token-Jaccard definition — no
     # prefix filter, no size filter — so a value match proves the Spark
     # side's filtering is lossless, not just self-consistent
