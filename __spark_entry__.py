@@ -2476,6 +2476,126 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["clerical_review"] = clerical_review
 
+    def process_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """rapidfuzz ``process.extract`` reshaped for Spark: top-k best
+        matches for a (small) query set against a big choice corpus —
+        the fuzzy-lookup entry point of the rapidfuzz family (the
+        reference crate ships the kernels it builds on, fuzz.rs:48).
+        The Spark shape is the honest one for queries << corpus:
+        BROADCAST the query side across a single map-side pass of the
+        choices (a deliberate broadcast nested loop, like the ANN
+        brute-force baseline — no shuffle touches the corpus except
+        the final per-query top-k partial agg). Queries are a
+        deterministic slice of part names with their heads cut off, so
+        matches are non-trivial; scorer = Jaro-Winkler, ties broken on
+        choice id."""
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        qs = part.where(F.col("p_partkey") % 199 == 3).select(
+            F.col("p_partkey").alias("query_id"),
+            F.substring("p_name", 5, 40).alias("query_text"),
+        )
+        cand = part.select(
+            F.col("p_partkey").alias("choice_id"), F.col("p_name").alias("choice")
+        )
+        scored = cand.crossJoin(F.broadcast(qs)).select(
+            "query_id",
+            "query_text",
+            "choice_id",
+            "choice",
+            F.round(
+                RF.jaro_winkler_similarity("query_text", "choice"), 6
+            ).alias("score"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), "choice_id"
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= 3)
+            .select("query_id", "query_text", "choice_id", "choice",
+                    "score", "rnk")
+        )
+
+    q["process_extract"] = process_extract
+
+    def merge_rematch(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """One merge-then-rematch round of merge-based ER (the R-Swoosh
+        insight, Benjelloun et al. VLDBJ 2009): after clustering,
+        each entity's REPRESENTATIVE record (longest text, ties to min
+        doc_id — the golden-record survivorship rule) is re-blocked and
+        re-scored against the other representatives at a RELAXED
+        threshold (0.80 vs the clustering's 0.85), surfacing
+        entity-level matches the record-level pass missed — exactly the
+        links a second Swoosh iteration would merge. Output is the
+        entity-pair match list (new merge evidence), which feeds
+        incremental_connected_components for the actual merge. Scale
+        shape: reps are one row per entity (corpus-scale reduction
+        happened in the cluster step); the rematch self-join runs on
+        the reduced frame with the same lang/length blocking as the
+        doc-level pass. Oracle replays closure, survivorship, blocking,
+        and scoring in SQL."""
+        from rapidfuzz_spark.pipeline import cluster
+
+        p = _pairs(spark, sf_dir)
+        edges = p.select(
+            F.col("id_1").alias("doc_id_1"),
+            F.col("id_2").alias("doc_id_2"),
+            F.round(RF.jaro_winkler_similarity("t1", "t2"), 6).alias("jw"),
+        ).where(F.col("jw") >= 0.85)
+        comps = cluster.connected_components(edges)
+        d = _docs(spark, sf_dir)
+        base = (
+            d.join(comps, "doc_id", "left")
+            .select(
+                F.coalesce("entity_id", "doc_id").alias("entity_id"),
+                "doc_id",
+                F.length(F.coalesce("text", F.lit(""))).alias("len0"),
+            )
+        )
+        best = base.groupBy("entity_id").agg(F.max("len0").alias("bl"))
+        rep = (
+            base.join(best, "entity_id")
+            .where(F.col("len0") == F.col("bl"))
+            .groupBy("entity_id")
+            .agg(F.min("doc_id").alias("rep_doc_id"))
+        )
+        reps = rep.join(
+            d.select(
+                F.col("doc_id").alias("rep_doc_id"),
+                "text",
+                "lang",
+                "n_chars",
+            ),
+            "rep_doc_id",
+        )
+        a, b = reps.alias("a"), reps.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.lang") == F.col("b.lang"))
+                & (
+                    F.floor(F.col("a.n_chars") / 50)
+                    == F.floor(F.col("b.n_chars") / 50)
+                )
+                & (F.col("a.entity_id") < F.col("b.entity_id")),
+            )
+            .select(
+                F.col("a.entity_id").alias("entity_1"),
+                F.col("b.entity_id").alias("entity_2"),
+                F.col("a.rep_doc_id").alias("rep_1"),
+                F.col("b.rep_doc_id").alias("rep_2"),
+                F.round(
+                    RF.jaro_winkler_similarity(
+                        F.col("a.text"), F.col("b.text")
+                    ),
+                    6,
+                ).alias("jw"),
+            )
+            .where(F.col("jw") >= 0.80)
+        )
+
+    q["merge_rematch"] = merge_rematch
+
     # The external driver's correctness gate covers the FIRST 50 entries
     # (observed cap in rounds 1-3), so order newest/least-proven queries
     # first: anything the gate truncates is then the oldest, most-proven
@@ -2487,6 +2607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc", "setjoin_family", "token_set_ratio_q",
         "partial_ratio_q", "phonetic_block", "threshold_sweep",
         "dnf_block_schemes", "stream_link_cc", "clerical_review",
+        "process_extract", "merge_rematch",
         "ed_join", "ed_join_rs", "monge_elkan", "dsir_weights",
         "fs_tf_adjust", "token_sort_ratio", "ari_eval", "ann_recall",
         "vmeasure_eval",
@@ -3052,6 +3173,24 @@ GROUP BY p.id_1, p.id_2"""
       SELECT 'overlap', doc_id_1, doc_id_2, inter_sz, n1, n2,
              round(inter_sz::DOUBLE / least(n1, n2), 6)
       FROM p WHERE inter_sz >= 4"""
+    o["process_extract"] = """
+      WITH qs AS (
+        SELECT p_partkey AS query_id, substr(p_name, 5, 40) AS query_text
+        FROM part WHERE p_partkey % 199 = 3),
+      scored AS (
+        SELECT q.query_id, q.query_text,
+               c.p_partkey AS choice_id, c.p_name AS choice,
+               round(jaro_winkler_similarity(q.query_text, c.p_name), 6)
+                 AS score
+        FROM qs q CROSS JOIN part c),
+      r AS (
+        SELECT *, row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, choice_id)
+               AS rnk
+        FROM scored)
+      SELECT query_id, query_text, choice_id, choice, score,
+             rnk::INT AS rnk
+      FROM r WHERE rnk <= 3"""
     o["part_name_match"] = """
       WITH pairs AS (
         SELECT a.p_partkey AS pid, b.p_partkey AS cand,
@@ -5674,6 +5813,33 @@ FROM wscore GROUP BY id_1, id_2"""
         SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
       ),
       ent AS (SELECT a AS doc_id, min(b) AS entity_id FROM reach GROUP BY a)"""
+    # merge-rematch: closure -> windowless survivorship (max-len then
+    # min-doc, two group-bys — the exact shape the Spark side runs) ->
+    # same lang/length blocking on the reps -> relaxed-threshold JW
+    o["merge_rematch"] = (
+        _closure
+        + """,
+      base AS (
+        SELECT ent.entity_id, d.doc_id,
+               length(coalesce(d.text, '')) AS len0
+        FROM documents d JOIN ent USING (doc_id)),
+      best AS (SELECT entity_id, max(len0) AS bl FROM base GROUP BY 1),
+      rep AS (
+        SELECT b.entity_id, min(b.doc_id) AS rep_doc_id
+        FROM base b JOIN best USING (entity_id)
+        WHERE b.len0 = best.bl GROUP BY 1),
+      reps AS (
+        SELECT r.entity_id, r.rep_doc_id, d.text, d.lang, d.n_chars
+        FROM rep r JOIN documents d ON d.doc_id = r.rep_doc_id)
+      SELECT a.entity_id AS entity_1, b.entity_id AS entity_2,
+             a.rep_doc_id AS rep_1, b.rep_doc_id AS rep_2,
+             round(jaro_winkler_similarity(a.text, b.text), 6) AS jw
+      FROM reps a JOIN reps b
+        ON a.lang = b.lang
+       AND (a.n_chars // 50) = (b.n_chars // 50)
+       AND a.entity_id < b.entity_id
+      WHERE round(jaro_winkler_similarity(a.text, b.text), 6) >= 0.80"""
+    )
     # B-cubed replay: per-doc precision/recall collapsed to
     # (pred, truth)-cell sums with integer-micro accumulation — the
     # exact arithmetic metrics.bcubed performs (one rounded division
